@@ -1,0 +1,44 @@
+"""Dataset spec loading — same formats/semantics as the reference
+(/root/reference/src/dataloader/load.py:24-67): JSON (dict-of-splits or
+list), CSV / XLSX / Parquet with an optional 'split' column."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, List, Optional, Union
+
+
+def load_data(file_path: Union[str, Path],
+              split: Optional[str] = None) -> List[Dict]:
+    file_path = Path(file_path)
+    if not file_path.exists():
+        raise FileNotFoundError(f"File not found: {file_path}")
+
+    suffix = file_path.suffix.lower()
+    if suffix == ".json":
+        with open(file_path) as f:
+            data = json.load(f)
+        if split and isinstance(data, dict):
+            if split not in data:
+                raise ValueError(
+                    f"Split '{split}' not found in data. Available splits: "
+                    f"{list(data.keys())}")
+            return data[split]
+        return data if isinstance(data, list) else list(data.values())
+
+    import pandas as pd
+
+    if suffix == ".csv":
+        df = pd.read_csv(file_path)
+    elif suffix == ".xlsx":
+        df = pd.read_excel(file_path)
+    elif suffix == ".parquet":
+        df = pd.read_parquet(file_path)
+    else:
+        raise ValueError(
+            f"Unsupported file format: {suffix}. Supported formats: "
+            ".json, .csv, .parquet, .xlsx")
+    if split and "split" in df.columns:
+        df = df[df["split"] == split]
+    return df.to_dict("records")

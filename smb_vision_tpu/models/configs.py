@@ -1,0 +1,237 @@
+"""Model configurations.
+
+Field names deliberately mirror the HuggingFace configs used by the reference
+(`/root/reference/src/models/videomae/modeling_videomae.py`,
+`/root/reference/src/models/vjepa/configuration_vjepa.py:97-151`,
+`/root/reference/src/models/dinov2/modeling_dinov2.py`) so that published
+checkpoints (e.g. ``standardmodelbio/smb-vision-base``) can be converted
+weight-for-weight, and so JSON config files round-trip.
+
+These are plain dataclasses: everything downstream is functional JAX, and a
+config is static metadata captured in the jit trace.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+
+def _tuple3(v) -> Tuple[int, int, int]:
+    if isinstance(v, (list, tuple)):
+        if len(v) == 3:
+            return tuple(int(x) for x in v)
+        raise ValueError(f"expected 3 elements, got {v}")
+    return (int(v),) * 3
+
+
+@dataclass
+class BaseConfig:
+    def update(self, updates: dict) -> "BaseConfig":
+        """HF-style in-place update; unknown keys are ignored with the same
+        permissiveness as PretrainedConfig.update."""
+        names = {f.name for f in dataclasses.fields(self)}
+        for k, v in updates.items():
+            if k in names:
+                setattr(self, k, v)
+        return self
+
+    def to_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        d["model_type"] = getattr(self, "model_type", "")
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "BaseConfig":
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in names})
+
+    @classmethod
+    def from_json(cls, path: str) -> "BaseConfig":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+    def save_json(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2, sort_keys=True)
+
+
+@dataclass
+class VideoMAEConfig(BaseConfig):
+    """3D ViT used for SimMIM-style masked pretraining and classification.
+
+    The reference reinterprets HF VideoMAE for CT volumes: depth-as-frames
+    with ``tubelet_size == patch_size`` giving cubic 16^3 patches
+    (reference run_mim.py:322-330).
+    """
+
+    model_type: str = "videomae"
+
+    image_size: int = 224
+    patch_size: int = 16
+    num_channels: int = 1
+    num_frames: int = 160          # volume depth
+    tubelet_size: int = 16
+
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    hidden_act: str = "gelu"
+    hidden_dropout_prob: float = 0.0
+    attention_probs_dropout_prob: float = 0.0
+    initializer_range: float = 0.02
+    layer_norm_eps: float = 1e-12
+    qkv_bias: bool = True
+    use_mean_pooling: bool = True
+
+    # decoder (pretraining)
+    decoder_num_attention_heads: int = 6
+    decoder_hidden_size: int = 384
+    decoder_num_hidden_layers: int = 4
+    decoder_intermediate_size: int = 1536
+    norm_pix_loss: bool = True
+
+    # classification head
+    num_labels: int = 2
+    problem_type: Optional[str] = None
+    additional_features_size: int = 0
+
+    # framework knobs (not in HF config)
+    dtype: str = "bfloat16"         # compute dtype
+    attn_impl: str = "auto"         # auto | pallas | xla
+    gradient_checkpointing: bool = False
+
+    @property
+    def grid(self) -> Tuple[int, int, int]:
+        """(T', H', W') patch-grid dims; sequence index = t*H'*W' + h*W' + w."""
+        return (
+            self.num_frames // self.tubelet_size,
+            self.image_size // self.patch_size,
+            self.image_size // self.patch_size,
+        )
+
+    @property
+    def seq_len(self) -> int:
+        t, h, w = self.grid
+        return t * h * w
+
+    @property
+    def patch_dim(self) -> int:
+        return self.num_channels * self.tubelet_size * self.patch_size**2
+
+
+@dataclass
+class VJEPA2Config(BaseConfig):
+    """V-JEPA2 (encoder + predictor) for 3D volumes.
+
+    Mirrors reference configuration_vjepa.py:97-151; run_vjepa.py:221-233 sets
+    in_chans=1, crop_size=384, frames_per_clip=256, tubelet_size=patch_size.
+    """
+
+    model_type: str = "vjepa2"
+
+    patch_size: int = 16
+    crop_size: int = 256
+    frames_per_clip: int = 64
+    tubelet_size: int = 2
+    in_chans: int = 3
+
+    hidden_size: int = 1024
+    num_attention_heads: int = 16
+    num_hidden_layers: int = 24
+    drop_path_rate: float = 0.0
+    mlp_ratio: float = 4.0
+    layer_norm_eps: float = 1e-6
+    qkv_bias: bool = True
+    attention_probs_dropout_prob: float = 0.0
+    hidden_act: str = "gelu"
+    initializer_range: float = 0.02
+    attention_dropout: float = 0.0
+    num_pooler_layers: int = 3
+
+    # predictor
+    pred_hidden_size: int = 384
+    pred_num_attention_heads: int = 12
+    pred_num_hidden_layers: int = 12
+    pred_num_mask_tokens: int = 10
+    pred_zero_init_mask_tokens: bool = True
+    pred_mlp_ratio: float = 4.0
+
+    # classification
+    num_labels: int = 2
+
+    # framework knobs
+    dtype: str = "bfloat16"
+    attn_impl: str = "auto"
+    gradient_checkpointing: bool = False
+
+    @property
+    def grid(self) -> Tuple[int, int, int]:
+        g = self.crop_size // self.patch_size
+        return (self.frames_per_clip // self.tubelet_size, g, g)
+
+    @property
+    def seq_len(self) -> int:
+        t, h, w = self.grid
+        return t * h * w
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def pred_head_dim(self) -> int:
+        return self.pred_hidden_size // self.pred_num_attention_heads
+
+
+@dataclass
+class Dinov2Config(BaseConfig):
+    """DINOv2 adapted to 3D (Conv3d patch embed + learned 3D pos-emb),
+    per reference modeling_dinov2.py:121-158. The reference's trilinear
+    position-interpolation bug (hard-coded `(1,224,244,160)` shape at :85)
+    is fixed here by deriving the grid from the config."""
+
+    model_type: str = "dinov2"
+
+    image_size: int = 224
+    patch_size: int = 16
+    num_channels: int = 1
+    depth: int = 160                # volume depth
+
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    mlp_ratio: int = 4
+    hidden_act: str = "gelu"
+    hidden_dropout_prob: float = 0.0
+    attention_probs_dropout_prob: float = 0.0
+    initializer_range: float = 0.02
+    layer_norm_eps: float = 1e-6
+    qkv_bias: bool = True
+    layerscale_value: float = 1.0
+    drop_path_rate: float = 0.0
+    use_swiglu_ffn: bool = False
+
+    num_labels: int = 2
+    problem_type: Optional[str] = None
+    additional_features_size: int = 0
+
+    dtype: str = "bfloat16"
+    attn_impl: str = "auto"
+    gradient_checkpointing: bool = False
+
+    @property
+    def grid(self) -> Tuple[int, int, int]:
+        return (
+            self.depth // self.patch_size,
+            self.image_size // self.patch_size,
+            self.image_size // self.patch_size,
+        )
+
+    @property
+    def seq_len(self) -> int:
+        t, h, w = self.grid
+        return t * h * w  # patches; +1 CLS handled by the model

@@ -1,0 +1,234 @@
+"""Shared transformer building blocks (flax.linen).
+
+One block implementation serves VideoMAE encoder/decoder, VJEPA2
+encoder/predictor, and DINOv2 — they differ only in bias pattern, RoPE,
+layerscale/droppath, and FFN flavour, all expressed as module options.
+
+Conventions:
+- params are float32; compute dtype configurable (bf16 on TPU)
+- LayerNorm statistics in float32
+- attention dispatches to the Pallas flash kernel on TPU
+  (smb_vision_tpu.ops.attention), XLA elsewhere
+- `gelu` is the exact (erf) variant to match torch nn.GELU
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from smb_vision_tpu.ops.attention import attention
+from smb_vision_tpu.ops.rope3d import apply_rope3d
+
+ACT2FN = {
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
+    "relu": jax.nn.relu,
+    "selu": jax.nn.selu,
+    "silu": jax.nn.silu,
+}
+
+
+def trunc_normal_init(std: float):
+    return nn.initializers.truncated_normal(stddev=std, lower=-2.0, upper=2.0)
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention.
+
+    bias_mode:
+      "qkv"  — bias on q, k, v (VJEPA2, reference modeling_vjepa.py:251-253)
+      "qv"   — bias on q and v only, k bias fixed at zero (the VideoMAE /
+               DINOv2 q/v-bias trick, modeling_videomae.py:246-251)
+      "none" — no qkv bias
+    """
+
+    hidden_size: int
+    num_heads: int
+    bias_mode: str = "qkv"
+    out_bias: bool = True
+    out_proj: bool = True   # pooler cross-attn has no o_proj (vjepa :820-823)
+    dtype: jnp.dtype = jnp.bfloat16
+    attn_impl: str = "auto"
+    initializer_range: float = 0.02
+
+    @nn.compact
+    def __call__(self, x, rope: Optional[Tuple[jax.Array, jax.Array]] = None,
+                 kv: Optional[jax.Array] = None):
+        b, n, _ = x.shape
+        head_dim = self.hidden_size // self.num_heads
+        kinit = trunc_normal_init(self.initializer_range)
+        dense = lambda name, use_bias: nn.Dense(  # noqa: E731
+            self.hidden_size, use_bias=use_bias, dtype=self.dtype,
+            param_dtype=jnp.float32, kernel_init=kinit, name=name)
+
+        qb = self.bias_mode in ("qkv", "qv")
+        kb = self.bias_mode == "qkv"
+        vb = self.bias_mode in ("qkv", "qv")
+        src = x if kv is None else kv
+        q = dense("query", qb)(x).reshape(b, n, self.num_heads, head_dim)
+        k = dense("key", kb)(src).reshape(b, src.shape[1], self.num_heads,
+                                          head_dim)
+        v = dense("value", vb)(src).reshape(b, src.shape[1], self.num_heads,
+                                            head_dim)
+
+        if rope is not None:
+            cos, sin = rope
+            q = apply_rope3d(q, cos, sin)
+            k = apply_rope3d(k, cos, sin)
+
+        out = attention(q, k, v, impl=self.attn_impl)
+        out = out.reshape(b, n, self.hidden_size)
+        if not self.out_proj:
+            return out
+        return dense("proj", self.out_bias)(out)
+
+
+class Mlp(nn.Module):
+    hidden_size: int
+    intermediate_size: int
+    act: str = "gelu"
+    dtype: jnp.dtype = jnp.bfloat16
+    initializer_range: float = 0.02
+
+    @nn.compact
+    def __call__(self, x):
+        kinit = trunc_normal_init(self.initializer_range)
+        x = nn.Dense(self.intermediate_size, dtype=self.dtype,
+                     param_dtype=jnp.float32, kernel_init=kinit,
+                     name="fc1")(x)
+        x = ACT2FN[self.act](x)
+        x = nn.Dense(self.hidden_size, dtype=self.dtype,
+                     param_dtype=jnp.float32, kernel_init=kinit,
+                     name="fc2")(x)
+        return x
+
+
+class SwiGLU(nn.Module):
+    """SwiGLU FFN (DINOv2 use_swiglu_ffn path)."""
+
+    hidden_size: int
+    intermediate_size: int
+    dtype: jnp.dtype = jnp.bfloat16
+    initializer_range: float = 0.02
+
+    @nn.compact
+    def __call__(self, x):
+        kinit = trunc_normal_init(self.initializer_range)
+        h = nn.Dense(2 * self.intermediate_size, dtype=self.dtype,
+                     param_dtype=jnp.float32, kernel_init=kinit,
+                     name="weights_in")(x)
+        x1, x2 = jnp.split(h, 2, axis=-1)
+        return nn.Dense(self.hidden_size, dtype=self.dtype,
+                        param_dtype=jnp.float32, kernel_init=kinit,
+                        name="weights_out")(jax.nn.silu(x1) * x2)
+
+
+class DropPath(nn.Module):
+    """Stochastic depth per sample (modeling_vjepa.py:375-392)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("droppath")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jnp.floor(keep + jax.random.uniform(rng, shape, x.dtype))
+        return x / keep * mask
+
+
+class Block(nn.Module):
+    """Pre-LN transformer block:
+    x += [droppath][layerscale] attn(LN(x)); x += [..] mlp(LN(x))."""
+
+    hidden_size: int
+    num_heads: int
+    intermediate_size: int
+    act: str = "gelu"
+    bias_mode: str = "qkv"
+    layer_norm_eps: float = 1e-6
+    layerscale_value: Optional[float] = None
+    drop_path_rate: float = 0.0
+    use_swiglu: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+    attn_impl: str = "auto"
+    initializer_range: float = 0.02
+
+    @nn.compact
+    def __call__(self, x, rope=None, deterministic: bool = True):
+        ln = lambda name: nn.LayerNorm(  # noqa: E731
+            epsilon=self.layer_norm_eps, dtype=self.dtype,
+            param_dtype=jnp.float32, name=name)
+
+        def scaled(name, h):
+            if self.layerscale_value is None:
+                return h
+            lam = self.param(name, nn.initializers.constant(
+                self.layerscale_value), (self.hidden_size,), jnp.float32)
+            return h * lam.astype(h.dtype)
+
+        dp = DropPath(self.drop_path_rate)
+        h = Attention(self.hidden_size, self.num_heads,
+                      bias_mode=self.bias_mode, dtype=self.dtype,
+                      attn_impl=self.attn_impl,
+                      initializer_range=self.initializer_range,
+                      name="attention")(ln("norm1")(x), rope=rope)
+        x = x + dp(scaled("layerscale1", h), deterministic)
+
+        if self.use_swiglu:
+            h = SwiGLU(self.hidden_size, self.intermediate_size,
+                       dtype=self.dtype,
+                       initializer_range=self.initializer_range,
+                       name="mlp")(ln("norm2")(x))
+        else:
+            h = Mlp(self.hidden_size, self.intermediate_size, act=self.act,
+                    dtype=self.dtype,
+                    initializer_range=self.initializer_range,
+                    name="mlp")(ln("norm2")(x))
+        x = x + dp(scaled("layerscale2", h), deterministic)
+        return x
+
+
+class Encoder(nn.Module):
+    """Stack of Blocks with optional remat (gradient checkpointing — the
+    reference enables this via --gradient_checkpointing, run_mim.sh:34)."""
+
+    num_layers: int
+    hidden_size: int
+    num_heads: int
+    intermediate_size: int
+    act: str = "gelu"
+    bias_mode: str = "qkv"
+    layer_norm_eps: float = 1e-6
+    layerscale_value: Optional[float] = None
+    drop_path_rate: float = 0.0
+    use_swiglu: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+    attn_impl: str = "auto"
+    remat: bool = False
+    initializer_range: float = 0.02
+
+    @nn.compact
+    def __call__(self, x, rope=None, deterministic: bool = True):
+        block_cls = Block
+        if self.remat:
+            block_cls = nn.remat(Block, static_argnums=(3,),
+                                 prevent_cse=False)
+        for i in range(self.num_layers):
+            rate = (self.drop_path_rate * i / max(self.num_layers - 1, 1))
+            x = block_cls(
+                self.hidden_size, self.num_heads, self.intermediate_size,
+                act=self.act, bias_mode=self.bias_mode,
+                layer_norm_eps=self.layer_norm_eps,
+                layerscale_value=self.layerscale_value,
+                drop_path_rate=rate, use_swiglu=self.use_swiglu,
+                dtype=self.dtype, attn_impl=self.attn_impl,
+                initializer_range=self.initializer_range,
+                name=f"layer_{i}")(x, rope, deterministic)
+        return x

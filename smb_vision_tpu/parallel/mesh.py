@@ -1,0 +1,52 @@
+"""Device mesh construction.
+
+The reference scales with NCCL DDP + DeepSpeed ZeRO configured by accelerate
+YAML / ds JSON (acc_configs/, ds_configs/). The TPU-native equivalent is a
+single ``jax.sharding.Mesh`` with named axes and GSPMD-inserted collectives:
+
+- axis "data":  batch (and ZeRO-style fully-sharded params/opt-state)
+- axis "model": tensor parallelism (attention heads / MLP columns)
+
+Multi-slice topologies put "data" on DCN and keep "model" inside ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def create_mesh(data: Optional[int] = None, model: int = 1,
+                devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a ("data", "model") mesh. ``data`` defaults to
+    n_devices // model."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        if n % model:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def local_batch_slice(global_batch: int, mesh: Mesh) -> int:
+    """Per-process batch share for multi-host feeding (the reference's
+    partition_dataset equivalent, keyed on jax.process_index())."""
+    return global_batch // max(mesh.shape[DATA_AXIS], 1)

@@ -1,0 +1,103 @@
+"""Parameter sharding policies (GSPMD).
+
+Replaces the reference's DeepSpeed ZeRO stages (ds_configs/ds_z{0,2,3}*.json)
+with sharding specs — XLA emits the reduce-scatter / all-gather schedule:
+
+- "dp"   (== ZeRO-0/DDP): params replicated, batch sharded on "data"
+- "fsdp" (== ZeRO-3):     every large param sharded along its largest
+                           divisible dim over "data"; gathered on use
+- "tp"   rules:           attention qkv/proj and MLP in/out matrices split
+                           over "model" (Megatron-style column/row split),
+                           composable with dp/fsdp
+
+Policies return a pytree of NamedSharding matching the param pytree; apply
+with jit(in_shardings=...)/device_put. Opt-state shardings mirror params.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from smb_vision_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+# Megatron-style TP rules keyed on flattened param path (regexes).
+# column-split (output dim, last axis) / row-split (input dim, first axis)
+_TP_COL = re.compile(
+    r"(attention/(query|key|value)|mlp/fc1|mlp/weights_in|"
+    r"predictor_embeddings)/kernel$")
+_TP_ROW = re.compile(r"(attention/proj|mlp/fc2|mlp/weights_out)/kernel$")
+_TP_COL_BIAS = re.compile(
+    r"(attention/(query|key|value)|mlp/fc1|mlp/weights_in|"
+    r"predictor_embeddings)/bias$")
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                    for p in path)
+
+
+def _fsdp_spec(shape, tp_spec, n_data: int):
+    """Shard the largest not-yet-sharded dim divisible by n_data."""
+    used = set(a for a in tp_spec if a)
+    dims = sorted(range(len(shape)), key=lambda i: -shape[i])
+    spec = list(tp_spec) + [None] * (len(shape) - len(tp_spec))
+    for i in dims:
+        if spec[i] is None and shape[i] % n_data == 0 and shape[i] >= n_data:
+            spec[i] = DATA_AXIS
+            break
+    return P(*spec)
+
+
+def param_shardings(params: Any, mesh: Mesh, policy: str = "dp",
+                    min_fsdp_size: int = 2 ** 16) -> Any:
+    """Pytree of NamedSharding for `params`.
+
+    policy: "dp" | "fsdp" | "tp" | "fsdp+tp"
+    """
+    use_tp = "tp" in policy and mesh.shape[MODEL_AXIS] > 1
+    use_fsdp = "fsdp" in policy and mesh.shape[DATA_AXIS] > 1
+    n_data = mesh.shape[DATA_AXIS]
+
+    def one(path, leaf):
+        name = _path_str(path)
+        shape = leaf.shape
+        tp = [None] * len(shape)
+        if use_tp and len(shape) >= 1:
+            if _TP_COL.search(name) and shape[-1] % mesh.shape[MODEL_AXIS] == 0:
+                tp[-1] = MODEL_AXIS
+            elif _TP_ROW.search(name) and shape[0] % mesh.shape[MODEL_AXIS] == 0:
+                tp[0] = MODEL_AXIS
+            elif _TP_COL_BIAS.search(name) and shape[-1] % mesh.shape[MODEL_AXIS] == 0:
+                tp[-1] = MODEL_AXIS
+        spec = P(*tp)
+        if use_fsdp and leaf.size >= min_fsdp_size:
+            spec = _fsdp_spec(shape, tp, n_data)
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def shard_params(params: Any, shardings: Any) -> Any:
+    return jax.device_put(params, shardings)
+
+
+def opt_state_shardings(opt_state: Any, params_sharding: Any,
+                        mesh: Mesh) -> Any:
+    """Optimiser-state shardings: optax states embed param-shaped pytrees
+    (adam m/v) structurally identical to params — those mirror the param
+    shardings; scalar leaves (step counts, schedules) replicate."""
+
+    def assign(st):
+        try:
+            return jax.tree_util.tree_map(lambda _, s: s, st, params_sharding)
+        except (ValueError, TypeError):
+            return jax.tree_util.tree_map(
+                lambda _: NamedSharding(mesh, P()), st)
+
+    if isinstance(opt_state, tuple):
+        return tuple(assign(s) for s in opt_state)
+    return assign(opt_state)

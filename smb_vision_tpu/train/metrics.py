@@ -1,0 +1,115 @@
+"""Evaluation metrics (host-side numpy; run on gathered eval outputs).
+
+Matches the reference's compute_metrics suite
+(/root/reference/src/run_classification.py:274-361) without the evaluate/
+sklearn/lifelines dependency stack: C-index, micro F1/precision/recall,
+accuracy, binary ROC-AUC, MSE, and the combined_score mean.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def concordance_index(durations, risk_scores, events) -> float:
+    """Harrell's C-index. Pairs (i, j) are comparable when the one with the
+    shorter duration has an observed event; concordant when the
+    shorter-duration subject has the higher risk. Ties in risk count 0.5.
+    (lifelines.utils.concordance_index semantics; note lifelines expects
+    *predicted survival times* — the reference passes risk scores directly,
+    we score risk with the standard sign convention: higher risk ~ shorter
+    survival.)"""
+    durations = np.asarray(durations, dtype=np.float64).reshape(-1)
+    risk = np.asarray(risk_scores, dtype=np.float64).reshape(-1)
+    events = np.asarray(events).reshape(-1).astype(bool)
+
+    num, den = 0.0, 0.0
+    n = len(durations)
+    for i in range(n):
+        if not events[i]:
+            continue
+        for j in range(n):
+            if i == j:
+                continue
+            # i has an event; comparable if j survived longer (or censored
+            # at a later time)
+            if durations[i] < durations[j] or (
+                    durations[i] == durations[j] and not events[j]):
+                den += 1.0
+                if risk[i] > risk[j]:
+                    num += 1.0
+                elif risk[i] == risk[j]:
+                    num += 0.5
+    return num / den if den else 0.5
+
+
+def _micro_prf(y_true: np.ndarray, y_pred: np.ndarray):
+    tp = float(((y_pred == 1) & (y_true == 1)).sum())
+    fp = float(((y_pred == 1) & (y_true == 0)).sum())
+    fn = float(((y_pred == 0) & (y_true == 1)).sum())
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall else 0.0)
+    return precision, recall, f1
+
+
+def roc_auc_binary(scores, labels) -> float:
+    """AUC via the rank statistic (ties averaged)."""
+    scores = np.asarray(scores, dtype=np.float64).reshape(-1)
+    labels = np.asarray(labels).reshape(-1).astype(bool)
+    n_pos, n_neg = int(labels.sum()), int((~labels).sum())
+    if n_pos == 0 or n_neg == 0:
+        return 0.5
+    order = np.argsort(scores)
+    ranks = np.empty_like(order, dtype=np.float64)
+    sorted_scores = scores[order]
+    i = 0
+    r = 1.0
+    while i < len(scores):
+        j = i
+        while j + 1 < len(scores) and sorted_scores[j + 1] == sorted_scores[i]:
+            j += 1
+        ranks[order[i:j + 1]] = (r + r + (j - i)) / 2.0
+        r += (j - i) + 1
+        i = j + 1
+    pos_rank_sum = ranks[labels].sum()
+    return float((pos_rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg))
+
+
+def _with_combined(result: Dict[str, float]) -> Dict[str, float]:
+    if len(result) > 1:
+        result["combined_score"] = float(np.mean(list(result.values())))
+    return result
+
+
+def compute_metrics(task_type: str, predictions, labels) -> Dict[str, float]:
+    predictions = np.asarray(predictions)
+
+    if task_type in ("survival", "cox_regression"):
+        risk = predictions.squeeze()
+        return {"c_index": concordance_index(
+            labels["duration"], risk, labels["event"])}
+
+    if task_type == "multilabel_classification":
+        labels = np.asarray(labels)
+        preds = (predictions > 0).astype(int)
+        precision, recall, f1 = _micro_prf(labels.astype(int), preds)
+        return _with_combined(
+            {"f1": f1, "precision": precision, "recall": recall})
+
+    if task_type == "classification":
+        labels = np.asarray(labels)
+        preds = predictions.argmax(axis=1)
+        result = {"accuracy": float((preds == labels).mean())}
+        scores = predictions[:, 1] if predictions.ndim > 1 else predictions
+        result["roc_auc"] = roc_auc_binary(scores, labels)
+        return _with_combined(result)
+
+    # regression
+    labels = np.asarray(labels)
+    preds = predictions.squeeze()
+    return _with_combined(
+        {"mse": float(np.mean((preds - labels.squeeze()) ** 2))})

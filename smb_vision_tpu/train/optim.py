@@ -1,0 +1,105 @@
+"""Optimizers and schedules (optax).
+
+Covers the reference's optimizer surface:
+- AdamW + cosine schedule with linear warmup (scripts/training/run_mim.sh:
+  lr 5e-5 cosine, warmup_ratio 0.01, weight_decay 0.01)
+- weight-decay exclusion for LayerNorm/bias params (the VisionTrainer
+  decay-parameter logic, /root/reference/src/train/trainer.py:107-154)
+- two-tier learning rate: backbone (vision_lr) vs head (merger_lr) param
+  groups via optax.multi_transform (trainer.py:39-105 intent — that class
+  was orphaned in the reference; it is first-class here)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import optax
+
+
+def _is_no_decay(path) -> bool:
+    name = "/".join(str(getattr(p, "key", p)) for p in path).lower()
+    # biases, LayerNorm scales/offsets, tokens, position tables
+    return (name.endswith("/bias") or "norm" in name or "layernorm" in name
+            or "token" in name.split("/")[-1]
+            or name.split("/")[-1] in ("scale", "layerscale1", "layerscale2")
+            or "position_embeddings" in name)
+
+
+def decay_mask(params):
+    return jax.tree_util.tree_map_with_path(
+        lambda p, _: not _is_no_decay(p), params)
+
+
+def make_schedule(learning_rate: float, total_steps: int,
+                  warmup_ratio: float = 0.0, warmup_steps: int = 0,
+                  schedule: str = "cosine", min_lr: float = 0.0):
+    warmup = warmup_steps or int(total_steps * warmup_ratio)
+    decay_steps = max(total_steps - warmup, 1)
+    if schedule == "cosine":
+        after = optax.cosine_decay_schedule(
+            learning_rate, decay_steps, alpha=min_lr / learning_rate
+            if learning_rate else 0.0)
+    elif schedule == "linear":
+        after = optax.linear_schedule(learning_rate, min_lr, decay_steps)
+    elif schedule == "constant":
+        after = optax.constant_schedule(learning_rate)
+    else:
+        raise ValueError(f"unknown schedule {schedule}")
+    if warmup == 0:
+        return after
+    return optax.join_schedules(
+        [optax.linear_schedule(0.0, learning_rate, warmup), after], [warmup])
+
+
+def make_optimizer(params, *, learning_rate: float, total_steps: int,
+                   weight_decay: float = 0.01, warmup_ratio: float = 0.0,
+                   warmup_steps: int = 0, schedule: str = "cosine",
+                   min_lr: float = 0.0, b1: float = 0.9, b2: float = 0.999,
+                   eps: float = 1e-8, grad_clip: Optional[float] = 1.0,
+                   vision_lr: Optional[float] = None,
+                   merger_lr: Optional[float] = None,
+                   head_regex: str = "classifier"):
+    """AdamW with cosine/linear warmup schedule.
+
+    If vision_lr/merger_lr are both set, parameters matching ``head_regex``
+    in their path train at merger_lr and the rest at vision_lr (two-tier
+    fine-tuning, run_cls.sh:14-24)."""
+
+    def adamw(lr_sched):
+        tx = optax.adamw(lr_sched, b1=b1, b2=b2, eps=eps,
+                         weight_decay=weight_decay, mask=decay_mask)
+        if grad_clip:
+            tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+        return tx
+
+    if vision_lr is not None and merger_lr is not None:
+        import re
+
+        pat = re.compile(head_regex)
+        labels = jax.tree_util.tree_map_with_path(
+            lambda p, _: "head" if pat.search(
+                "/".join(str(getattr(q, "key", q)) for q in p)) else "vision",
+            params)
+        tx = optax.multi_transform(
+            {"vision": adamw(make_schedule(vision_lr, total_steps,
+                                           warmup_ratio, warmup_steps,
+                                           schedule, min_lr)),
+             "head": adamw(make_schedule(merger_lr, total_steps,
+                                         warmup_ratio, warmup_steps,
+                                         schedule, min_lr))},
+            labels)
+        return tx
+
+    return adamw(make_schedule(learning_rate, total_steps, warmup_ratio,
+                               warmup_steps, schedule, min_lr))
+
+
+def ema_update(teacher_params, student_params, momentum: float):
+    """EMA target-encoder update (run_vjepa.py:87-98), applied ONCE per
+    optimizer step inside the jitted train step (the reference ran it inside
+    compute_loss — every micro-step and during eval; fixed here)."""
+    return jax.tree_util.tree_map(
+        lambda t, s: t * momentum + s.astype(t.dtype) * (1.0 - momentum),
+        teacher_params, student_params)

@@ -1,0 +1,323 @@
+"""Training loop: the TPU-native replacement for HF Trainer + accelerate +
+DeepSpeed (the reference delegates everything to those, SURVEY §0).
+
+Responsibilities mirrored from the reference surface:
+- jitted train step over a Mesh (DDP/ZeRO -> GSPMD shardings)
+- gradient accumulation (run_vjepa.sh: grad-accum 4) via lax.scan
+- orbax checkpointing with save_steps / save_total_limit and auto-resume
+  (HF get_last_checkpoint behaviour, run_mim.py:263-276,439-445)
+- periodic eval + metric logging (console + jsonl + optional wandb)
+- step-time / throughput / MFU meters (the reference had none — SURVEY §5)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from smb_vision_tpu.parallel.mesh import batch_sharding, create_mesh
+from smb_vision_tpu.parallel.sharding import (
+    opt_state_shardings,
+    param_shardings,
+    shard_params,
+)
+from smb_vision_tpu.utils.logging import MetricLogger, get_logger
+
+logger = get_logger(__name__)
+
+
+@dataclass
+class TrainingArguments:
+    """Subset of HF TrainingArguments the reference recipes actually use
+    (scripts/training/*.sh), plus framework knobs."""
+
+    output_dir: str = "output"
+    do_train: bool = True
+    do_eval: bool = False
+    num_train_steps: Optional[int] = None
+    num_train_epochs: float = 1.0
+    per_device_train_batch_size: int = 1
+    per_device_eval_batch_size: int = 1
+    gradient_accumulation_steps: int = 1
+    learning_rate: float = 5e-5
+    weight_decay: float = 0.01
+    warmup_ratio: float = 0.0
+    warmup_steps: int = 0
+    lr_scheduler_type: str = "cosine"
+    min_lr: float = 0.0
+    max_grad_norm: float = 1.0
+    seed: int = 42
+    logging_steps: int = 10
+    save_steps: int = 500
+    save_total_limit: Optional[int] = 3
+    eval_steps: Optional[int] = None
+    resume_from_checkpoint: Optional[str] = None
+    overwrite_output_dir: bool = False
+    report_to: str = "none"          # none | wandb
+    run_name: Optional[str] = None
+    # two-tier LR fine-tuning
+    vision_lr: Optional[float] = None
+    merger_lr: Optional[float] = None
+    # parallelism
+    sharding_policy: str = "dp"      # dp | fsdp | tp | fsdp+tp
+    model_parallel: int = 1
+    # perf accounting
+    model_flops_per_sample: Optional[float] = None
+
+
+class TrainState(dict):
+    """Pytree state: {'params', 'opt_state', 'step', + workload extras
+    (e.g. 'teacher' params for V-JEPA)}. A dict so orbax round-trips it
+    losslessly."""
+
+
+def train_state(params, opt_state, step=0, **extras) -> "TrainState":
+    s = TrainState(params=params, opt_state=opt_state,
+                   step=jnp.asarray(step, jnp.int32))
+    s.update(extras)
+    return s
+
+
+class Trainer:
+    """Drives a jitted step function over a BatchLoader.
+
+    step_fn(state, batch, key) -> (state, metrics_dict) — built by the
+    workload module (train/mim.py, train/vjepa.py, train/classification.py)
+    and jitted here with sharded in/out specs.
+    """
+
+    def __init__(self, *, args: TrainingArguments, state: TrainState,
+                 step_fn: Callable, train_loader, eval_loader=None,
+                 eval_fn: Optional[Callable] = None,
+                 compute_metrics: Optional[Callable] = None,
+                 mesh=None, donate: bool = True):
+        self.args = args
+        self.mesh = mesh or create_mesh(model=args.model_parallel)
+        self.train_loader = train_loader
+        self.eval_loader = eval_loader
+        self.eval_fn = eval_fn
+        self.compute_metrics = compute_metrics
+        self.out_dir = Path(args.output_dir)
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        self.mlog = MetricLogger(self.out_dir, report_to=args.report_to,
+                                 run_name=args.run_name)
+
+        # shard state over the mesh
+        p_sh = param_shardings(state["params"], self.mesh,
+                               policy=args.sharding_policy)
+        state["params"] = shard_params(state["params"], p_sh)
+        if "teacher" in state:
+            t_sh = param_shardings(state["teacher"], self.mesh,
+                                   policy=args.sharding_policy)
+            state["teacher"] = shard_params(state["teacher"], t_sh)
+        o_sh = opt_state_shardings(state["opt_state"], p_sh, self.mesh)
+        state["opt_state"] = jax.device_put(state["opt_state"], o_sh)
+        self.state = state
+        self.batch_sh = batch_sharding(self.mesh)
+
+        self.step_fn = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+        self._ckpt_mgr = self._make_ckpt_manager()
+
+    # ------------------------------------------------------------------
+    # checkpointing (orbax)
+    # ------------------------------------------------------------------
+    def _make_ckpt_manager(self):
+        import orbax.checkpoint as ocp
+
+        opts = ocp.CheckpointManagerOptions(
+            max_to_keep=self.args.save_total_limit,
+            create=True, enable_async_checkpointing=True)
+        return ocp.CheckpointManager(
+            (self.out_dir / "checkpoints").absolute(), options=opts)
+
+    def save_checkpoint(self, step: int):
+        import orbax.checkpoint as ocp
+
+        self._ckpt_mgr.save(
+            step, args=ocp.args.StandardSave(dict(self.state)))
+
+    def maybe_restore(self) -> int:
+        """HF-style auto-resume: explicit path > latest in output_dir."""
+        import orbax.checkpoint as ocp
+
+        target = jax.tree_util.tree_map(
+            ocp.utils.to_shape_dtype_struct
+            if hasattr(ocp.utils, "to_shape_dtype_struct") else (lambda x: x),
+            dict(self.state))
+        step = None
+        if self.args.resume_from_checkpoint:
+            path = Path(self.args.resume_from_checkpoint)
+            mgr = ocp.CheckpointManager(path.absolute())
+            step = mgr.latest_step()
+            if step is not None:
+                restored = mgr.restore(
+                    step, args=ocp.args.StandardRestore(target))
+                self.state = TrainState(restored)
+        else:
+            step = self._ckpt_mgr.latest_step()
+            if step is not None:
+                logger.info("checkpoint detected, resuming at step %s", step)
+                restored = self._ckpt_mgr.restore(
+                    step, args=ocp.args.StandardRestore(target))
+                self.state = TrainState(restored)
+        return int(step or 0)
+
+    def save_model(self):
+        """Final weights as a flat safetensors file + config json (the
+        HF-compatible export, cf. trainer.save_model + upload_model.py)."""
+        from smb_vision_tpu.utils.serialization import save_params_safetensors
+
+        save_params_safetensors(self.state["params"],
+                                self.out_dir / "model.safetensors")
+
+    # ------------------------------------------------------------------
+    # loops
+    # ------------------------------------------------------------------
+    def train(self) -> Dict[str, float]:
+        args = self.args
+        total = args.num_train_steps
+        if total is None:
+            total = int(len(self.train_loader) * args.num_train_epochs)
+        start = self.maybe_restore()
+
+        key = jax.random.PRNGKey(args.seed)
+        step = start
+        t_last = time.perf_counter()
+        samples_per_step = (args.per_device_train_batch_size
+                            * self.mesh.shape["data"]
+                            * args.gradient_accumulation_steps)
+        window_losses = []
+        epoch = 0
+        logger.info("training: %d -> %d steps, %d samples/step",
+                    start, total, samples_per_step)
+
+        while step < total:
+            self.train_loader.set_epoch(epoch)
+            data_iter = self.train_loader
+            from smb_vision_tpu.data.dataset import prefetch_to_device
+            for batch in prefetch_to_device(data_iter, self.batch_sh):
+                if step >= total:
+                    break
+                key, sub = jax.random.split(key)
+                self.state, metrics = self.step_fn(self.state, batch, sub)
+                step += 1
+                window_losses.append(metrics["loss"])
+
+                if step % args.logging_steps == 0:
+                    losses = [float(x) for x in window_losses]
+                    dt = time.perf_counter() - t_last
+                    sps = args.logging_steps * samples_per_step / dt
+                    rec = {"step": step,
+                           "loss": float(np.mean(losses)),
+                           "samples_per_sec": sps,
+                           "step_time_ms": dt / args.logging_steps * 1e3}
+                    if args.model_flops_per_sample:
+                        peak = _device_peak_flops()
+                        if peak:
+                            rec["mfu"] = (args.model_flops_per_sample * sps
+                                          / (peak * jax.device_count()))
+                    self.mlog.log(rec)
+                    window_losses.clear()
+                    t_last = time.perf_counter()
+
+                if step % args.save_steps == 0:
+                    self.save_checkpoint(step)
+                if (args.eval_steps and self.eval_loader is not None
+                        and step % args.eval_steps == 0):
+                    self.evaluate(step=step)
+            epoch += 1
+
+        self.save_checkpoint(step)
+        self._ckpt_mgr.wait_until_finished()
+        return {"train_steps": step}
+
+    def evaluate(self, step: Optional[int] = None) -> Dict[str, float]:
+        if self.eval_loader is None or self.eval_fn is None:
+            return {}
+        losses, preds, labels = [], [], []
+        from smb_vision_tpu.data.dataset import prefetch_to_device
+        for batch in prefetch_to_device(self.eval_loader, self.batch_sh):
+            out = self.eval_fn(self.state, batch)
+            if "loss" in out:
+                losses.append(float(out["loss"]))
+            if "logits" in out:
+                preds.append(np.asarray(out["logits"]))
+            if "labels" in out:
+                labels.append(out["labels"])
+        rec: Dict[str, float] = {}
+        if losses:
+            rec["eval_loss"] = float(np.mean(losses))
+        if preds and self.compute_metrics:
+            preds_all = np.concatenate(preds)
+            labels_all = _concat_labels(labels)
+            rec.update({f"eval_{k}": v for k, v in
+                        self.compute_metrics(preds_all, labels_all).items()})
+        if step is not None:
+            rec["step"] = step
+        if rec:
+            self.mlog.log(rec)
+        return rec
+
+
+def _concat_labels(labels_list):
+    if not labels_list:
+        return None
+    first = labels_list[0]
+    if isinstance(first, dict):
+        return {k: np.concatenate([np.asarray(d[k]) for d in labels_list])
+                for k in first}
+    return np.concatenate([np.asarray(x) for x in labels_list])
+
+
+def _device_peak_flops() -> Optional[float]:
+    """Peak bf16 FLOP/s per chip for MFU accounting."""
+    kind = jax.devices()[0].device_kind.lower()
+    table = {
+        "v5 lite": 197e12, "v5e": 197e12, "v5litepod": 197e12,
+        "v5p": 459e12, "v5": 459e12,
+        "v4": 275e12, "v6e": 918e12, "v6 lite": 918e12,
+    }
+    for k, v in table.items():
+        if k in kind:
+            return v
+    return None
+
+
+def accumulate_gradients(loss_fn, params, batch, key, n_accum: int):
+    """Gradient accumulation via lax.scan over microbatches: batch leaves
+    are reshaped (n_accum, micro, ...). Returns (mean_loss, grads)."""
+    if n_accum == 1:
+        (loss, aux), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch, key)
+        return loss, aux, grads
+
+    def micro(b):
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((n_accum, x.shape[0] // n_accum)
+                                + x.shape[1:]), b)
+
+    mb = micro(batch)
+    keys = jax.random.split(key, n_accum)
+
+    def body(carry, xs):
+        acc_loss, acc_grads = carry
+        b, k = xs
+        (loss, _aux), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, b, k)
+        acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
+        return (acc_loss + loss, acc_grads), None
+
+    zero_grads = jax.tree_util.tree_map(
+        lambda p: jnp.zeros(p.shape, jnp.float32), params)
+    (tot_loss, grads), _ = jax.lax.scan(body, (0.0, zero_grads), (mb, keys))
+    grads = jax.tree_util.tree_map(lambda g: g / n_accum, grads)
+    return tot_loss / n_accum, None, grads

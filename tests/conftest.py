@@ -1,0 +1,41 @@
+"""Test harness: force an 8-device CPU mesh so sharding logic is exercised
+without TPU hardware (the reference had no distributed tests at all;
+cf. /root/reference SURVEY §4)."""
+
+import os
+
+# The test suite runs on a virtual 8-device CPU mesh. The session
+# environment pins JAX_PLATFORMS to the TPU backend and a sitecustomize hook
+# imports jax at interpreter start, so env vars alone are too late — use
+# jax.config updates (effective until the first backend is initialised).
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_threefry_partitionable", True)
+# XLA:CPU's DEFAULT matmul precision is bf16-like; use exact f32 in tests so
+# numeric comparisons are meaningful.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return devs[:8]

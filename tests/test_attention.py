@@ -1,0 +1,70 @@
+"""Flash-attention kernel numerics (interpret mode on CPU; the same kernel
+runs compiled on TPU — verified in bench)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smb_vision_tpu.ops.attention import attention, xla_attention
+
+
+def _qkv(key, b=2, n=192, h=3, d=48):
+    ks = jax.random.split(key, 3)
+    return [jax.random.normal(k, (b, n, h, d), jnp.float32) * 0.4 for k in ks]
+
+
+def test_forward_matches_xla():
+    q, k, v = _qkv(jax.random.PRNGKey(0))
+    ref = xla_attention(q, k, v)
+    out = attention(q, k, v, impl="pallas", interpret=True,
+                    block_q=64, block_k=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_forward_unaligned_seq():
+    # seq length not divisible by blocks exercises the kv-padding mask
+    q, k, v = _qkv(jax.random.PRNGKey(1), n=100)
+    ref = xla_attention(q, k, v)
+    out = attention(q, k, v, impl="pallas", interpret=True,
+                    block_q=64, block_k=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_grads_match_xla():
+    q, k, v = _qkv(jax.random.PRNGKey(2), n=128)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(xla_attention(q, k, v) ** 2)
+
+    def loss_pal(q, k, v):
+        return jnp.sum(attention(q, k, v, impl="pallas", interpret=True,
+                                 block_q=64, block_k=64) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-4, rtol=5e-4)
+
+
+def test_bias_routes_to_xla():
+    q, k, v = _qkv(jax.random.PRNGKey(3), n=64)
+    bias = jnp.where(
+        jax.random.bernoulli(jax.random.PRNGKey(4), 0.5, (1, 1, 64, 64)),
+        0.0, -1e30)
+    out = attention(q, k, v, bias=bias, impl="auto")
+    assert out.shape == q.shape
+    with pytest.raises(NotImplementedError):
+        attention(q, k, v, bias=bias, impl="pallas")
+
+
+def test_softmax_rows_sum_to_one_property():
+    # attention of constant v must return v
+    q, k, _ = _qkv(jax.random.PRNGKey(5), n=96)
+    v = jnp.ones_like(q)
+    out = attention(q, k, v, impl="pallas", interpret=True,
+                    block_q=32, block_k=32)
+    np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-5)

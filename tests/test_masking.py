@@ -1,0 +1,80 @@
+"""Mask-generator properties (mirrors the reference's transform tests,
+tests/test_vjepa_transforms.py: coverage + disjointness assertions)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smb_vision_tpu.ops.masking import (
+    mim_mask,
+    mim_mask_counts,
+    num_masked_tokens,
+    vjepa_target_mask,
+)
+
+
+def test_mim_mask_exact_count():
+    key = jax.random.PRNGKey(0)
+    m = mim_mask(key, 4, input_size=64, depth=32, mask_patch_size=16,
+                 model_patch_size=16, mask_ratio=0.6)
+    tc, mc, scale = mim_mask_counts(64, 32, 16, 16, 0.6)
+    assert scale == 1 and tc == 2 * 4 * 4
+    assert m.shape == (4, tc)
+    np.testing.assert_array_equal(np.asarray(m.sum(-1)), mc)
+
+
+def test_mim_mask_upsampling_blocks():
+    key = jax.random.PRNGKey(1)
+    m = mim_mask(key, 2, input_size=64, depth=64, mask_patch_size=32,
+                 model_patch_size=16, mask_ratio=0.5)
+    # coarse 2x2x2 grid, scale 2 -> fine grid 4x4x4
+    assert m.shape == (2, 64)
+    assert num_masked_tokens(64, 64, 32, 16, 0.5) == 4 * 8
+    fine = np.asarray(m).reshape(2, 4, 4, 4)
+    # every 2x2x2 fine block must be constant (upsampled from one coarse cell)
+    for i in range(2):
+        for a in range(2):
+            for b in range(2):
+                for c in range(2):
+                    blk = fine[i, 2*a:2*a+2, 2*b:2*b+2, 2*c:2*c+2]
+                    assert blk.min() == blk.max()
+
+
+def test_mim_mask_per_sample_distinct():
+    m = mim_mask(jax.random.PRNGKey(2), 8, input_size=96, depth=96,
+                 mask_patch_size=16, model_patch_size=16, mask_ratio=0.5)
+    m = np.asarray(m)
+    assert any(not np.array_equal(m[0], m[i]) for i in range(1, 8))
+
+
+def test_vjepa_mask_properties():
+    grid = (8, 8, 8)
+    tb = vjepa_target_mask(jax.random.PRNGKey(3), 6, grid=grid, num_blocks=3)
+    assert tb.shape == (6, 512)
+    frac = np.asarray(tb.mean(axis=-1))
+    # target = union of up to 3 blocks each ~<= (1-0.2)=0.8 of volume
+    assert (frac > 0).all() and (frac < 1).all()
+    # context/target partition the grid by construction (complement)
+    ctx = ~np.asarray(tb)
+    assert ((ctx | np.asarray(tb)).all())
+    assert not (ctx & np.asarray(tb)).any()
+
+
+def test_vjepa_mask_blocks_are_rectangular():
+    # with one block, the target region projected on each axis is contiguous
+    grid = (6, 6, 6)
+    tb = vjepa_target_mask(jax.random.PRNGKey(4), 4, grid=grid, num_blocks=1)
+    vols = np.asarray(tb).reshape(4, *grid)
+    for v in vols:
+        for ax in range(3):
+            proj = v.any(axis=tuple(i for i in range(3) if i != ax))
+            idx = np.nonzero(proj)[0]
+            assert len(idx) > 0
+            assert (np.diff(idx) == 1).all()
+
+
+def test_vjepa_mask_per_sample_distinct():
+    tb = vjepa_target_mask(jax.random.PRNGKey(5), 8, grid=(8, 8, 8),
+                           num_blocks=3)
+    tb = np.asarray(tb)
+    assert any(not np.array_equal(tb[0], tb[i]) for i in range(1, 8))

@@ -1,0 +1,112 @@
+"""Mesh/sharding tests on the 8-device CPU mesh (the reference had zero
+distributed tests; its DDP/ZeRO correctness was inherited trust in
+HF Trainer/DeepSpeed — SURVEY §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from smb_vision_tpu.models.configs import VideoMAEConfig
+from smb_vision_tpu.models.videomae import VideoMAEForPreTraining
+from smb_vision_tpu.ops.masking import mim_mask, num_masked_tokens
+from smb_vision_tpu.parallel.mesh import batch_sharding, create_mesh
+from smb_vision_tpu.parallel.sharding import (
+    opt_state_shardings,
+    param_shardings,
+    shard_params,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _tiny_cfg():
+    return VideoMAEConfig(
+        image_size=32, num_frames=16, patch_size=8, tubelet_size=8,
+        num_channels=1, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        decoder_hidden_size=32, decoder_num_hidden_layers=1,
+        decoder_num_attention_heads=2, decoder_intermediate_size=64,
+        dtype="float32", attn_impl="xla")
+
+
+def test_mesh_shapes(eight_devices):
+    mesh = create_mesh(devices=eight_devices)
+    assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1
+    mesh2 = create_mesh(model=2, devices=eight_devices)
+    assert mesh2.shape["data"] == 4 and mesh2.shape["model"] == 2
+
+
+def test_fsdp_param_shardings(eight_devices):
+    mesh = create_mesh(devices=eight_devices)
+    cfg = _tiny_cfg()
+    px = jnp.zeros((1, 16, 1, 32, 32))
+    M = num_masked_tokens(32, 16, 8, 8, 0.5)
+    mask = mim_mask(KEY, 1, input_size=32, depth=16, mask_patch_size=8,
+                    model_patch_size=8, mask_ratio=0.5)
+    model = VideoMAEForPreTraining(cfg)
+    params = model.init(KEY, px, mask, M)
+    sh = param_shardings(params, mesh, policy="fsdp", min_fsdp_size=1024)
+    flat = jax.tree_util.tree_leaves(sh)
+    assert any(s.spec != P() for s in flat), "fsdp sharded nothing"
+    sharded = shard_params(params, sh)
+    # round-trips values
+    a = jax.tree_util.tree_leaves(params)[0]
+    b = jax.tree_util.tree_leaves(sharded)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_tp_rules(eight_devices):
+    mesh = create_mesh(model=2, devices=eight_devices)
+    cfg = _tiny_cfg()
+    px = jnp.zeros((1, 16, 1, 32, 32))
+    M = num_masked_tokens(32, 16, 8, 8, 0.5)
+    mask = mim_mask(KEY, 1, input_size=32, depth=16, mask_patch_size=8,
+                    model_patch_size=8, mask_ratio=0.5)
+    model = VideoMAEForPreTraining(cfg)
+    params = model.init(KEY, px, mask, M)
+    sh = param_shardings(params, mesh, policy="tp")
+
+    flat = jax.tree_util.tree_flatten_with_path(sh)[0]
+    qk = [s for p, s in flat if "query" in str(p) and "kernel" in str(p)]
+    assert qk and all(s.spec == P(None, "model") for s in qk)
+    fc2 = [s for p, s in flat if "fc2" in str(p) and "kernel" in str(p)]
+    assert fc2 and all(s.spec == P("model", None) for s in fc2)
+
+
+def test_sharded_train_step_runs(eight_devices):
+    """Full jitted fsdp train step on the CPU mesh: grads + adamw update."""
+    mesh = create_mesh(devices=eight_devices)
+    cfg = _tiny_cfg()
+    B = 8
+    px = jax.random.normal(KEY, (B, 16, 1, 32, 32))
+    M = num_masked_tokens(32, 16, 8, 8, 0.5)
+    mask = mim_mask(KEY, B, input_size=32, depth=16, mask_patch_size=8,
+                    model_patch_size=8, mask_ratio=0.5)
+    model = VideoMAEForPreTraining(cfg)
+    params = model.init(KEY, px, mask, M)
+
+    p_sh = param_shardings(params, mesh, policy="fsdp", min_fsdp_size=1024)
+    params = shard_params(params, p_sh)
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(params)
+    o_sh = opt_state_shardings(opt_state, p_sh, mesh)
+    opt_state = jax.device_put(opt_state, o_sh)
+    b_sh = batch_sharding(mesh)
+    px = jax.device_put(px, b_sh)
+    mask = jax.device_put(mask, b_sh)
+
+    @jax.jit
+    def step(params, opt_state, px, mask):
+        def loss_fn(p):
+            return model.apply(p, px, mask, M)["loss"]
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return loss, optax.apply_updates(params, updates), opt_state
+
+    loss0, params, opt_state = step(params, opt_state, px, mask)
+    loss1, params, _ = step(params, opt_state, px, mask)
+    assert np.isfinite(float(loss0)) and np.isfinite(float(loss1))
+    assert float(loss1) < float(loss0) * 1.5
