@@ -1,0 +1,65 @@
+"""Headline benchmark: 3D volumes/sec/chip for 512x512x320 embedding
+(the BASELINE.json metric — ViT-Base encoder forward over the full 20,480
+token sequence, bf16, pallas flash attention, batch tuned to chip memory).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md). The divisor
+is an analytic A100 estimate of the reference's own path (torch ViT-Base +
+flash-attn-2, bs 1, 512^2x320): ~19.6 TFLOP/volume forward
+(matmul 2*86M*20480*2 + attention 4*12*20480^2*768) at a generous 50% MFU
+of A100's 312 TFLOP/s bf16 -> 156 TFLOP/s -> ~8.0 volumes/s/GPU.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+A100_EST_VOL_PER_S = 8.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from smb_vision_tpu.models.configs import VideoMAEConfig
+    from smb_vision_tpu.models.videomae import VideoMAEModel
+
+    config = VideoMAEConfig(image_size=512, num_frames=320, patch_size=16,
+                            tubelet_size=16, num_channels=1,
+                            dtype="bfloat16", attn_impl="auto")
+    model = VideoMAEModel(config)
+    key = jax.random.PRNGKey(0)
+    batch = 1
+    px = jax.random.normal(key, (batch, 320, 1, 512, 512), jnp.bfloat16)
+    params = jax.jit(model.init)(key, px)
+
+    @jax.jit
+    def encode(params, px):
+        out, _ = model.apply(params, px)
+        return out
+
+    # warmup/compile (distinct input from all timed ones)
+    jax.block_until_ready(encode(params, px))
+    # timed: every call gets a DISTINCT input — the remote execution relay
+    # memoizes identical (fn, args) calls, which would fake the timing
+    n_iters = 5
+    inputs = [px + jnp.bfloat16(1e-3 * (i + 1)) for i in range(n_iters)]
+    jax.block_until_ready(inputs)
+    t0 = time.perf_counter()
+    outs = [encode(params, x) for x in inputs]
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+    vol_per_s = n_iters * batch / dt
+
+    print(json.dumps({
+        "metric": "volumes/sec/chip (512x512x320 ViT-Base embed, bf16)",
+        "value": round(vol_per_s, 3),
+        "unit": "volumes/s",
+        "vs_baseline": round(vol_per_s / A100_EST_VOL_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,179 @@
+"""Fine-tuning CLI: classification | multilabel_classification | regression
+| survival | cox_regression — the TPU-native run_classification.py
+(reference /root/reference/src/run_classification.py).
+
+Parity points: task-type dispatch (:108-113), tabular additional_features
+fused at the head (:239-247), two-tier LR vision_lr/merger_lr (:213-224 —
+actually wired here, the reference's VisionTrainer was orphaned), model
+dispatch 'dino' in name -> DINOv2 else VideoMAE (:481-504), metric suite
+(C-index / micro-F1 / acc+AUC / MSE, :274-361)."""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from smb_vision_tpu.utils.args import parse_args_into_dataclasses
+from smb_vision_tpu.utils.logging import get_logger
+
+logger = get_logger("run_classification")
+
+
+@dataclass
+class DataTrainingArguments:
+    train_data_path: Optional[str] = None
+    val_data_path: Optional[str] = None
+    task_type: str = field(default="classification", metadata={"help":
+        "classification | multilabel_classification | regression | "
+        "survival | cox_regression"})
+    num_labels: int = 2
+    label_columns: List[str] = field(default_factory=lambda: ["label"])
+    additional_feature_columns: List[str] = field(default_factory=list)
+    max_train_samples: Optional[int] = None
+    max_eval_samples: Optional[int] = None
+    cache_data_dir: Optional[str] = None
+    num_workers: int = 8
+
+
+@dataclass
+class ModelArguments:
+    model_name_or_path: Optional[str] = field(
+        default=None, metadata={"help":
+            "safetensors backbone checkpoint; 'dino' in the name selects "
+            "the DINOv2 route"})
+    config_name_or_path: Optional[str] = None
+    image_size: int = 224
+    depth: int = 160
+    patch_size: int = 16
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    dtype: str = "bfloat16"
+    attn_impl: str = "auto"
+    gradient_checkpointing: bool = False
+
+
+def main(argv=None):
+    import jax
+    import numpy as np
+
+    from smb_vision_tpu.data.dataset import BatchLoader, CTDataset
+    from smb_vision_tpu.data.preprocess import CT_PIPELINES, PreprocessConfig
+    from smb_vision_tpu.models.configs import Dinov2Config, VideoMAEConfig
+    from smb_vision_tpu.models.dinov2 import Dinov2ForImageClassification
+    from smb_vision_tpu.models.videomae import VideoMAEForVideoClassification
+    from smb_vision_tpu.train.classification import (
+        collate_classification,
+        make_classification_workload,
+        problem_type_for,
+    )
+    from smb_vision_tpu.train.metrics import compute_metrics
+    from smb_vision_tpu.train.optim import make_optimizer
+    from smb_vision_tpu.train.trainer import Trainer, TrainingArguments
+
+    model_args, data_args, training_args = parse_args_into_dataclasses(
+        (ModelArguments, DataTrainingArguments, TrainingArguments), argv)
+    if data_args.additional_feature_columns == [""]:
+        data_args.additional_feature_columns = []
+
+    is_dino = bool(model_args.model_name_or_path
+                   and "dino" in model_args.model_name_or_path.lower())
+    survival = data_args.task_type in ("survival", "cox_regression")
+    num_labels = 1 if survival or data_args.task_type == "regression" \
+        else (len(data_args.label_columns)
+              if data_args.task_type == "multilabel_classification"
+              else data_args.num_labels)
+
+    common = dict(
+        image_size=model_args.image_size, patch_size=model_args.patch_size,
+        hidden_size=model_args.hidden_size,
+        num_hidden_layers=model_args.num_hidden_layers,
+        num_attention_heads=model_args.num_attention_heads,
+        num_labels=num_labels,
+        additional_features_size=len(data_args.additional_feature_columns),
+        problem_type=problem_type_for(data_args.task_type, num_labels),
+        dtype=model_args.dtype, attn_impl=model_args.attn_impl,
+        gradient_checkpointing=model_args.gradient_checkpointing)
+    if is_dino:
+        config = Dinov2Config(depth=model_args.depth, **common)
+        model = Dinov2ForImageClassification(config)
+        pipeline_key = "dinov2"
+    else:
+        config = VideoMAEConfig(
+            num_frames=model_args.depth, num_channels=1,
+            tubelet_size=model_args.patch_size,
+            intermediate_size=model_args.intermediate_size, **common)
+        model = VideoMAEForVideoClassification(config)
+        pipeline_key = "smb-vision"
+
+    pipe = PreprocessConfig(
+        target_spacing=CT_PIPELINES[pipeline_key].target_spacing,
+        target_size=(model_args.image_size, model_args.image_size,
+                     model_args.depth),
+        layout=CT_PIPELINES[pipeline_key].layout)
+
+    train_ds = CTDataset(data_args.train_data_path, split="train",
+                         pipeline=pipe, cache_dir=data_args.cache_data_dir,
+                         max_samples=data_args.max_train_samples)
+    eval_ds = (CTDataset(data_args.val_data_path, split="validation",
+                         pipeline=pipe, cache_dir=data_args.cache_data_dir,
+                         max_samples=data_args.max_eval_samples)
+               if data_args.val_data_path else None)
+
+    collate = functools.partial(
+        collate_classification, task_type=data_args.task_type,
+        label_columns=data_args.label_columns,
+        additional_feature_columns=data_args.additional_feature_columns)
+    train_loader = BatchLoader(
+        train_ds, training_args.per_device_train_batch_size
+        * jax.device_count(), shuffle=True, seed=training_args.seed,
+        num_workers=data_args.num_workers, collate=collate)
+    eval_loader = (BatchLoader(eval_ds,
+                               training_args.per_device_eval_batch_size
+                               * jax.device_count(), collate=collate,
+                               num_workers=data_args.num_workers,
+                               drop_last=False)
+                   if eval_ds and len(eval_ds) else None)
+
+    total_steps = training_args.num_train_steps or int(
+        len(train_loader) * training_args.num_train_epochs)
+    tx = make_optimizer(
+        learning_rate=training_args.learning_rate, total_steps=total_steps,
+        weight_decay=training_args.weight_decay,
+        warmup_ratio=training_args.warmup_ratio,
+        warmup_steps=training_args.warmup_steps,
+        schedule=training_args.lr_scheduler_type,
+        min_lr=training_args.min_lr, grad_clip=training_args.max_grad_norm,
+        vision_lr=training_args.vision_lr, merger_lr=training_args.merger_lr)
+
+    init_fn, step_fn, eval_fn = make_classification_workload(
+        model, config, task_type=data_args.task_type, tx=tx)
+
+    example = collate([train_ds[0]])
+    state = init_fn(jax.random.PRNGKey(training_args.seed), example)
+    if model_args.model_name_or_path:
+        from smb_vision_tpu.models.convert import load_backbone_into
+
+        state["params"] = load_backbone_into(
+            state["params"], model_args.model_name_or_path)
+        logger.info("backbone initialised from %s",
+                    model_args.model_name_or_path)
+
+    trainer = Trainer(
+        args=training_args, state=state, step_fn=step_fn,
+        train_loader=train_loader, eval_loader=eval_loader, eval_fn=eval_fn,
+        compute_metrics=functools.partial(compute_metrics,
+                                          data_args.task_type))
+    if training_args.do_train:
+        result = trainer.train()
+        trainer.save_model()
+        config.save_json(trainer.out_dir / "config.json")
+        logger.info("train complete: %s", result)
+    if training_args.do_eval:
+        logger.info("eval: %s", trainer.evaluate())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""Embedding-generation CLI — the working TPU-native run_inference.py.
+
+The reference CLI (/root/reference/src/run_inference.py) imported a
+CTDataset that never existed (:11, SURVEY §2 known-broken item 1); this one
+runs. Outputs per-volume .npy + metadata.json (README contract) or the
+run_inspect.py parquet schema {uid, embedding, embedding_shape, model_id}.
+
+Example:
+    python -m smb_vision_tpu.cli.run_inference \
+        --data_dir /data/niftis --output_dir out/embeddings \
+        --model_name_or_path out/mim/model.safetensors \
+        --config_path out/mim/config.json --batch_size 2 --format npy
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional
+
+from smb_vision_tpu.utils.args import parse_args_into_dataclasses
+from smb_vision_tpu.utils.logging import get_logger
+
+logger = get_logger("run_inference")
+
+
+@dataclass
+class InferenceArguments:
+    data_dir: Optional[str] = field(
+        default=None, metadata={"help": "directory of *.nii[.gz] volumes"})
+    data_json: Optional[str] = field(
+        default=None, metadata={"help": "or: json list of {image: path}"})
+    output_dir: str = "embeddings"
+    model_name_or_path: Optional[str] = field(
+        default=None, metadata={"help": "safetensors checkpoint"})
+    config_path: Optional[str] = field(
+        default=None, metadata={"help": "model config json"})
+    model_id: str = "smb-vision-tpu-base"
+    format: str = field(default="npy", metadata={"help": "npy | parquet"})
+    batch_size: int = 1
+    image_size: int = 224
+    depth: int = 160
+    patch_size: int = 16
+    sliding_window: bool = field(
+        default=False,
+        metadata={"help": "use sliding-window embedding for volumes larger "
+                          "than the model grid"})
+    sw_overlap: float = 0.25
+    resume: bool = True
+    cache_data_dir: Optional[str] = None
+    num_workers: int = 8
+    max_samples: Optional[int] = None
+    dtype: str = "bfloat16"
+    attn_impl: str = "auto"
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    from smb_vision_tpu.data.dataset import CTDataset
+    from smb_vision_tpu.data.preprocess import CT_PIPELINES, PreprocessConfig
+    from smb_vision_tpu.inference.embed import (
+        EmbeddingWriter,
+        build_json_from_nifti_files,
+        run_embedding,
+    )
+    from smb_vision_tpu.models.configs import VideoMAEConfig
+    from smb_vision_tpu.models.videomae import VideoMAEModel
+
+    (args,) = parse_args_into_dataclasses((InferenceArguments,), argv)
+
+    if args.config_path:
+        config = VideoMAEConfig.from_json(args.config_path)
+        config.update({"attn_impl": args.attn_impl, "dtype": args.dtype})
+    else:
+        config = VideoMAEConfig(
+            image_size=args.image_size, num_frames=args.depth,
+            num_channels=1, patch_size=args.patch_size,
+            tubelet_size=args.patch_size, dtype=args.dtype,
+            attn_impl=args.attn_impl)
+
+    if args.data_json:
+        items = None
+        dataset_kwargs = dict(data_path=args.data_json, split=None)
+    elif args.data_dir:
+        items = build_json_from_nifti_files(args.data_dir)
+        dataset_kwargs = dict(items=items)
+    else:
+        raise SystemExit("one of --data_dir / --data_json is required")
+
+    pipe = PreprocessConfig(
+        target_spacing=CT_PIPELINES["smb-vision"].target_spacing,
+        target_size=(config.image_size, config.image_size,
+                     config.num_frames))
+    ds = CTDataset(pipeline=pipe, cache_dir=args.cache_data_dir,
+                   max_samples=args.max_samples, **dataset_kwargs)
+    logger.info("%d volumes to embed", len(ds))
+
+    # encoder-only forward (reference model.videomae(...), :82)
+    model = VideoMAEModel(config)
+    key = jax.random.PRNGKey(0)
+    example = jnp.zeros((1, config.num_frames, 1, config.image_size,
+                         config.image_size), jnp.float32)
+    params = jax.jit(model.init)(key, example)
+    if args.model_name_or_path:
+        from smb_vision_tpu.models.convert import load_backbone_into
+
+        params = load_backbone_into(params, args.model_name_or_path)
+
+    @jax.jit
+    def encode(px):
+        out, _ = model.apply(params, px)
+        return out.astype(jnp.float32)
+
+    def embed_fn(pixels):
+        return encode(jnp.asarray(pixels))
+
+    writer = EmbeddingWriter(args.output_dir, fmt=args.format,
+                             model_id=args.model_id)
+    stats = run_embedding(ds, embed_fn, writer, batch_size=args.batch_size,
+                          resume=args.resume, num_workers=args.num_workers)
+    logger.info("done: %s", stats)
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()

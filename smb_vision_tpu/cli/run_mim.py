@@ -1,0 +1,179 @@
+"""MIM pretraining CLI — the TPU-native run_mim.py
+(reference /root/reference/src/run_mim.py).
+
+Example:
+    python -m smb_vision_tpu.cli.run_mim \
+        --json_path data.json --output_dir out/mim --image_size 224 \
+        --depth 160 --patch_size 16 --mask_patch_size 32 --mask_ratio 0.65 \
+        --per_device_train_batch_size 2 --num_train_steps 1000
+
+Differences from the reference, by design:
+- masks are generated on device per step (not cached with the data)
+- --config_overrides works (the reference ignored it, SURVEY §2 item 5)
+- checkpoint/resume via orbax (auto-detects latest in output_dir)
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Optional
+
+from smb_vision_tpu.utils.args import parse_args_into_dataclasses
+from smb_vision_tpu.utils.logging import get_logger
+
+logger = get_logger("run_mim")
+
+
+@dataclass
+class DataTrainingArguments:
+    json_path: Optional[str] = field(
+        default=None, metadata={"help": "The local json data path."})
+    train_split: str = "train"
+    validation_split: str = "validation"
+    train_val_split: float = 0.15
+    mask_patch_size: int = field(
+        default=16, metadata={"help": "size of square mask patches"})
+    mask_ratio: float = field(
+        default=0.5, metadata={"help": "fraction of patches to mask"})
+    max_train_samples: Optional[int] = None
+    max_eval_samples: Optional[int] = None
+    cache_data_dir: Optional[str] = field(
+        default=None, metadata={"help": "preprocessed-volume cache dir"})
+    num_workers: int = 8
+
+
+@dataclass
+class ModelArguments:
+    model_name_or_path: Optional[str] = field(
+        default=None,
+        metadata={"help": "safetensors checkpoint to initialise from"})
+    config_name_or_path: Optional[str] = None
+    config_overrides: Optional[str] = field(
+        default=None,
+        metadata={"help": "comma list key=value applied to the config"})
+    image_size: int = 224
+    depth: int = 160
+    patch_size: int = 16
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    dtype: str = "bfloat16"
+    attn_impl: str = "auto"
+    gradient_checkpointing: bool = False
+
+
+def build_config(model_args: ModelArguments):
+    from smb_vision_tpu.models.configs import VideoMAEConfig
+
+    if model_args.config_name_or_path:
+        config = VideoMAEConfig.from_json(model_args.config_name_or_path)
+    else:
+        config = VideoMAEConfig(
+            hidden_size=model_args.hidden_size,
+            num_hidden_layers=model_args.num_hidden_layers,
+            num_attention_heads=model_args.num_attention_heads,
+            intermediate_size=model_args.intermediate_size)
+    # 3D adaptation (reference run_mim.py:322-330): 1 channel,
+    # depth-as-frames, cubic tubelets
+    config.update({
+        "image_size": model_args.image_size,
+        "num_frames": model_args.depth,
+        "num_channels": 1,
+        "tubelet_size": model_args.patch_size,
+        "patch_size": model_args.patch_size,
+        "dtype": model_args.dtype,
+        "attn_impl": model_args.attn_impl,
+        "gradient_checkpointing": model_args.gradient_checkpointing,
+    })
+    if model_args.config_overrides:
+        for kv in model_args.config_overrides.split(","):
+            k, v = kv.split("=", 1)
+            try:
+                v = json.loads(v)
+            except json.JSONDecodeError:
+                pass
+            config.update({k.strip(): v})
+    return config
+
+
+def main(argv=None):
+    from smb_vision_tpu.data.dataset import BatchLoader, CTDataset
+    from smb_vision_tpu.data.preprocess import CT_PIPELINES, PreprocessConfig
+    from smb_vision_tpu.train.mim import make_mim_workload
+    from smb_vision_tpu.train.optim import make_optimizer
+    from smb_vision_tpu.train.trainer import Trainer, TrainingArguments
+    import jax
+
+    model_args, data_args, training_args = parse_args_into_dataclasses(
+        (ModelArguments, DataTrainingArguments, TrainingArguments), argv)
+    config = build_config(model_args)
+    logger.info("MIM config: %s tokens, grid %s", config.seq_len, config.grid)
+
+    pipe = PreprocessConfig(
+        target_spacing=CT_PIPELINES["mim"].target_spacing,
+        target_size=(config.image_size, config.image_size,
+                     config.num_frames))
+    train_ds = CTDataset(data_args.json_path, split=data_args.train_split,
+                         pipeline=pipe, cache_dir=data_args.cache_data_dir,
+                         max_samples=data_args.max_train_samples)
+    try:
+        eval_ds = CTDataset(data_args.json_path,
+                            split=data_args.validation_split, pipeline=pipe,
+                            cache_dir=data_args.cache_data_dir,
+                            max_samples=data_args.max_eval_samples)
+    except (ValueError, FileNotFoundError):
+        eval_ds = None
+
+    train_loader = BatchLoader(
+        train_ds, training_args.per_device_train_batch_size
+        * jax.device_count() * training_args.gradient_accumulation_steps,
+        shuffle=True, seed=training_args.seed,
+        num_workers=data_args.num_workers)
+    eval_loader = (BatchLoader(eval_ds,
+                               training_args.per_device_eval_batch_size
+                               * jax.device_count(), shuffle=False,
+                               num_workers=data_args.num_workers,
+                               drop_last=False)
+                   if eval_ds and len(eval_ds) else None)
+
+    total_steps = training_args.num_train_steps or int(
+        len(train_loader) * training_args.num_train_epochs)
+
+    tx = make_optimizer(
+        learning_rate=training_args.learning_rate, total_steps=total_steps,
+        weight_decay=training_args.weight_decay,
+        warmup_ratio=training_args.warmup_ratio,
+        warmup_steps=training_args.warmup_steps,
+        schedule=training_args.lr_scheduler_type,
+        min_lr=training_args.min_lr, grad_clip=training_args.max_grad_norm)
+    model, init_fn, step_fn, eval_fn = make_mim_workload(
+        config, mask_patch_size=data_args.mask_patch_size,
+        mask_ratio=data_args.mask_ratio, tx=tx,
+        grad_accum=training_args.gradient_accumulation_steps)
+
+    key = jax.random.PRNGKey(training_args.seed)
+    state = init_fn(key)
+    if model_args.model_name_or_path:
+        from smb_vision_tpu.utils.serialization import (
+            load_params_safetensors)
+        state["params"] = {"params": load_params_safetensors(
+            model_args.model_name_or_path)["params"]}
+        logger.info("initialised from %s", model_args.model_name_or_path)
+
+    trainer = Trainer(args=training_args, state=state, step_fn=step_fn,
+                      train_loader=train_loader, eval_loader=eval_loader,
+                      eval_fn=eval_fn)
+    if training_args.do_train:
+        result = trainer.train()
+        trainer.save_model()
+        config.save_json(trainer.out_dir / "config.json")
+        logger.info("train complete: %s", result)
+    if training_args.do_eval:
+        metrics = trainer.evaluate()
+        logger.info("eval: %s", metrics)
+
+
+if __name__ == "__main__":
+    main()

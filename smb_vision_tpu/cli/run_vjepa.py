@@ -1,0 +1,150 @@
+"""V-JEPA2 pretraining CLI — the TPU-native run_vjepa.py
+(reference /root/reference/src/run_vjepa.py).
+
+Recipe parity (run_vjepa.sh:16-42): 384^2x256 @ spacing (1.0,1.0,1.5),
+in_chans=1, tubelet=patch, bf16, EMA momentum 0.99925, cosine LR.
+Fixes vs reference (SURVEY §2 item 5): per-sample masks, EMA once per
+optimizer step (see train/vjepa.py)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from smb_vision_tpu.utils.args import parse_args_into_dataclasses
+from smb_vision_tpu.utils.logging import get_logger
+
+logger = get_logger("run_vjepa")
+
+
+@dataclass
+class DataTrainingArguments:
+    data_path: Optional[str] = field(
+        default=None, metadata={"help": "The local data path."})
+    train_split: str = "train"
+    validation_split: str = "validation"
+    max_train_samples: Optional[int] = None
+    cache_data_dir: Optional[str] = None
+    num_workers: int = 8
+    num_mask_blocks: int = 3
+
+
+@dataclass
+class ModelArguments:
+    model_name_or_path: Optional[str] = None
+    config_name_or_path: Optional[str] = None
+    image_size: int = 384
+    depth: int = 256
+    patch_size: int = 16
+    hidden_size: int = 1024
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 16
+    pred_hidden_size: int = 384
+    pred_num_hidden_layers: int = 12
+    pred_num_attention_heads: int = 12
+    ema_momentum: float = 0.99925
+    dtype: str = "bfloat16"
+    attn_impl: str = "auto"
+    gradient_checkpointing: bool = False
+
+
+def build_config(model_args: ModelArguments):
+    from smb_vision_tpu.models.configs import VJEPA2Config
+
+    if model_args.config_name_or_path:
+        config = VJEPA2Config.from_json(model_args.config_name_or_path)
+    else:
+        config = VJEPA2Config(
+            hidden_size=model_args.hidden_size,
+            num_hidden_layers=model_args.num_hidden_layers,
+            num_attention_heads=model_args.num_attention_heads,
+            pred_hidden_size=model_args.pred_hidden_size,
+            pred_num_hidden_layers=model_args.pred_num_hidden_layers,
+            pred_num_attention_heads=model_args.pred_num_attention_heads)
+    # reference config mutation (run_vjepa.py:221-233)
+    config.update({
+        "image_size": model_args.image_size,
+        "crop_size": model_args.image_size,
+        "patch_size": model_args.patch_size,
+        "in_chans": 1,
+        "frames_per_clip": model_args.depth,
+        "tubelet_size": model_args.patch_size,
+        "dtype": model_args.dtype,
+        "attn_impl": model_args.attn_impl,
+        "gradient_checkpointing": model_args.gradient_checkpointing,
+    })
+    return config
+
+
+def main(argv=None):
+    import jax
+
+    from smb_vision_tpu.data.dataset import BatchLoader, CTDataset
+    from smb_vision_tpu.data.preprocess import CT_PIPELINES, PreprocessConfig
+    from smb_vision_tpu.train.optim import make_optimizer
+    from smb_vision_tpu.train.trainer import Trainer, TrainingArguments
+    from smb_vision_tpu.train.vjepa import make_vjepa_workload
+
+    model_args, data_args, training_args = parse_args_into_dataclasses(
+        (ModelArguments, DataTrainingArguments, TrainingArguments), argv)
+    config = build_config(model_args)
+    logger.info("VJEPA config: %s tokens, grid %s", config.seq_len,
+                config.grid)
+
+    pipe = PreprocessConfig(
+        target_spacing=CT_PIPELINES["vjepa"].target_spacing,
+        target_size=(config.crop_size, config.crop_size,
+                     config.frames_per_clip))
+    train_ds = CTDataset(data_args.data_path, split=data_args.train_split,
+                         pipeline=pipe, cache_dir=data_args.cache_data_dir,
+                         max_samples=data_args.max_train_samples)
+    try:
+        eval_ds = CTDataset(data_args.data_path,
+                            split=data_args.validation_split,
+                            pipeline=pipe,
+                            cache_dir=data_args.cache_data_dir)
+    except (ValueError, FileNotFoundError):
+        eval_ds = None
+
+    train_loader = BatchLoader(
+        train_ds, training_args.per_device_train_batch_size
+        * jax.device_count() * training_args.gradient_accumulation_steps,
+        shuffle=True, seed=training_args.seed,
+        num_workers=data_args.num_workers)
+    eval_loader = (BatchLoader(eval_ds,
+                               training_args.per_device_eval_batch_size
+                               * jax.device_count(),
+                               num_workers=data_args.num_workers,
+                               drop_last=False)
+                   if eval_ds and len(eval_ds) else None)
+    total_steps = training_args.num_train_steps or int(
+        len(train_loader) * training_args.num_train_epochs)
+
+    tx = make_optimizer(
+        learning_rate=training_args.learning_rate, total_steps=total_steps,
+        weight_decay=training_args.weight_decay,
+        warmup_ratio=training_args.warmup_ratio,
+        warmup_steps=training_args.warmup_steps,
+        schedule=training_args.lr_scheduler_type,
+        min_lr=training_args.min_lr, grad_clip=training_args.max_grad_norm)
+    model, init_fn, step_fn, eval_fn = make_vjepa_workload(
+        config, tx=tx,
+        grad_accum=training_args.gradient_accumulation_steps,
+        ema_momentum=model_args.ema_momentum,
+        num_blocks=data_args.num_mask_blocks)
+
+    state = init_fn(jax.random.PRNGKey(training_args.seed))
+    trainer = Trainer(args=training_args, state=state, step_fn=step_fn,
+                      train_loader=train_loader, eval_loader=eval_loader,
+                      eval_fn=eval_fn)
+    if training_args.do_train:
+        result = trainer.train()
+        trainer.save_model()
+        config.save_json(trainer.out_dir / "config.json")
+        logger.info("train complete: %s", result)
+    if training_args.do_eval:
+        logger.info("eval: %s", trainer.evaluate())
+
+
+if __name__ == "__main__":
+    main()

@@ -165,15 +165,20 @@ class BatchLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        failure = []
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for idxs in batches:
-                    if stop.is_set():
-                        return
-                    examples = list(pool.map(self.ds.__getitem__, idxs))
-                    q.put(self.collate(examples))
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for idxs in batches:
+                        if stop.is_set():
+                            return
+                        examples = list(pool.map(self.ds.__getitem__, idxs))
+                        q.put(self.collate(examples))
+            except Exception as e:  # noqa: BLE001 — re-raised in consumer
+                failure.append(e)
+            finally:
+                q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -181,6 +186,8 @@ class BatchLoader:
             while True:
                 batch = q.get()
                 if batch is None:
+                    if failure:
+                        raise failure[0]
                     return
                 yield batch
         finally:
@@ -192,10 +199,12 @@ def default_collate(examples: List[Dict]) -> Dict[str, np.ndarray]:
     return out
 
 
-def prefetch_to_device(iterator, sharding=None, size: int = 2):
+def prefetch_to_device(iterator, sharding=None, size: int = 2,
+                       sharding_fn=None):
     """Double-buffered host->device pipeline: keeps `size` batches in flight
     so H2D DMA overlaps the train step (replaces pinned-memory DataLoader
-    prefetch, ref mim.py:265-299)."""
+    prefetch, ref mim.py:265-299). `sharding_fn(batch)` overrides the static
+    sharding per batch (e.g. partial eval batches replicate)."""
     import collections
 
     import jax
@@ -203,9 +212,10 @@ def prefetch_to_device(iterator, sharding=None, size: int = 2):
     buf = collections.deque()
 
     def put(batch):
-        if sharding is not None:
+        sh = sharding_fn(batch) if sharding_fn is not None else sharding
+        if sh is not None:
             return jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, sharding), batch)
+                lambda x: jax.device_put(x, sh), batch)
         return jax.tree_util.tree_map(jax.device_put, batch)
 
     it = iter(iterator)

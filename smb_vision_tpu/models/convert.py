@@ -1,0 +1,203 @@
+"""Checkpoint conversion and backbone grafting.
+
+- `load_backbone_into`: initialise a fine-tune model from a pretraining
+  checkpoint (this framework's safetensors export) by copying every
+  name+shape-matching subtree — the from_pretrained path of
+  run_classification.py:481-504.
+- `convert_hf_videomae` / `convert_hf_vjepa2`: map HuggingFace torch
+  checkpoints (e.g. standardmodelbio/smb-vision-base, facebook/vjepa2-*)
+  into this framework's param pytrees, so published weights carry over.
+  Torch Linear stores (out, in); flax Dense kernels are (in, out) -> maps
+  transpose. Conv3d kernels keep the HF layout (our patch_embed consumes
+  (out, in, kt, kh, kw) directly, ops/patches.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from smb_vision_tpu.utils.logging import get_logger
+from smb_vision_tpu.utils.serialization import (
+    flatten_params,
+    load_params_safetensors,
+    unflatten_params,
+)
+
+logger = get_logger(__name__)
+
+
+def load_backbone_into(params, checkpoint_path: str):
+    """Copy every param from `checkpoint_path` whose flattened name and
+    shape match into `params`; report what was grafted/skipped."""
+    target = flatten_params(params)
+    source = flatten_params(load_params_safetensors(checkpoint_path))
+    loaded, skipped = 0, []
+    for k, v in source.items():
+        if k in target and target[k].shape == v.shape:
+            target[k] = v.astype(target[k].dtype)
+            loaded += 1
+        else:
+            skipped.append(k)
+    logger.info("grafted %d/%d tensors from %s (%d unmatched)",
+                loaded, len(target), checkpoint_path, len(skipped))
+    return unflatten_params(target)
+
+
+# ---------------------------------------------------------------------------
+# HuggingFace torch checkpoint -> flax pytree
+# ---------------------------------------------------------------------------
+
+def _t(x):  # torch Linear weight -> flax Dense kernel
+    return np.ascontiguousarray(np.asarray(x).T)
+
+
+def _block_map(flat: Dict[str, np.ndarray], hf_prefix: str, layer: int,
+               out: Dict[str, np.ndarray], our_prefix: str,
+               hf_style: str) -> None:
+    """Map one transformer block. hf_style:
+    'videomae' — attention.attention.{query,key,value}, output.dense,
+                  intermediate.dense / output.dense, layernorm_before/after
+    'vjepa'    — attention.{query,key,value,proj}, mlp.fc1/fc2, norm1/norm2
+    """
+    p = f"{hf_prefix}.{layer}."
+    o = f"{our_prefix}.layer_{layer}."
+    if hf_style == "videomae":
+        pairs = [
+            (p + "attention.attention.query.weight", o + "attention.query.kernel", _t),
+            (p + "attention.attention.key.weight", o + "attention.key.kernel", _t),
+            (p + "attention.attention.value.weight", o + "attention.value.kernel", _t),
+            (p + "attention.attention.q_bias", o + "attention.query.bias", np.asarray),
+            (p + "attention.attention.v_bias", o + "attention.value.bias", np.asarray),
+            (p + "attention.output.dense.weight", o + "attention.proj.kernel", _t),
+            (p + "attention.output.dense.bias", o + "attention.proj.bias", np.asarray),
+            (p + "intermediate.dense.weight", o + "mlp.fc1.kernel", _t),
+            (p + "intermediate.dense.bias", o + "mlp.fc1.bias", np.asarray),
+            (p + "output.dense.weight", o + "mlp.fc2.kernel", _t),
+            (p + "output.dense.bias", o + "mlp.fc2.bias", np.asarray),
+            (p + "layernorm_before.weight", o + "norm1.scale", np.asarray),
+            (p + "layernorm_before.bias", o + "norm1.bias", np.asarray),
+            (p + "layernorm_after.weight", o + "norm2.scale", np.asarray),
+            (p + "layernorm_after.bias", o + "norm2.bias", np.asarray),
+        ]
+    else:  # vjepa
+        pairs = [
+            (p + "attention.query.weight", o + "attention.query.kernel", _t),
+            (p + "attention.query.bias", o + "attention.query.bias", np.asarray),
+            (p + "attention.key.weight", o + "attention.key.kernel", _t),
+            (p + "attention.key.bias", o + "attention.key.bias", np.asarray),
+            (p + "attention.value.weight", o + "attention.value.kernel", _t),
+            (p + "attention.value.bias", o + "attention.value.bias", np.asarray),
+            (p + "attention.proj.weight", o + "attention.proj.kernel", _t),
+            (p + "attention.proj.bias", o + "attention.proj.bias", np.asarray),
+            (p + "mlp.fc1.weight", o + "mlp.fc1.kernel", _t),
+            (p + "mlp.fc1.bias", o + "mlp.fc1.bias", np.asarray),
+            (p + "mlp.fc2.weight", o + "mlp.fc2.kernel", _t),
+            (p + "mlp.fc2.bias", o + "mlp.fc2.bias", np.asarray),
+            (p + "norm1.weight", o + "norm1.scale", np.asarray),
+            (p + "norm1.bias", o + "norm1.bias", np.asarray),
+            (p + "norm2.weight", o + "norm2.scale", np.asarray),
+            (p + "norm2.bias", o + "norm2.bias", np.asarray),
+        ]
+    for src, dst, fn in pairs:
+        if src in flat:
+            out[dst] = fn(flat[src])
+
+
+def convert_hf_videomae(hf_state: Dict[str, np.ndarray], num_layers: int,
+                        decoder_layers: int = 0) -> Dict:
+    """hf_state: flat dict of numpy arrays from an HF VideoMAE checkpoint
+    (torch .bin/.safetensors already loaded to numpy). Returns a params
+    pytree for VideoMAEForPreTraining / ...ForVideoClassification."""
+    out: Dict[str, np.ndarray] = {}
+    f = hf_state
+
+    def put(src, dst, fn=np.asarray):
+        if src in f:
+            out[dst] = fn(f[src])
+
+    base = "videomae." if any(k.startswith("videomae.") for k in f) else ""
+    put(base + "embeddings.patch_embeddings.projection.weight",
+        "params.videomae.patch_embed_kernel")
+    put(base + "embeddings.patch_embeddings.projection.bias",
+        "params.videomae.patch_embed_bias")
+    for i in range(num_layers):
+        _block_map(f, base + "encoder.layer", i, out,
+                   "params.videomae.encoder", "videomae")
+    put(base + "layernorm.weight", "params.videomae.layernorm.scale")
+    put(base + "layernorm.bias", "params.videomae.layernorm.bias")
+
+    # pretraining head
+    put("encoder_to_decoder.weight", "params.encoder_to_decoder.kernel", _t)
+    put("mask_token", "params.mask_token")
+    for i in range(decoder_layers):
+        _block_map(f, "decoder.decoder_layers", i, out, "params.decoder",
+                   "videomae")
+    put("decoder.norm.weight", "params.decoder_norm.scale")
+    put("decoder.norm.bias", "params.decoder_norm.bias")
+    put("decoder.head.weight", "params.decoder_head.kernel", _t)
+    put("decoder.head.bias", "params.decoder_head.bias")
+
+    # classification head
+    put("fc_norm.weight", "params.fc_norm.scale")
+    put("fc_norm.bias", "params.fc_norm.bias")
+    put("classifier.weight", "params.classifier.kernel", _t)
+    put("classifier.bias", "params.classifier.bias")
+    return unflatten_params(out)
+
+
+def convert_hf_vjepa2(hf_state: Dict[str, np.ndarray], num_layers: int,
+                      pred_layers: int) -> Dict:
+    out: Dict[str, np.ndarray] = {}
+    f = hf_state
+
+    def put(src, dst, fn=np.asarray):
+        if src in f:
+            out[dst] = fn(f[src])
+
+    base = "vjepa2." if any(k.startswith("vjepa2.") for k in f) else ""
+    e = base + "encoder."
+    put(e + "embeddings.patch_embeddings.proj_3d.weight",
+        "params.encoder.patch_embed_kernel")
+    put(e + "embeddings.patch_embeddings.proj_3d.bias",
+        "params.encoder.patch_embed_bias")
+    for i in range(num_layers):
+        _block_map(f, e + "layer", i, out, "params.encoder.encoder", "vjepa")
+    put(e + "layernorm.weight", "params.encoder.layernorm.scale")
+    put(e + "layernorm.bias", "params.encoder.layernorm.bias")
+
+    p = base + "predictor."
+    put(p + "embeddings.predictor_embeddings.weight",
+        "params.predictor.predictor_embeddings.kernel", _t)
+    put(p + "embeddings.predictor_embeddings.bias",
+        "params.predictor.predictor_embeddings.bias")
+    put(p + "embeddings.mask_tokens", "params.predictor.mask_tokens")
+    for i in range(pred_layers):
+        _block_map(f, p + "layer", i, out, "params.predictor.stack", "vjepa")
+    put(p + "layernorm.weight", "params.predictor.layernorm.scale")
+    put(p + "layernorm.bias", "params.predictor.layernorm.bias")
+    put(p + "proj.weight", "params.predictor.proj.kernel", _t)
+    put(p + "proj.bias", "params.predictor.proj.bias")
+    return unflatten_params(out)
+
+
+def load_hf_checkpoint_numpy(path: str) -> Dict[str, np.ndarray]:
+    """Load an HF checkpoint directory/file to a flat numpy dict
+    (safetensors preferred, torch .bin fallback)."""
+    from pathlib import Path
+
+    path = Path(path)
+    if path.is_dir():
+        cands = list(path.glob("*.safetensors")) + list(path.glob("*.bin"))
+        if not cands:
+            raise FileNotFoundError(f"no checkpoint files in {path}")
+        path = cands[0]
+    if path.suffix == ".safetensors":
+        from safetensors.numpy import load_file
+
+        return load_file(str(path))
+    import torch
+
+    state = torch.load(str(path), map_location="cpu", weights_only=True)
+    return {k: v.numpy() for k, v in state.items()}

@@ -87,17 +87,24 @@ def shard_params(params: Any, shardings: Any) -> Any:
 
 def opt_state_shardings(opt_state: Any, params_sharding: Any,
                         mesh: Mesh) -> Any:
-    """Optimiser-state shardings: optax states embed param-shaped pytrees
-    (adam m/v) structurally identical to params — those mirror the param
-    shardings; scalar leaves (step counts, schedules) replicate."""
+    """Optimiser-state shardings: optax states embed copies of the params
+    pytree (adam mu/nu, multi_transform partitions, masked wrappers) at
+    arbitrary depths. Each opt-state leaf whose path *ends with* a param
+    path (and matches its shape) inherits that param's sharding; every
+    other leaf (step counters, schedule state) replicates."""
+    replicated = NamedSharding(mesh, P())
+    by_suffix = {}
+    for path, sh in jax.tree_util.tree_flatten_with_path(params_sharding)[0]:
+        by_suffix[_path_str(path)] = sh
 
-    def assign(st):
-        try:
-            return jax.tree_util.tree_map(lambda _, s: s, st, params_sharding)
-        except (ValueError, TypeError):
-            return jax.tree_util.tree_map(
-                lambda _: NamedSharding(mesh, P()), st)
-
-    if isinstance(opt_state, tuple):
-        return tuple(assign(s) for s in opt_state)
-    return assign(opt_state)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(opt_state)
+    out = []
+    for path, leaf in flat:
+        ps = _path_str(path)
+        sh = replicated
+        for suffix, cand in by_suffix.items():
+            if ps.endswith(suffix):
+                sh = cand
+                break
+        out.append(sh)
+    return jax.tree_util.tree_unflatten(treedef, out)

@@ -1,0 +1,128 @@
+"""Classification / multilabel / regression / survival (Cox) fine-tuning
+workload (reference run_classification.py).
+
+Task types and label plumbing match the reference collate_fn (:227-271):
+- classification: int labels, CE
+- multilabel_classification: (B, L) float multi-hot, BCE
+- regression: float, MSE
+- survival / cox_regression: {duration: 'os', event: 'os_event'} -> Cox
+  partial likelihood (within-batch; batches stay on one data shard or the
+  risk scores are implicitly all-gathered by GSPMD since the loss is over
+  the global batch — both correct under jit)."""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from smb_vision_tpu.train.losses import cox_loss
+from smb_vision_tpu.train.trainer import train_state
+
+TASK_TYPES = ("classification", "multilabel_classification", "regression",
+              "survival", "cox_regression")
+
+
+def problem_type_for(task_type: str, num_labels: int) -> Optional[str]:
+    """config mutation logic of run_classification.py:452-476."""
+    if task_type == "classification":
+        return "single_label_classification"
+    if task_type == "multilabel_classification":
+        return "multi_label_classification"
+    if task_type == "regression":
+        return "regression"
+    return None  # survival: loss handled by the workload, head is 1-logit
+
+
+def collate_classification(examples: List[Dict], *, task_type: str,
+                           label_columns: List[str],
+                           additional_feature_columns: Optional[List[str]]
+                           ) -> Dict[str, np.ndarray]:
+    """Batch dict matching the reference collate (run_classification.py:
+    227-271), numpy instead of torch."""
+    out = {"pixel_values": np.stack([e["image"] for e in examples])}
+    if additional_feature_columns:
+        out["additional_features"] = np.asarray(
+            [[float(e[c]) for c in additional_feature_columns]
+             for e in examples], dtype=np.float32)
+    if task_type == "multilabel_classification":
+        out["labels"] = np.asarray(
+            [[float(e[c]) for c in label_columns] for e in examples],
+            dtype=np.float32)
+    elif task_type in ("survival", "cox_regression"):
+        out["duration"] = np.asarray([float(e["os"]) for e in examples],
+                                     dtype=np.float32)
+        out["event"] = np.asarray([float(e["os_event"]) for e in examples],
+                                  dtype=np.float32)
+    else:
+        col = label_columns[0]
+        vals = [e[col] for e in examples]
+        if task_type == "regression":
+            out["labels"] = np.asarray(vals, dtype=np.float32)
+        else:
+            out["labels"] = np.asarray(vals, dtype=np.int32)
+    return out
+
+
+def make_classification_workload(model, config, *, task_type: str,
+                                 tx: optax.GradientTransformation):
+    """model: VideoMAEForVideoClassification | Dinov2ForImageClassification
+    (flax module, already built with problem_type set in its config)."""
+    survival = task_type in ("survival", "cox_regression")
+    is_dinov2 = config.model_type == "dinov2"
+
+    def _apply(params, batch, deterministic):
+        kwargs = {}
+        if not is_dinov2 and "additional_features" in batch:
+            kwargs["additional_features"] = batch["additional_features"]
+        labels = None if survival else batch.get("labels")
+        return model.apply(params, batch["pixel_values"], labels=labels,
+                           deterministic=deterministic, **kwargs)
+
+    def init_fn(key, example_batch):
+        def init(k, b):
+            kwargs = {}
+            if not is_dinov2 and "additional_features" in b:
+                kwargs["additional_features"] = b["additional_features"]
+            return model.init(k, b["pixel_values"], labels=None, **kwargs)
+        params = jax.jit(init)(key, jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x)[:1], example_batch))
+        return train_state(params, tx.init(params))
+
+    def loss_of(params, batch, deterministic=False):
+        out = _apply(params, batch, deterministic)
+        if survival:
+            risk = out["logits"].squeeze(-1)
+            return cox_loss(risk, batch["duration"], batch["event"]), out
+        return out["loss"], out
+
+    def step_fn(state, batch, key):
+        del key
+        (loss, _), grads = jax.value_and_grad(
+            lambda p: loss_of(p, batch), has_aux=True)(state["params"])
+        updates, opt_state = tx.update(grads, state["opt_state"],
+                                       state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        new_state = dict(state)
+        new_state.update(params=params, opt_state=opt_state,
+                         step=state["step"] + 1)
+        return new_state, {"loss": loss}
+
+    @jax.jit
+    def _eval_logits(state, batch):
+        loss, out = loss_of(state["params"], batch, deterministic=True)
+        return loss, out["logits"]
+
+    def eval_fn(state, batch):
+        loss, logits = _eval_logits(state, batch)
+        if survival:
+            labels = {"duration": np.asarray(batch["duration"]),
+                      "event": np.asarray(batch["event"])}
+        else:
+            labels = np.asarray(batch["labels"])
+        return {"loss": loss, "logits": logits, "labels": labels}
+
+    return init_fn, step_fn, eval_fn

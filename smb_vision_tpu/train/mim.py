@@ -1,0 +1,70 @@
+"""MIM (SimMIM-style) pretraining workload.
+
+Builds the jitted train/eval step for VideoMAEForPreTraining. TPU-first:
+the block mask is generated *inside* the compiled step from the RNG key
+(per-sample; the reference generated masks in CPU DataLoader workers and
+pickled them into the dataset cache, mim.py:161-185)."""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from smb_vision_tpu.models.configs import VideoMAEConfig
+from smb_vision_tpu.models.videomae import VideoMAEForPreTraining
+from smb_vision_tpu.ops.masking import mim_mask, num_masked_tokens
+from smb_vision_tpu.train.trainer import accumulate_gradients, train_state
+
+
+def make_mim_workload(config: VideoMAEConfig, *, mask_patch_size: int,
+                      mask_ratio: float, tx: optax.GradientTransformation,
+                      grad_accum: int = 1):
+    """Returns (model, init_fn, step_fn, eval_fn)."""
+    model = VideoMAEForPreTraining(config)
+    num_masked = num_masked_tokens(
+        config.image_size, config.num_frames, mask_patch_size,
+        config.patch_size, mask_ratio)
+
+    def gen_mask(key, batch):
+        return mim_mask(key, batch, input_size=config.image_size,
+                        depth=config.num_frames,
+                        mask_patch_size=mask_patch_size,
+                        model_patch_size=config.patch_size,
+                        mask_ratio=mask_ratio)
+
+    def init_fn(key) -> Tuple:
+        px = jnp.zeros((1, config.num_frames, config.num_channels,
+                        config.image_size, config.image_size),
+                       jnp.float32)
+        mask = gen_mask(key, 1)
+        params = jax.jit(model.init, static_argnums=(3,))(
+            key, px, mask, num_masked)
+        return train_state(params, tx.init(params))
+
+    def loss_fn(params, batch, key):
+        px = batch["pixel_values"]
+        mask = gen_mask(key, px.shape[0])
+        out = model.apply(params, px, mask, num_masked, deterministic=False)
+        return out["loss"], None
+
+    def step_fn(state, batch, key):
+        loss, _, grads = accumulate_gradients(
+            loss_fn, state["params"], batch, key, grad_accum)
+        updates, opt_state = tx.update(grads, state["opt_state"],
+                                       state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        new_state = dict(state)
+        new_state.update(params=params, opt_state=opt_state,
+                         step=state["step"] + 1)
+        return new_state, {"loss": loss}
+
+    @jax.jit
+    def eval_fn(state, batch):
+        key = jax.random.PRNGKey(0)  # fixed eval mask for determinism
+        loss, _ = loss_fn(state["params"], batch, key)
+        return {"loss": loss}
+
+    return model, init_fn, step_fn, eval_fn

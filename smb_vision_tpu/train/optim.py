@@ -53,7 +53,7 @@ def make_schedule(learning_rate: float, total_steps: int,
         [optax.linear_schedule(0.0, learning_rate, warmup), after], [warmup])
 
 
-def make_optimizer(params, *, learning_rate: float, total_steps: int,
+def make_optimizer(*, learning_rate: float, total_steps: int,
                    weight_decay: float = 0.01, warmup_ratio: float = 0.0,
                    warmup_steps: int = 0, schedule: str = "cosine",
                    min_lr: float = 0.0, b1: float = 0.9, b2: float = 0.999,
@@ -78,10 +78,13 @@ def make_optimizer(params, *, learning_rate: float, total_steps: int,
         import re
 
         pat = re.compile(head_regex)
-        labels = jax.tree_util.tree_map_with_path(
-            lambda p, _: "head" if pat.search(
-                "/".join(str(getattr(q, "key", q)) for q in p)) else "vision",
-            params)
+
+        def labels(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda p, _: "head" if pat.search(
+                    "/".join(str(getattr(q, "key", q)) for q in p))
+                else "vision", params)
+
         tx = optax.multi_transform(
             {"vision": adamw(make_schedule(vision_lr, total_steps,
                                            warmup_ratio, warmup_steps,

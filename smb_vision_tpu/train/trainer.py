@@ -74,15 +74,13 @@ class TrainingArguments:
     model_flops_per_sample: Optional[float] = None
 
 
-class TrainState(dict):
-    """Pytree state: {'params', 'opt_state', 'step', + workload extras
-    (e.g. 'teacher' params for V-JEPA)}. A dict so orbax round-trips it
-    losslessly."""
+# Train state is a plain dict pytree: {'params', 'opt_state', 'step',
+# + workload extras (e.g. 'teacher' params for V-JEPA)} — dicts jit and
+# orbax-round-trip losslessly.
 
-
-def train_state(params, opt_state, step=0, **extras) -> "TrainState":
-    s = TrainState(params=params, opt_state=opt_state,
-                   step=jnp.asarray(step, jnp.int32))
+def train_state(params, opt_state, step=0, **extras) -> dict:
+    s = dict(params=params, opt_state=opt_state,
+             step=jnp.asarray(step, jnp.int32))
     s.update(extras)
     return s
 
@@ -95,7 +93,7 @@ class Trainer:
     and jitted here with sharded in/out specs.
     """
 
-    def __init__(self, *, args: TrainingArguments, state: TrainState,
+    def __init__(self, *, args: TrainingArguments, state: dict,
                  step_fn: Callable, train_loader, eval_loader=None,
                  eval_fn: Optional[Callable] = None,
                  compute_metrics: Optional[Callable] = None,
@@ -161,14 +159,14 @@ class Trainer:
             if step is not None:
                 restored = mgr.restore(
                     step, args=ocp.args.StandardRestore(target))
-                self.state = TrainState(restored)
+                self.state = dict(restored)
         else:
             step = self._ckpt_mgr.latest_step()
             if step is not None:
                 logger.info("checkpoint detected, resuming at step %s", step)
                 restored = self._ckpt_mgr.restore(
                     step, args=ocp.args.StandardRestore(target))
-                self.state = TrainState(restored)
+                self.state = dict(restored)
         return int(step or 0)
 
     def save_model(self):
@@ -199,6 +197,13 @@ class Trainer:
         epoch = 0
         logger.info("training: %d -> %d steps, %d samples/step",
                     start, total, samples_per_step)
+
+        if len(self.train_loader) == 0:
+            raise ValueError(
+                f"global batch size exceeds the dataset "
+                f"({len(self.train_loader.ds)} items) — no full batch can "
+                f"be formed; reduce per_device_train_batch_size / "
+                f"grad-accum or add data")
 
         while step < total:
             self.train_loader.set_epoch(epoch)
@@ -245,7 +250,17 @@ class Trainer:
             return {}
         losses, preds, labels = [], [], []
         from smb_vision_tpu.data.dataset import prefetch_to_device
-        for batch in prefetch_to_device(self.eval_loader, self.batch_sh):
+        n_data = self.mesh.shape["data"]
+        from smb_vision_tpu.parallel.mesh import replicated
+        repl = replicated(self.mesh)
+
+        def eval_sharding(batch):
+            # partial final batches can't shard on the data axis; replicate
+            first = jax.tree_util.tree_leaves(batch)[0]
+            return self.batch_sh if first.shape[0] % n_data == 0 else repl
+
+        for batch in prefetch_to_device(self.eval_loader,
+                                        sharding_fn=eval_sharding):
             out = self.eval_fn(self.state, batch)
             if "loss" in out:
                 losses.append(float(out["loss"]))

@@ -1,0 +1,82 @@
+"""V-JEPA2 pretraining workload.
+
+EMA teacher + predictor with masked-L1 loss (reference run_vjepa.py:87-141),
+with the two reference bugs fixed by design (SURVEY §2 item 5):
+- per-sample multi-block masks generated on device in the step (the
+  reference's collate replicated ONE sample's mask over the batch)
+- the EMA update runs exactly once per optimizer step, after the update
+  (the reference ran it inside compute_loss — per micro-step and during
+  eval)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from smb_vision_tpu.models.configs import VJEPA2Config
+from smb_vision_tpu.models.vjepa import VJEPA2Model, vjepa_loss
+from smb_vision_tpu.ops.masking import vjepa_target_mask
+from smb_vision_tpu.train.optim import ema_update
+from smb_vision_tpu.train.trainer import accumulate_gradients, train_state
+
+EMA_MOMENTUM = 0.99925  # run_vjepa.py:107
+
+
+def make_vjepa_workload(config: VJEPA2Config, *,
+                        tx: optax.GradientTransformation,
+                        grad_accum: int = 1,
+                        ema_momentum: float = EMA_MOMENTUM,
+                        pred_mask_scale=(0.2, 0.8),
+                        aspect_ratio=(0.3, 3.0), num_blocks: int = 3):
+    model = VJEPA2Model(config)
+
+    def gen_mask(key, batch):
+        return vjepa_target_mask(key, batch, grid=config.grid,
+                                 pred_mask_scale=pred_mask_scale,
+                                 aspect_ratio=aspect_ratio,
+                                 num_blocks=num_blocks)
+
+    def init_fn(key):
+        px = jnp.zeros((1, config.frames_per_clip, config.in_chans,
+                        config.crop_size, config.crop_size), jnp.float32)
+        tb = gen_mask(key, 1)
+        params = jax.jit(
+            lambda k, x, t: model.init(k, x, target_bool=t))(key, px, tb)
+        # teacher starts as a copy of the online encoder (deepcopy in the
+        # reference, run_vjepa.py:104)
+        teacher = jax.tree_util.tree_map(jnp.copy, params)
+        return train_state(params, tx.init(params), teacher=teacher)
+
+    def loss_for(params, teacher, px, key):
+        tb = gen_mask(key, px.shape[0])
+        out = model.apply(params, px, target_bool=tb, deterministic=False)
+        tgt = model.apply(teacher, px, target_bool=tb, skip_predictor=True)[
+            "last_hidden_state"]
+        return vjepa_loss(out["predictor_output"],
+                          jax.lax.stop_gradient(tgt), tb)
+
+    def step_fn(state, batch, key):
+        teacher = state["teacher"]
+
+        def loss_fn(params, b, k):
+            return loss_for(params, teacher, b["pixel_values"], k), None
+
+        loss, _, grads = accumulate_gradients(
+            loss_fn, state["params"], batch, key, grad_accum)
+        updates, opt_state = tx.update(grads, state["opt_state"],
+                                       state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        teacher = ema_update(teacher, params, ema_momentum)
+        new_state = dict(state)
+        new_state.update(params=params, opt_state=opt_state,
+                         teacher=teacher, step=state["step"] + 1)
+        return new_state, {"loss": loss}
+
+    @jax.jit
+    def eval_fn(state, batch):
+        loss = loss_for(state["params"], state["teacher"],
+                        batch["pixel_values"], jax.random.PRNGKey(0))
+        return {"loss": loss}
+
+    return model, init_fn, step_fn, eval_fn

@@ -1,0 +1,140 @@
+"""Data subsystem: NIfTI IO, preprocessing numerics, dataset caching,
+loaders."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from smb_vision_tpu.data.dataset import BatchLoader, CTDataset, partition_items
+from smb_vision_tpu.data.load import load_data
+from smb_vision_tpu.data.nifti import load_nifti, save_nifti
+from smb_vision_tpu.data.preprocess import (
+    PreprocessConfig,
+    io_orientation,
+    preprocess_volume,
+    resampled_shape,
+    to_ras,
+)
+
+
+def _vol(rng, shape=(32, 28, 20)):
+    return rng.normal(0, 300, shape).astype(np.float32)
+
+
+def test_nifti_roundtrip_gz(tmp_path, rng):
+    vol = _vol(rng)
+    aff = np.diag([2.0, 1.5, 3.0, 1.0])
+    save_nifti(tmp_path / "v.nii.gz", vol, aff)
+    img = load_nifti(tmp_path / "v.nii.gz")
+    np.testing.assert_array_equal(img.data, vol)
+    np.testing.assert_allclose(img.affine[:3, :3], aff[:3, :3], atol=1e-6)
+    assert img.spacing == (2.0, 1.5, 3.0)
+
+
+def test_nifti_int16_scaling(tmp_path, rng):
+    vol = (rng.normal(0, 100, (8, 8, 8))).astype(np.int16)
+    save_nifti(tmp_path / "v.nii", vol)
+    img = load_nifti(tmp_path / "v.nii")
+    np.testing.assert_array_equal(img.data, vol)
+
+
+def test_orientation_identity_is_ras():
+    aff = np.eye(4)
+    assert io_orientation(aff) == [(0, 1.0), (1, 1.0), (2, 1.0)]
+
+
+def test_orientation_flip_and_permute(rng):
+    # LPS affine (flip x and y) with axes swapped
+    data = rng.normal(size=(6, 8, 10)).astype(np.float32)
+    aff = np.eye(4)
+    aff[0, 0], aff[1, 1] = -1.0, -1.0
+    out, new_aff = to_ras(data, aff)
+    # x and y flipped
+    np.testing.assert_array_equal(out, data[::-1, ::-1, :])
+    assert new_aff[0, 0] > 0 and new_aff[1, 1] > 0
+    # round trip: to_ras of already-RAS output is identity
+    out2, _ = to_ras(out, new_aff)
+    np.testing.assert_array_equal(out2, out)
+
+
+def test_resampled_shape_preserves_extent():
+    # 100 voxels @ 1mm -> 2mm spacing = 50 voxels
+    assert resampled_shape((100,), (1.0,), (2.0,)) == (50,)
+    assert resampled_shape((64, 64, 64), (1.5, 1.5, 3.0),
+                           (1.5, 1.5, 3.0)) == (64, 64, 64)
+
+
+def test_preprocess_window_and_shape(rng):
+    vol = np.full((40, 40, 30), -2000.0, np.float32)  # below HU window
+    vol[10:30, 10:30, 10:20] = 0.0                     # mid window
+    cfg = PreprocessConfig((1.0, 1.0, 1.0), (48, 48, 32))
+    out = preprocess_volume(vol, np.eye(4), cfg)
+    assert out.shape == (32, 1, 48, 48)               # (D, C, H, W)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    assert abs(out[16, 0, 24, 24] - 0.5) < 0.02       # HU 0 -> 0.5
+
+
+def test_ctdataset_cache_and_corruption(tmp_path, rng):
+    vol = _vol(rng)
+    save_nifti(tmp_path / "a.nii.gz", vol, np.diag([1., 1., 1., 1.]))
+    items = [{"image": str(tmp_path / "a.nii.gz"), "label": 1}]
+    cfg = PreprocessConfig((1.0, 1.0, 1.0), (32, 32, 24))
+    ds = CTDataset(items=items, pipeline=cfg, cache_dir=tmp_path / "cache")
+    first = ds[0]
+    assert first["image"].shape == (24, 1, 32, 32)
+    assert first["label"] == 1
+    caches = list((tmp_path / "cache").glob("*.npy"))
+    assert len(caches) == 1
+    # cache hit returns identical data
+    np.testing.assert_array_equal(ds[0]["image"], first["image"])
+    # corrupt the cache -> detect, delete, recompute
+    caches[0].write_bytes(b"corrupt")
+    np.testing.assert_array_equal(ds[0]["image"], first["image"])
+
+
+def test_load_data_formats(tmp_path):
+    rows = [{"image": "a.nii", "label": 0, "split": "train"},
+            {"image": "b.nii", "label": 1, "split": "validation"}]
+    with open(tmp_path / "d.json", "w") as f:
+        json.dump({"train": rows[:1], "validation": rows[1:]}, f)
+    assert load_data(tmp_path / "d.json", "train") == rows[:1]
+
+    import pandas as pd
+
+    pd.DataFrame(rows).to_csv(tmp_path / "d.csv", index=False)
+    assert len(load_data(tmp_path / "d.csv", "validation")) == 1
+    pd.DataFrame(rows).to_parquet(tmp_path / "d.parquet")
+    assert len(load_data(tmp_path / "d.parquet", "train")) == 1
+    with pytest.raises(ValueError):
+        load_data(tmp_path / "d.json", "nope")
+
+
+def test_partition_items():
+    items = list(range(10))
+    shards = [partition_items(items, 4, i) for i in range(4)]
+    assert all(len(s) == 3 for s in shards)  # padded to even length
+    covered = set()
+    for s in shards:
+        covered.update(s)
+    assert covered == set(items)
+
+
+def test_batchloader_shuffle_and_errors(tmp_path, rng):
+    vol = _vol(rng, (16, 16, 12))
+    save_nifti(tmp_path / "a.nii.gz", vol)
+    items = [{"image": str(tmp_path / "a.nii.gz")} for _ in range(6)]
+    cfg = PreprocessConfig((1.0, 1.0, 1.0), (16, 16, 12))
+    ds = CTDataset(items=items, pipeline=cfg)
+    loader = BatchLoader(ds, 2, shuffle=True, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[0]["pixel_values"].shape == (2, 12, 1, 16, 16)
+
+    # a failing item propagates (not a silent hang)
+    bad = CTDataset(items=[{"image": str(tmp_path / "missing.nii")}],
+                    pipeline=cfg)
+    bad_loader = BatchLoader(bad, 1, num_workers=1)
+    with pytest.raises(Exception):
+        list(bad_loader)

@@ -1,0 +1,160 @@
+"""Training substrate: losses, metrics, optimizers, EMA, sliding window."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import torch
+
+from smb_vision_tpu.train.losses import cox_loss
+from smb_vision_tpu.train.metrics import (
+    compute_metrics,
+    concordance_index,
+    roc_auc_binary,
+)
+from smb_vision_tpu.train.optim import decay_mask, ema_update, make_optimizer
+
+
+def _torch_cox(risk, dur, ev, eps=1e-7):
+    """Independent torch re-derivation of the reference cox loss
+    (run_classification.py:39-72)."""
+    idx = dur.sort(descending=True)[1]
+    ev = ev[idx].float().view(-1)
+    log_h = risk[idx].view(-1)
+    gamma = log_h.max()
+    log_cumsum = log_h.sub(gamma).exp().cumsum(0).add(eps).log().add(gamma)
+    return -log_h.sub(log_cumsum).mul(ev).sum().div(ev.sum() + eps)
+
+
+def test_cox_loss_matches_reference_formula(rng):
+    risk = rng.normal(size=12).astype(np.float32)
+    dur = rng.uniform(1, 50, 12).astype(np.float32)
+    ev = (rng.uniform(size=12) > 0.4).astype(np.float32)
+    ours = float(cox_loss(jnp.asarray(risk), jnp.asarray(dur),
+                          jnp.asarray(ev)))
+    theirs = float(_torch_cox(torch.tensor(risk), torch.tensor(dur),
+                              torch.tensor(ev)))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5)
+
+
+def test_cox_loss_risk_direction():
+    # higher risk for shorter survival should give lower loss
+    dur = jnp.asarray([1., 2., 3., 4.])
+    ev = jnp.ones(4)
+    good = cox_loss(jnp.asarray([3., 2., 1., 0.]), dur, ev)
+    bad = cox_loss(jnp.asarray([0., 1., 2., 3.]), dur, ev)
+    assert float(good) < float(bad)
+
+
+def test_concordance_index_perfect_and_random():
+    dur = [1, 2, 3, 4, 5]
+    ev = [1, 1, 1, 1, 1]
+    assert concordance_index(dur, [5, 4, 3, 2, 1], ev) == 1.0
+    assert concordance_index(dur, [1, 2, 3, 4, 5], ev) == 0.0
+    assert concordance_index(dur, [1, 1, 1, 1, 1], ev) == 0.5
+
+
+def test_roc_auc_binary():
+    labels = [0, 0, 1, 1]
+    assert roc_auc_binary([0.1, 0.2, 0.8, 0.9], labels) == 1.0
+    assert roc_auc_binary([0.9, 0.8, 0.2, 0.1], labels) == 0.0
+    assert abs(roc_auc_binary([0.5, 0.5, 0.5, 0.5], labels) - 0.5) < 1e-9
+
+
+def test_compute_metrics_dispatch(rng):
+    preds = rng.normal(size=(10, 2))
+    labels = rng.integers(0, 2, 10)
+    m = compute_metrics("classification", preds, labels)
+    assert set(m) == {"accuracy", "roc_auc", "combined_score"}
+
+    ml = compute_metrics("multilabel_classification",
+                         rng.normal(size=(10, 4)),
+                         rng.integers(0, 2, (10, 4)))
+    assert set(ml) == {"f1", "precision", "recall", "combined_score"}
+
+    sv = compute_metrics("survival", rng.normal(size=(10, 1)),
+                         {"duration": rng.uniform(1, 10, 10),
+                          "event": rng.integers(0, 2, 10)})
+    assert "c_index" in sv
+
+    rg = compute_metrics("regression", rng.normal(size=(10, 1)),
+                         rng.normal(size=10))
+    assert "mse" in rg
+
+
+def test_decay_mask_excludes_norms_and_bias():
+    params = {"params": {
+        "encoder": {"layer_0": {
+            "attention": {"query": {"kernel": jnp.zeros((4, 4)),
+                                    "bias": jnp.zeros(4)}},
+            "norm1": {"scale": jnp.ones(4), "bias": jnp.zeros(4)}}},
+        "mask_token": jnp.zeros((1, 1, 4)),
+    }}
+    mask = decay_mask(params)
+    p = mask["params"]
+    assert p["encoder"]["layer_0"]["attention"]["query"]["kernel"]
+    assert not p["encoder"]["layer_0"]["attention"]["query"]["bias"]
+    assert not p["encoder"]["layer_0"]["norm1"]["scale"]
+    assert not p["mask_token"]
+
+
+def test_two_tier_lr():
+    params = {"params": {"videomae": {"w": jnp.ones((4, 4))},
+                         "classifier": {"kernel": jnp.ones((4, 2))}}}
+    tx = make_optimizer(learning_rate=0.0, total_steps=10, vision_lr=0.0,
+                        merger_lr=1.0, warmup_ratio=0.0, grad_clip=None,
+                        weight_decay=0.0, schedule="constant")
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    # vision params frozen at lr 0; classifier moves
+    assert float(jnp.abs(updates["params"]["videomae"]["w"]).max()) == 0.0
+    assert float(jnp.abs(
+        updates["params"]["classifier"]["kernel"]).max()) > 0.0
+
+
+def test_ema_update():
+    t = {"w": jnp.zeros(3)}
+    s = {"w": jnp.ones(3)}
+    out = ema_update(t, s, 0.9)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.1, rtol=1e-6)
+
+
+def test_sliding_window_embed_and_inference(rng):
+    from smb_vision_tpu.inference.sliding_window import (
+        sliding_window_embed,
+        sliding_window_inference,
+    )
+
+    vol = jnp.asarray(rng.normal(size=(1, 1, 24, 24, 16)).astype(np.float32))
+
+    def embedder(x):  # (N, C, 8, 8, 8) -> (N, L=8, D=4)
+        pooled = x.reshape(x.shape[0], 8, -1).mean(-1)
+        return jnp.stack([pooled, pooled * 2, pooled * 3, pooled * 4], -1)
+
+    emb, starts = sliding_window_embed(vol, (8, 8, 8), embedder,
+                                       overlap=0.0, sw_batch_size=4)
+    assert emb.shape == (1, 3 * 3 * 2, 8, 4)
+    assert starts.shape == (18, 3)
+
+    # identity predictor -> blended output == input (count map normalises)
+    out = sliding_window_inference(vol, (8, 8, 8), lambda x: x, overlap=0.25)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(vol), atol=1e-5)
+
+    # gaussian blending also reconstructs the identity
+    out_g = sliding_window_inference(vol, (8, 8, 8), lambda x: x,
+                                     overlap=0.25, mode="gaussian")
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(vol), atol=1e-4)
+
+
+def test_embedding_writer_resume(tmp_path, rng):
+    from smb_vision_tpu.inference.embed import EmbeddingWriter
+
+    w = EmbeddingWriter(tmp_path, fmt="npy", model_id="m")
+    item = {"image": "/x/case_7.nii.gz"}
+    assert w.uid_of(item) == "case_7"
+    w.write(item, rng.normal(size=(4, 2)).astype(np.float32))
+    w.finalize([])
+    assert (tmp_path / "case_7.npy").exists()
+    assert (tmp_path / "metadata.json").exists()
+    assert w.existing_uids() == {"case_7"}
