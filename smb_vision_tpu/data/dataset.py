@@ -49,7 +49,10 @@ class CTDataset:
     def __init__(self, data_path=None, split: Optional[str] = "train",
                  pipeline="smb-vision", cache_dir: Optional[str] = None,
                  items: Optional[List[Dict]] = None,
-                 image_key: str = "image", max_samples: Optional[int] = None):
+                 image_key: str = "image", max_samples: Optional[int] = None,
+                 backend: str = "auto"):
+        """backend: "native" (C++ loader, GIL-free), "python", or "auto"
+        (native when built, else python)."""
         if items is None:
             items = load_data(data_path, split=split)
         if max_samples:
@@ -62,6 +65,11 @@ class CTDataset:
             self.cache_dir.mkdir(parents=True, exist_ok=True)
         self._pipe_hash = hashlib.md5(
             repr(self.pipeline).encode()).hexdigest()[:12]
+        if backend == "auto":
+            from smb_vision_tpu.data.native import native_available
+
+            backend = "native" if native_available() else "python"
+        self.backend = backend
 
     def __len__(self) -> int:
         return len(self.items)
@@ -75,6 +83,11 @@ class CTDataset:
         return self.cache_dir / f"{key}.npy"
 
     def _compute(self, item: Dict) -> np.ndarray:
+        if self.backend == "native":
+            from smb_vision_tpu.data.native import native_preprocess_volume
+
+            return native_preprocess_volume(item[self.image_key],
+                                            self.pipeline)
         img = load_nifti(item[self.image_key])
         return preprocess_volume(img.data, img.affine, self.pipeline)
 

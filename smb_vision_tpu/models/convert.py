@@ -28,20 +28,47 @@ from smb_vision_tpu.utils.serialization import (
 logger = get_logger(__name__)
 
 
-def load_backbone_into(params, checkpoint_path: str):
-    """Copy every param from `checkpoint_path` whose flattened name and
-    shape match into `params`; report what was grafted/skipped."""
+_WRAPPER_PREFIXES = ("videomae.", "vjepa2.", "dinov2.")
+
+
+def _name_variants(key: str):
+    """A checkpoint saved from a head model nests the backbone under a
+    wrapper module (e.g. params.videomae.encoder...) while the bare encoder
+    model does not — match across that difference both ways."""
+    yield key
+    for w in _WRAPPER_PREFIXES:
+        tag = "params." + w
+        if key.startswith(tag):
+            yield "params." + key[len(tag):]
+        elif key.startswith("params."):
+            yield tag + key[len("params."):]
+
+
+def load_backbone_into(params, checkpoint_path: str, *,
+                       require_match: bool = True):
+    """Copy every param from `checkpoint_path` whose (wrapper-normalised)
+    flattened name and shape match into `params`."""
     target = flatten_params(params)
     source = flatten_params(load_params_safetensors(checkpoint_path))
     loaded, skipped = 0, []
     for k, v in source.items():
-        if k in target and target[k].shape == v.shape:
-            target[k] = v.astype(target[k].dtype)
+        hit = None
+        for cand in _name_variants(k):
+            if cand in target and target[cand].shape == v.shape:
+                hit = cand
+                break
+        if hit is not None:
+            target[hit] = v.astype(target[hit].dtype)
             loaded += 1
         else:
             skipped.append(k)
-    logger.info("grafted %d/%d tensors from %s (%d unmatched)",
+    logger.info("grafted %d/%d tensors from %s (%d source unmatched)",
                 loaded, len(target), checkpoint_path, len(skipped))
+    if require_match and loaded == 0:
+        raise ValueError(
+            f"no tensors from {checkpoint_path} matched the target model "
+            f"(first source keys: {list(source)[:3]}; "
+            f"first target keys: {list(target)[:3]})")
     return unflatten_params(target)
 
 
