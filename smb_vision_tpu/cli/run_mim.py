@@ -153,6 +153,12 @@ def main(argv=None):
         mask_ratio=data_args.mask_ratio, tx=tx,
         grad_accum=training_args.gradient_accumulation_steps)
 
+    if training_args.model_flops_per_sample is None:
+        from smb_vision_tpu.utils.profiling import mim_flops_per_sample
+
+        training_args.model_flops_per_sample = mim_flops_per_sample(
+            config, data_args.mask_ratio)
+
     key = jax.random.PRNGKey(training_args.seed)
     state = init_fn(key)
     if model_args.model_name_or_path:

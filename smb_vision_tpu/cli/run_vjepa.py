@@ -133,6 +133,11 @@ def main(argv=None):
         ema_momentum=model_args.ema_momentum,
         num_blocks=data_args.num_mask_blocks)
 
+    if training_args.model_flops_per_sample is None:
+        from smb_vision_tpu.utils.profiling import vjepa_flops_per_sample
+
+        training_args.model_flops_per_sample = vjepa_flops_per_sample(config)
+
     state = init_fn(jax.random.PRNGKey(training_args.seed))
     trainer = Trainer(args=training_args, state=state, step_fn=step_fn,
                       train_loader=train_loader, eval_loader=eval_loader,

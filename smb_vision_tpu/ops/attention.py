@@ -59,14 +59,17 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32) * scale           # (bq, d)
-    k = k_ref[0].astype(jnp.float32)                   # (bk, d)
+    # keep matmul operands in their storage dtype (bf16): the MXU runs
+    # native bf16 with f32 accumulation; casting operands to f32 forces the
+    # multi-pass f32 path (~6x slower). Scale is applied to the f32 scores.
+    q = q_ref[0]                                       # (bq, d)
+    k = k_ref[0]                                       # (bk, d)
     v = v_ref[0]
     if kv_len % block_k != 0:
         k = _zero_pad_rows(k, ik, block_k, kv_len)
         v = _zero_pad_rows(v, ik, block_k, kv_len)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (bq, bk)
+                            preferred_element_type=jnp.float32) * scale
 
     # mask out kv padding rows (when kv_len % block_k != 0)
     if kv_len % block_k != 0:
@@ -146,14 +149,14 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     def _init():
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32) * scale
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
     if kv_len % block_k != 0:
         k = _zero_pad_rows(k, ik, block_k, kv_len)
         v = _zero_pad_rows(v, ik, block_k, kv_len)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32) * scale
     if kv_len % block_k != 0:
         kv_ids = ik * block_k + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, dimension=1)
@@ -161,11 +164,11 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 
     lse = lse_ref[0]                                    # (bq, 1)
     p = jnp.exp(s - lse)                                # (bq, bk)
-    do = do_ref[0].astype(jnp.float32)                  # (bq, d)
+    do = do_ref[0]                                      # (bq, d)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)  # (bq, bk)
     delta = delta_ref[0]                                # (bq, 1)
-    ds = p * (dp - delta)                               # (bq, bk)
+    ds = (p * (dp - delta)).astype(q.dtype)             # (bq, bk) -> bf16
     acc_scr[:] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
 
@@ -187,9 +190,9 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0].astype(jnp.float32) * scale            # (bq, d)
-    k = k_ref[0].astype(jnp.float32)                    # (bk, d)
-    do = do_ref[0].astype(jnp.float32)                  # (bq, d)
+    q = q_ref[0]                                        # (bq, d)
+    k = k_ref[0]                                        # (bk, d)
+    do = do_ref[0]                                      # (bq, d)
     lse = lse_ref[0]                                    # (bq, 1)
     delta = delta_ref[0]                                # (bq, 1)
     if q_len % block_q != 0:
@@ -198,30 +201,30 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         lse = _zero_pad_rows(lse, iq, block_q, q_len)
         delta = _zero_pad_rows(delta, iq, block_q, q_len)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (bq, bk)
+                            preferred_element_type=jnp.float32) * scale
     if kv_len % block_k != 0:
         kv_ids = ik * block_k + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, dimension=1)
         s = jnp.where(kv_ids < kv_len, s, NEG_INF)
 
-    p = jnp.exp(s - lse)                                # (bq, bk)
+    p = jnp.exp(s - lse)                                # (bq, bk) f32
     if q_len % block_q != 0:
         p = _zero_pad_rows(p, iq, block_q, q_len)
+    p16 = p.astype(q.dtype)
 
     # dV += P^T dO
-    dv_scr[:] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+    dv_scr[:] += jax.lax.dot_general(p16, do, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-    # dS = P * (dP - delta);  dK += dS^T (q*scale)
-    dp = jax.lax.dot_general(do, v_ref[0].astype(jnp.float32),
-                             (((1,), (1,)), ((), ())),
+    # dS = P * (dP - delta);  dK += scale * dS^T q
+    dp = jax.lax.dot_general(do, v_ref[0], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - delta)
+    ds = (p * (dp - delta)).astype(q.dtype)
     dk_scr[:] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
 
     @pl.when(iq == nq - 1)
     def _finish():
-        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dk_ref[0] = (dk_scr[:] * scale).astype(dk_ref.dtype)
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
@@ -357,7 +360,9 @@ def attention(q, k, v, *, scale: Optional[float] = None,
 
     b, nq, h, d = q.shape
     kv = k.shape[1]
-    d_pad = max(_LANES, -(-d // _LANES) * _LANES)
+    # no lane padding: Mosaic accepts full-dim last blocks of any size, and
+    # padding d=64 -> 128 doubles the contraction cost of q@k^T
+    d_pad = d if d % 8 == 0 else -(-d // 8) * 8
 
     def fold(x):
         x = jnp.swapaxes(x, 1, 2).reshape(b * h, x.shape[1], d)
