@@ -40,8 +40,10 @@ class DataTrainingArguments:
 class ModelArguments:
     model_name_or_path: Optional[str] = field(
         default=None, metadata={"help":
-            "safetensors backbone checkpoint; 'dino' in the name selects "
-            "the DINOv2 route"})
+            "safetensors backbone checkpoint; 'dino'/'vjepa' in the name "
+            "select those routes when model_type=auto"})
+    model_type: str = field(default="auto", metadata={
+        "help": "auto | videomae | dinov2 | vjepa2"})
     config_name_or_path: Optional[str] = None
     image_size: int = 224
     depth: int = 160
@@ -78,8 +80,11 @@ def main(argv=None):
     if data_args.additional_feature_columns == [""]:
         data_args.additional_feature_columns = []
 
-    is_dino = bool(model_args.model_name_or_path
-                   and "dino" in model_args.model_name_or_path.lower())
+    mtype = model_args.model_type
+    if mtype == "auto":
+        name = (model_args.model_name_or_path or "").lower()
+        mtype = ("dinov2" if "dino" in name
+                 else "vjepa2" if "vjepa" in name else "videomae")
     survival = data_args.task_type in ("survival", "cox_regression")
     num_labels = 1 if survival or data_args.task_type == "regression" \
         else (len(data_args.label_columns)
@@ -92,19 +97,37 @@ def main(argv=None):
         num_hidden_layers=model_args.num_hidden_layers,
         num_attention_heads=model_args.num_attention_heads,
         num_labels=num_labels,
-        additional_features_size=len(data_args.additional_feature_columns),
-        problem_type=problem_type_for(data_args.task_type, num_labels),
         dtype=model_args.dtype, attn_impl=model_args.attn_impl,
         gradient_checkpointing=model_args.gradient_checkpointing)
-    if is_dino:
-        config = Dinov2Config(depth=model_args.depth, **common)
+    feat = dict(
+        additional_features_size=len(data_args.additional_feature_columns),
+        problem_type=problem_type_for(data_args.task_type, num_labels))
+    if mtype == "dinov2":
+        config = Dinov2Config(depth=model_args.depth, **common, **feat)
         model = Dinov2ForImageClassification(config)
         pipeline_key = "dinov2"
+    elif mtype == "vjepa2":
+        from smb_vision_tpu.models.configs import VJEPA2Config
+        from smb_vision_tpu.models.vjepa import VJEPA2ForVideoClassification
+
+        cm = dict(common)
+        cm["crop_size"] = cm.pop("image_size")
+        config = VJEPA2Config(
+            frames_per_clip=model_args.depth, in_chans=1,
+            tubelet_size=model_args.patch_size, **cm)
+        model = VJEPA2ForVideoClassification(config)
+        pipeline_key = "smb-vision"
+        if data_args.additional_feature_columns:
+            logger.warning("vjepa2 route pools with an attentive pooler and "
+                           "does not fuse tabular features; ignoring "
+                           "additional_feature_columns")
+            data_args.additional_feature_columns = []
     else:
         config = VideoMAEConfig(
             num_frames=model_args.depth, num_channels=1,
             tubelet_size=model_args.patch_size,
-            intermediate_size=model_args.intermediate_size, **common)
+            intermediate_size=model_args.intermediate_size,
+            **common, **feat)
         model = VideoMAEForVideoClassification(config)
         pipeline_key = "smb-vision"
 

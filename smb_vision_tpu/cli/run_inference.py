@@ -53,6 +53,11 @@ class InferenceArguments:
     max_samples: Optional[int] = None
     dtype: str = "bfloat16"
     attn_impl: str = "auto"
+    # process-level fan-out (the reference's per-GPU mp.Pool chunking,
+    # run_inspect.py:205-235): each process takes items[shard::num_shards];
+    # resume-by-uid makes overlapping shards safe
+    num_shards: int = 1
+    shard_index: int = 0
 
 
 def main(argv=None):
@@ -96,6 +101,9 @@ def main(argv=None):
                      config.num_frames))
     ds = CTDataset(pipeline=pipe, cache_dir=args.cache_data_dir,
                    max_samples=args.max_samples, **dataset_kwargs)
+    if args.num_shards > 1:
+        ds.items = ds.items[args.shard_index::args.num_shards]
+        logger.info("shard %d/%d", args.shard_index, args.num_shards)
     logger.info("%d volumes to embed", len(ds))
 
     # encoder-only forward (reference model.videomae(...), :82)

@@ -127,6 +127,9 @@ def _fwd(q, k, v, *, scale, block_q, block_k, interpret=False):
             pltpu.VMEM((block_q, _LANES), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
     )(q, k, v)
     return out, lse
@@ -251,6 +254,9 @@ def _bwd(scale, block_q, block_k, interpret, res, g):
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, nq, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
     )(q, k, v, do, lse, delta)
 
@@ -278,6 +284,9 @@ def _bwd(scale, block_q, block_k, interpret, res, g):
             pltpu.VMEM((block_k, d), jnp.float32),
             pltpu.VMEM((block_k, d), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
     )(q, k, v, do, lse, delta)
 
@@ -332,7 +341,7 @@ def _pad_lanes(x, d_pad):
 def attention(q, k, v, *, scale: Optional[float] = None,
               bias: Optional[jax.Array] = None,
               impl: str = "auto",
-              block_q: int = 256, block_k: int = 512,
+              block_q: int = 1024, block_k: int = 1024,
               interpret: bool = False) -> jax.Array:
     """Multi-head attention.
 

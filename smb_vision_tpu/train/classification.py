@@ -72,11 +72,12 @@ def make_classification_workload(model, config, *, task_type: str,
     """model: VideoMAEForVideoClassification | Dinov2ForImageClassification
     (flax module, already built with problem_type set in its config)."""
     survival = task_type in ("survival", "cox_regression")
-    is_dinov2 = config.model_type == "dinov2"
+    # only the VideoMAE head fuses tabular features (ref :928-937)
+    supports_features = config.model_type == "videomae"
 
     def _apply(params, batch, deterministic):
         kwargs = {}
-        if not is_dinov2 and "additional_features" in batch:
+        if supports_features and "additional_features" in batch:
             kwargs["additional_features"] = batch["additional_features"]
         labels = None if survival else batch.get("labels")
         return model.apply(params, batch["pixel_values"], labels=labels,
@@ -85,7 +86,7 @@ def make_classification_workload(model, config, *, task_type: str,
     def init_fn(key, example_batch):
         def init(k, b):
             kwargs = {}
-            if not is_dinov2 and "additional_features" in b:
+            if supports_features and "additional_features" in b:
                 kwargs["additional_features"] = b["additional_features"]
             return model.init(k, b["pixel_values"], labels=None, **kwargs)
         params = jax.jit(init)(key, jax.tree_util.tree_map(
