@@ -149,6 +149,14 @@ def main(argv=None):
         collate_classification, task_type=data_args.task_type,
         label_columns=data_args.label_columns,
         additional_feature_columns=data_args.additional_feature_columns)
+    if jax.process_count() > 1:
+        # multi-host data sharding (the reference's partition_dataset over
+        # world size, mim.py:190-204)
+        from smb_vision_tpu.data.dataset import partition_items
+
+        train_ds.items = partition_items(
+            train_ds.items, jax.process_count(), jax.process_index())
+
     train_loader = BatchLoader(
         train_ds, training_args.per_device_train_batch_size
         * jax.device_count(), shuffle=True, seed=training_args.seed,

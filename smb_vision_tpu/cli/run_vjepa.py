@@ -106,6 +106,14 @@ def main(argv=None):
     except (ValueError, FileNotFoundError):
         eval_ds = None
 
+    if jax.process_count() > 1:
+        # multi-host data sharding (the reference's partition_dataset over
+        # world size, mim.py:190-204)
+        from smb_vision_tpu.data.dataset import partition_items
+
+        train_ds.items = partition_items(
+            train_ds.items, jax.process_count(), jax.process_index())
+
     train_loader = BatchLoader(
         train_ds, training_args.per_device_train_batch_size
         * jax.device_count() * training_args.gradient_accumulation_steps,

@@ -1,0 +1,149 @@
+"""Inference subsystem: encoder runner, manifest validation, convert."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smb_vision_tpu.data.nifti import save_nifti
+from smb_vision_tpu.inference.runner import BaseEncoderRunner, SmbVisionEncoder
+from smb_vision_tpu.utils.args import parse_args_into_dataclasses
+
+
+def _mk_dataset(tmp_path, rng, n=3):
+    items = []
+    for i in range(n):
+        vol = rng.normal(0, 300, (24, 24, 16)).astype(np.float32)
+        p = tmp_path / f"v{i}.nii.gz"
+        save_nifti(p, vol)
+        items.append({"uid": f"v{i}", "image_path": str(p)})
+    return items
+
+
+def test_manifest_validation(tmp_path):
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"images": [{"image_path": "x.nii"}]}))
+    with pytest.raises(ValueError, match="uid"):
+        BaseEncoderRunner.load_input_json(str(bad))
+    good = tmp_path / "good.json"
+    good.write_text(json.dumps({"images": [
+        {"uid": "a", "image_path": "x.nii"}]}))
+    assert BaseEncoderRunner.load_input_json(str(good))[0]["uid"] == "a"
+
+
+def test_runner_end_to_end_with_errors(tmp_path, rng):
+    from smb_vision_tpu.models.configs import VideoMAEConfig
+
+    cfg = VideoMAEConfig(image_size=16, num_frames=16, patch_size=8,
+                         tubelet_size=8, num_channels=1, hidden_size=32,
+                         num_hidden_layers=1, num_attention_heads=2,
+                         intermediate_size=64, dtype="float32",
+                         attn_impl="xla")
+    cfg_path = tmp_path / "config.json"
+    cfg.save_json(cfg_path)
+
+    items = _mk_dataset(tmp_path, rng)
+    items.append({"uid": "missing", "image_path": str(tmp_path / "no.nii")})
+
+    enc = SmbVisionEncoder(config_path=str(cfg_path), model_id="test-enc",
+                           dtype="float32", attn_impl="xla")
+    runner = BaseEncoderRunner(enc, str(tmp_path / "out"), fmt="npy",
+                               batch_size=2, num_workers=2)
+    stats = runner.run(items)
+    assert stats["embedded"] == 3 and stats["failed"] == 1
+    assert (tmp_path / "out" / "v0.npy").exists()
+    assert (tmp_path / "out" / "error_files.json").exists()
+
+    # resume: everything skipped, failure retried
+    stats2 = runner.run(items)
+    assert stats2["skipped"] == 3 and stats2["failed"] == 1
+
+
+def test_args_json_file_mode(tmp_path):
+    from smb_vision_tpu.cli.run_mim import DataTrainingArguments, ModelArguments
+
+    cfg = tmp_path / "a.json"
+    cfg.write_text(json.dumps({"json_path": "x.json", "mask_ratio": 0.75,
+                               "image_size": 96, "unknown_key": 1}))
+    m, d = parse_args_into_dataclasses(
+        (ModelArguments, DataTrainingArguments), [str(cfg)])
+    assert d.json_path == "x.json" and d.mask_ratio == 0.75
+    assert m.image_size == 96
+
+
+def test_args_list_and_bool():
+    from smb_vision_tpu.cli.run_classification import DataTrainingArguments
+
+    (d,) = parse_args_into_dataclasses(
+        (DataTrainingArguments,),
+        ["--label_columns", "a", "b", "--task_type",
+         "multilabel_classification"])
+    assert d.label_columns == ["a", "b"]
+
+
+def test_convert_hf_videomae_roundtrip(rng):
+    """Our flax params -> fake HF layout -> convert -> identical forward."""
+    from smb_vision_tpu.models.configs import VideoMAEConfig
+    from smb_vision_tpu.models.convert import convert_hf_videomae
+    from smb_vision_tpu.models.videomae import VideoMAEModel
+
+    cfg = VideoMAEConfig(image_size=16, num_frames=16, patch_size=8,
+                         tubelet_size=8, num_channels=1, hidden_size=32,
+                         num_hidden_layers=2, num_attention_heads=2,
+                         intermediate_size=64, dtype="float32",
+                         attn_impl="xla", use_mean_pooling=True)
+    model = VideoMAEModel(cfg)
+    key = jax.random.PRNGKey(0)
+    px = jnp.asarray(rng.normal(size=(1, 16, 1, 16, 16)), jnp.float32)
+    params = model.init(key, px)
+
+    # fabricate the HF state dict from our params (inverse mapping)
+    from smb_vision_tpu.utils.serialization import flatten_params
+
+    flat = flatten_params(params)
+    hf = {}
+    hf["videomae.embeddings.patch_embeddings.projection.weight"] = \
+        flat["params.patch_embed_kernel"]
+    hf["videomae.embeddings.patch_embeddings.projection.bias"] = \
+        flat["params.patch_embed_bias"]
+    for i in range(2):
+        o = f"params.encoder.layer_{i}."
+        p = f"videomae.encoder.layer.{i}."
+        hf[p + "attention.attention.query.weight"] = \
+            flat[o + "attention.query.kernel"].T
+        hf[p + "attention.attention.q_bias"] = \
+            flat[o + "attention.query.bias"]
+        hf[p + "attention.attention.key.weight"] = \
+            flat[o + "attention.key.kernel"].T
+        hf[p + "attention.attention.value.weight"] = \
+            flat[o + "attention.value.kernel"].T
+        hf[p + "attention.attention.v_bias"] = \
+            flat[o + "attention.value.bias"]
+        hf[p + "attention.output.dense.weight"] = \
+            flat[o + "attention.proj.kernel"].T
+        hf[p + "attention.output.dense.bias"] = \
+            flat[o + "attention.proj.bias"]
+        hf[p + "intermediate.dense.weight"] = flat[o + "mlp.fc1.kernel"].T
+        hf[p + "intermediate.dense.bias"] = flat[o + "mlp.fc1.bias"]
+        hf[p + "output.dense.weight"] = flat[o + "mlp.fc2.kernel"].T
+        hf[p + "output.dense.bias"] = flat[o + "mlp.fc2.bias"]
+        hf[p + "layernorm_before.weight"] = flat[o + "norm1.scale"]
+        hf[p + "layernorm_before.bias"] = flat[o + "norm1.bias"]
+        hf[p + "layernorm_after.weight"] = flat[o + "norm2.scale"]
+        hf[p + "layernorm_after.bias"] = flat[o + "norm2.bias"]
+
+    converted = convert_hf_videomae(hf, num_layers=2)
+    # graft into the videomae-wrapped namespace: converted tree is
+    # params.videomae.* (head-model layout); bare encoder wants params.*
+    conv_flat = flatten_params(converted)
+    rebuilt = {k.replace("params.videomae.", "params."): v
+               for k, v in conv_flat.items()}
+    from smb_vision_tpu.utils.serialization import unflatten_params
+
+    params2 = unflatten_params(rebuilt)
+    out1, _ = model.apply(params, px)
+    out2, _ = model.apply(params2, px)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               atol=1e-6)
