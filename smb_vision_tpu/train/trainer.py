@@ -109,21 +109,33 @@ class Trainer:
         self.mlog = MetricLogger(self.out_dir, report_to=args.report_to,
                                  run_name=args.run_name)
 
-        # shard state over the mesh
-        p_sh = param_shardings(state["params"], self.mesh,
-                               policy=args.sharding_policy)
-        state["params"] = shard_params(state["params"], p_sh)
-        if "teacher" in state:
-            t_sh = param_shardings(state["teacher"], self.mesh,
-                                   policy=args.sharding_policy)
-            state["teacher"] = shard_params(state["teacher"], t_sh)
-        o_sh = opt_state_shardings(state["opt_state"], p_sh, self.mesh)
-        state["opt_state"] = jax.device_put(state["opt_state"], o_sh)
-        self.state = state
+        self.state = self._apply_shardings(state)
         self.batch_sh = batch_sharding(self.mesh)
 
         self.step_fn = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
         self._ckpt_mgr = self._make_ckpt_manager()
+
+    def _apply_shardings(self, state: dict) -> dict:
+        """Place every state leaf per the sharding policy (also re-applied
+        after checkpoint restore, which materialises on one device)."""
+        from smb_vision_tpu.parallel.mesh import replicated
+
+        args = self.args
+        p_sh = param_shardings(state["params"], self.mesh,
+                               policy=args.sharding_policy)
+        out = dict(state)
+        out["params"] = shard_params(state["params"], p_sh)
+        if "teacher" in state:
+            t_sh = param_shardings(state["teacher"], self.mesh,
+                                   policy=args.sharding_policy)
+            out["teacher"] = shard_params(state["teacher"], t_sh)
+        o_sh = opt_state_shardings(state["opt_state"], p_sh, self.mesh)
+        out["opt_state"] = jax.device_put(state["opt_state"], o_sh)
+        repl = replicated(self.mesh)
+        for k, v in state.items():
+            if k not in ("params", "opt_state", "teacher"):
+                out[k] = jax.device_put(v, repl)
+        return out
 
     # ------------------------------------------------------------------
     # checkpointing (orbax)
@@ -159,14 +171,14 @@ class Trainer:
             if step is not None:
                 restored = mgr.restore(
                     step, args=ocp.args.StandardRestore(target))
-                self.state = dict(restored)
+                self.state = self._apply_shardings(dict(restored))
         else:
             step = self._ckpt_mgr.latest_step()
             if step is not None:
                 logger.info("checkpoint detected, resuming at step %s", step)
                 restored = self._ckpt_mgr.restore(
                     step, args=ocp.args.StandardRestore(target))
-                self.state = dict(restored)
+                self.state = self._apply_shardings(dict(restored))
         return int(step or 0)
 
     def save_model(self):

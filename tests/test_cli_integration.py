@@ -1,0 +1,121 @@
+"""End-to-end CLI integration on the CPU mesh: tiny MIM pretrain ->
+checkpoint -> resume -> embedding inference, exercising the full stack
+(dummy NIfTI generation, preprocessing cache, training loop, orbax
+checkpointing, safetensors export, backbone grafting, npy output)."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from smb_vision_tpu.data.nifti import save_nifti
+
+ARGS_MODEL = ["--image_size", "32", "--depth", "32", "--patch_size", "16",
+              "--hidden_size", "32", "--num_hidden_layers", "1",
+              "--num_attention_heads", "2", "--intermediate_size", "64",
+              "--dtype", "float32", "--attn_impl", "xla"]
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_data")
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(12):
+        vol = rng.normal(0, 300, (32, 32, 32)).astype(np.int16)
+        p = root / f"case_{i}.nii.gz"
+        save_nifti(p, vol, np.diag([1.5, 1.5, 3.0, 1.0]))
+        rows.append({"image": str(p), "label": i % 2, "os": float(i + 1),
+                     "os_event": i % 2, "age": 50.0 + i, "sex": i % 2})
+    data = {"train": rows[:10], "validation": rows[10:]}
+    path = root / "ds.json"
+    path.write_text(json.dumps(data))
+    return root, str(path)
+
+
+def test_mim_train_resume_and_inference(dataset, tmp_path):
+    from smb_vision_tpu.cli.run_inference import main as run_inference
+    from smb_vision_tpu.cli.run_mim import main as run_mim
+
+    root, ds_json = dataset
+    out = tmp_path / "mim"
+    common = [
+        "--json_path", ds_json, "--output_dir", str(out), *ARGS_MODEL,
+        "--mask_patch_size", "16", "--mask_ratio", "0.5",
+        "--per_device_train_batch_size", "1",
+        "--logging_steps", "1", "--save_steps", "2",
+        "--cache_data_dir", str(tmp_path / "cache"),
+    ]
+    run_mim(common + ["--num_train_steps", "2"])
+    assert (out / "model.safetensors").exists()
+    assert (out / "config.json").exists()
+    ckpts = list((out / "checkpoints").iterdir())
+    assert ckpts, "no checkpoints saved"
+
+    # resume: continues from step 2 to 3
+    run_mim(common + ["--num_train_steps", "3"])
+    metrics = [json.loads(line)
+               for line in (out / "metrics.jsonl").read_text().splitlines()]
+    steps = [m["step"] for m in metrics if "step" in m]
+    assert 3 in steps and steps.count(1) == 1, steps
+
+    emb_out = tmp_path / "emb"
+    run_inference([
+        "--data_dir", str(root), "--output_dir", str(emb_out),
+        "--model_name_or_path", str(out / "model.safetensors"),
+        "--config_path", str(out / "config.json"),
+        "--dtype", "float32", "--attn_impl", "xla",
+        "--batch_size", "2", "--max_samples", "3",
+    ])
+    npys = list(emb_out.glob("*.npy"))
+    assert len(npys) == 3
+    emb = np.load(npys[0])
+    assert emb.shape == (8, 32)  # 2*2*2 tokens, hidden 32
+    assert (emb_out / "metadata.json").exists()
+
+
+def test_classification_cli_metrics(dataset, tmp_path):
+    from smb_vision_tpu.cli.run_classification import main as run_cls
+
+    _, ds_json = dataset
+    out = tmp_path / "cls"
+    run_cls([
+        "--train_data_path", ds_json, "--val_data_path", ds_json,
+        "--output_dir", str(out), "--task_type", "classification",
+        "--num_labels", "2", "--additional_feature_columns", "age", "sex",
+        *ARGS_MODEL,
+        "--per_device_train_batch_size", "1", "--num_train_steps", "1",
+        "--logging_steps", "1", "--save_steps", "10",
+        "--vision_lr", "1e-4", "--merger_lr", "1e-3",
+        "--do_eval", "true",
+        "--cache_data_dir", str(tmp_path / "cache"),
+    ])
+    metrics = [json.loads(line)
+               for line in (out / "metrics.jsonl").read_text().splitlines()]
+    assert any("eval_accuracy" in m for m in metrics)
+
+
+def test_vjepa_cli_smoke(dataset, tmp_path):
+    from smb_vision_tpu.cli.run_vjepa import main as run_vjepa
+
+    _, ds_json = dataset
+    out = tmp_path / "vjepa"
+    run_vjepa([
+        "--data_path", ds_json, "--output_dir", str(out),
+        "--image_size", "32", "--depth", "32", "--patch_size", "16",
+        "--hidden_size", "32", "--num_hidden_layers", "1",
+        "--num_attention_heads", "2",
+        "--pred_hidden_size", "16", "--pred_num_hidden_layers", "1",
+        "--pred_num_attention_heads", "2",
+        "--dtype", "float32", "--attn_impl", "xla",
+        "--per_device_train_batch_size", "1", "--num_train_steps", "2",
+        "--logging_steps", "1", "--save_steps", "10",
+        "--cache_data_dir", str(tmp_path / "cache"),
+    ])
+    assert (out / "model.safetensors").exists()
+    metrics = [json.loads(line)
+               for line in (out / "metrics.jsonl").read_text().splitlines()]
+    assert all(np.isfinite(m["loss"]) for m in metrics if "loss" in m)
