@@ -36,20 +36,24 @@ def main():
     params = jax.jit(model.init)(key, px)
 
     @jax.jit
-    def encode(params, px):
+    def encode_sum(params, px):
         out, _ = model.apply(params, px)
-        return out
+        # scalar readback forces real completion: through the remote
+        # execution relay, block_until_ready on a device buffer does NOT
+        # await the computation
+        return jnp.sum(out.astype(jnp.float32))
 
     # warmup/compile (distinct input from all timed ones)
-    jax.block_until_ready(encode(params, px))
-    # timed: every call gets a DISTINCT input — the remote execution relay
-    # memoizes identical (fn, args) calls, which would fake the timing
-    n_iters = 5
-    inputs = [px + jnp.bfloat16(1e-3 * (i + 1)) for i in range(n_iters)]
+    float(encode_sum(params, px))
+    # every timed call gets a DISTINCT random input — the relay memoizes
+    # identical (fn, args) calls, which would fake the timing
+    n_iters = 4
+    inputs = [jax.random.normal(jax.random.PRNGKey(100 + i), px.shape,
+                                jnp.bfloat16) for i in range(n_iters)]
     jax.block_until_ready(inputs)
     t0 = time.perf_counter()
-    outs = [encode(params, x) for x in inputs]
-    jax.block_until_ready(outs)
+    for x in inputs:
+        float(encode_sum(params, x))
     dt = time.perf_counter() - t0
     vol_per_s = n_iters * batch / dt
 
