@@ -55,6 +55,10 @@ class ModelArguments:
     dtype: str = "bfloat16"
     attn_impl: str = "auto"
     gradient_checkpointing: bool = False
+    # LoRA (the reference's latent lora_enable path, now functional)
+    lora_enable: bool = False
+    lora_rank: int = 8
+    lora_alpha: float = 16.0
 
 
 def main(argv=None):
@@ -179,18 +183,42 @@ def main(argv=None):
         min_lr=training_args.min_lr, grad_clip=training_args.max_grad_norm,
         vision_lr=training_args.vision_lr, merger_lr=training_args.merger_lr)
 
-    init_fn, step_fn, eval_fn = make_classification_workload(
-        model, config, task_type=data_args.task_type, tx=tx)
-
     example = collate([train_ds[0]])
-    state = init_fn(jax.random.PRNGKey(training_args.seed), example)
-    if model_args.model_name_or_path:
-        from smb_vision_tpu.models.convert import load_backbone_into
+    key = jax.random.PRNGKey(training_args.seed)
 
-        state["params"] = load_backbone_into(
-            state["params"], model_args.model_name_or_path)
-        logger.info("backbone initialised from %s",
-                    model_args.model_name_or_path)
+    if model_args.lora_enable:
+        from smb_vision_tpu.train.lora import (
+            lora_size,
+            make_lora_classification_workload,
+        )
+
+        # base params: full init (+ optional backbone graft), then frozen
+        base_init, _, _ = make_classification_workload(
+            model, config, task_type=data_args.task_type, tx=tx)
+        base_state = base_init(key, example)
+        base_params = base_state["params"]
+        if model_args.model_name_or_path:
+            from smb_vision_tpu.models.convert import load_backbone_into
+
+            base_params = load_backbone_into(
+                base_params, model_args.model_name_or_path)
+        init_fn, step_fn, eval_fn = make_lora_classification_workload(
+            model, config, task_type=data_args.task_type, tx=tx,
+            rank=model_args.lora_rank, alpha=model_args.lora_alpha)
+        state = init_fn(key, example, base_params)
+        logger.info("LoRA rank %d: %d adapter params trainable",
+                    model_args.lora_rank, lora_size(state["lora"]))
+    else:
+        init_fn, step_fn, eval_fn = make_classification_workload(
+            model, config, task_type=data_args.task_type, tx=tx)
+        state = init_fn(key, example)
+        if model_args.model_name_or_path:
+            from smb_vision_tpu.models.convert import load_backbone_into
+
+            state["params"] = load_backbone_into(
+                state["params"], model_args.model_name_or_path)
+            logger.info("backbone initialised from %s",
+                        model_args.model_name_or_path)
 
     trainer = Trainer(
         args=training_args, state=state, step_fn=step_fn,

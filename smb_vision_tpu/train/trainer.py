@@ -183,11 +183,22 @@ class Trainer:
 
     def save_model(self):
         """Final weights as a flat safetensors file + config json (the
-        HF-compatible export, cf. trainer.save_model + upload_model.py)."""
+        HF-compatible export, cf. trainer.save_model + upload_model.py).
+        LoRA runs additionally export adapters separately (the
+        lora/non-lora split of reference trainer.py:171-222)."""
         from smb_vision_tpu.utils.serialization import save_params_safetensors
 
         save_params_safetensors(self.state["params"],
                                 self.out_dir / "model.safetensors")
+        if "lora" in self.state:
+            from smb_vision_tpu.train.lora import merge_lora
+
+            save_params_safetensors(self.state["lora"],
+                                    self.out_dir / "lora.safetensors")
+            merged = merge_lora(self.state["params"], self.state["lora"],
+                                train=False)
+            save_params_safetensors(merged,
+                                    self.out_dir / "model_merged.safetensors")
 
     # ------------------------------------------------------------------
     # loops
