@@ -210,6 +210,25 @@ class Trainer:
             total = int(len(self.train_loader) * args.num_train_epochs)
         start = self.maybe_restore()
 
+        # preemption safety: SIGTERM/SIGINT requests a checkpoint at the
+        # next step boundary instead of dying mid-update (TPU pods are
+        # routinely preempted; the reference had no elasticity, SURVEY §5)
+        import signal
+
+        stop_requested = {"flag": False}
+
+        def _request_stop(signum, frame):
+            logger.warning("signal %s received: checkpointing and stopping "
+                           "at the next step boundary", signum)
+            stop_requested["flag"] = True
+
+        prev_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev_handlers[sig] = signal.signal(sig, _request_stop)
+            except ValueError:   # not the main thread
+                pass
+
         key = jax.random.PRNGKey(args.seed)
         step = start
         t_last = time.perf_counter()
@@ -262,10 +281,19 @@ class Trainer:
                 if (args.eval_steps and self.eval_loader is not None
                         and step % args.eval_steps == 0):
                     self.evaluate(step=step)
+                if stop_requested["flag"]:
+                    break
+            if stop_requested["flag"]:
+                break
             epoch += 1
 
         self.save_checkpoint(step)
         self._ckpt_mgr.wait_until_finished()
+        for sig, h in prev_handlers.items():
+            signal.signal(sig, h)
+        if stop_requested["flag"]:
+            logger.warning("stopped early at step %d (checkpoint saved); "
+                           "re-run to resume", step)
         return {"train_steps": step}
 
     def evaluate(self, step: Optional[int] = None) -> Dict[str, float]:
