@@ -122,13 +122,62 @@ def main(argv=None):
         out, _ = model.apply(params, px)
         return out.astype(jnp.float32)
 
-    def embed_fn(pixels):
-        return encode(jnp.asarray(pixels))
-
     writer = EmbeddingWriter(args.output_dir, fmt=args.format,
                              model_id=args.model_id)
-    stats = run_embedding(ds, embed_fn, writer, batch_size=args.batch_size,
-                          resume=args.resume, num_workers=args.num_workers)
+
+    if args.sliding_window:
+        # volumes larger than the model grid: resample-only preprocessing,
+        # dense overlapping windows at the model's geometry, per-window
+        # token embeddings (reference sliding_window_embed intent,
+        # src/inference.py:325-438 — which was unwired there)
+        from smb_vision_tpu.inference.sliding_window import (
+            sliding_window_embed,
+        )
+
+        roi = (config.image_size, config.image_size, config.num_frames)
+
+        def window_embedder(wins):
+            # (N, C, h, w, d) -> model layout (N, d, C, h, w) -> (N, L, D)
+            px = jnp.transpose(wins, (0, 4, 1, 2, 3))
+            return encode(px)
+
+        def embed_one(item):
+            from smb_vision_tpu.data.nifti import load_nifti
+            from smb_vision_tpu.data.preprocess import preprocess_volume_full
+
+            img = load_nifti(item["image"])
+            vol = preprocess_volume_full(img.data, img.affine, pipe)
+            v = jnp.asarray(vol)[None, None]          # (1, 1, H, W, D)
+            emb, starts = sliding_window_embed(
+                v, roi, window_embedder, overlap=args.sw_overlap,
+                sw_batch_size=args.batch_size)
+            return np.asarray(emb[0]), starts
+
+        import numpy as np
+
+        done = writer.existing_uids() if args.resume else set()
+        errors, n_ok, n_skip = [], 0, 0
+        for item in ds.items:
+            if writer.uid_of(item) in done:
+                n_skip += 1
+                continue
+            try:
+                emb, starts = embed_one(item)
+                writer.write(item, emb)
+                n_ok += 1
+            except Exception as e:  # noqa: BLE001
+                errors.append({"item": item, "error": str(e)})
+        writer.finalize(errors)
+        stats = {"embedded": n_ok, "failed": len(errors),
+                 "skipped": n_skip}
+    else:
+        def embed_fn(pixels):
+            return encode(jnp.asarray(pixels))
+
+        stats = run_embedding(ds, embed_fn, writer,
+                              batch_size=args.batch_size,
+                              resume=args.resume,
+                              num_workers=args.num_workers)
     logger.info("done: %s", stats)
     print(json.dumps(stats))
 

@@ -140,6 +140,45 @@ def _device_resample_window_fit(vol: jax.Array, out_shape, hu, rng, clip,
     return vol[tuple(slices)]
 
 
+@functools.partial(jax.jit, static_argnames=("out_shape", "hu", "rng",
+                                             "clip"))
+def _device_resample_window(vol: jax.Array, out_shape, hu, rng,
+                            clip) -> jax.Array:
+    """Resample + window WITHOUT the fixed-size fit — used by the
+    sliding-window path, which keeps the native (resampled) extent."""
+    vol = vol.astype(jnp.float32)
+    vol = jax.image.resize(vol, out_shape, method="trilinear")
+    a_min, a_max = hu
+    b_min, b_max = rng
+    vol = (vol - a_min) / (a_max - a_min) * (b_max - b_min) + b_min
+    if clip:
+        vol = jnp.clip(vol, min(b_min, b_max), max(b_min, b_max))
+    return vol
+
+
+def preprocess_volume_full(data: np.ndarray, affine: np.ndarray,
+                           pipeline: str | PreprocessConfig,
+                           pad_multiple: int = 32) -> np.ndarray:
+    """RAS + resample + window, preserving the volume's full extent
+    (padded up to `pad_multiple` per axis to bound jit recompiles).
+    Returns (H, W, D) float32 — feed to sliding-window inference."""
+    cfg = CT_PIPELINES[pipeline] if isinstance(pipeline, str) else pipeline
+    if data.ndim == 4:
+        data = data[..., 0]
+    data, affine = to_ras(data, affine)
+    spacing = tuple(float(np.linalg.norm(affine[:3, i])) for i in range(3))
+    out_shape = resampled_shape(data.shape, spacing, cfg.target_spacing)
+    vol = jnp.asarray(np.ascontiguousarray(data, dtype=np.float32))
+    out = np.asarray(_device_resample_window(
+        vol, out_shape, cfg.hu_window, cfg.out_range, cfg.clip))
+    # pad (after resampling — padding the resize target would change the
+    # effective spacing) so window tiling sees round sizes
+    pads = [(0, (-s) % pad_multiple) for s in out.shape]
+    if any(p[1] for p in pads):
+        out = np.pad(out, pads, constant_values=cfg.out_range[0])
+    return out
+
+
 def preprocess_volume(data: np.ndarray, affine: np.ndarray,
                       pipeline: str | PreprocessConfig,
                       device: Optional[jax.Device] = None) -> np.ndarray:
