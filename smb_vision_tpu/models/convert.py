@@ -185,10 +185,13 @@ def convert_hf_vjepa2(hf_state: Dict[str, np.ndarray], num_layers: int,
 
     base = "vjepa2." if any(k.startswith("vjepa2.") for k in f) else ""
     e = base + "encoder."
-    put(e + "embeddings.patch_embeddings.proj_3d.weight",
-        "params.encoder.patch_embed_kernel")
-    put(e + "embeddings.patch_embeddings.proj_3d.bias",
-        "params.encoder.patch_embed_bias")
+    # the reference's vendored copy names the conv `proj_3d`
+    # (modeling_vjepa.py:119); upstream HF transformers names it `proj`
+    for conv in ("proj_3d", "proj"):
+        put(e + f"embeddings.patch_embeddings.{conv}.weight",
+            "params.encoder.patch_embed_kernel")
+        put(e + f"embeddings.patch_embeddings.{conv}.bias",
+            "params.encoder.patch_embed_bias")
     for i in range(num_layers):
         _block_map(f, e + "layer", i, out, "params.encoder.encoder", "vjepa")
     put(e + "layernorm.weight", "params.encoder.layernorm.scale")

@@ -81,7 +81,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     l_prev = l_scr[:, :1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)         # (bq, 1)
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)                             # (bq, bk)
+    p = jnp.exp(s - m_new)                             # (bq, bk) f32
     alpha = jnp.exp(m_prev - m_new)                    # (bq, 1)
     l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 

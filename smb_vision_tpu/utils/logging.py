@@ -37,8 +37,17 @@ class MetricLogger:
         self.out_dir.mkdir(parents=True, exist_ok=True)
         self.path = self.out_dir / "metrics.jsonl"
         self.logger = get_logger("metrics")
+        # multi-host: only process 0 writes metrics (the reference's
+        # per-rank log-level control, run_mim.py:239-261)
+        self._primary = True
+        try:
+            import jax
+
+            self._primary = jax.process_index() == 0
+        except Exception:  # noqa: BLE001
+            pass
         self._wandb = None
-        if report_to == "wandb":
+        if report_to == "wandb" and self._primary:
             try:
                 import wandb
 
@@ -51,6 +60,8 @@ class MetricLogger:
                     "falling back to jsonl only")
 
     def log(self, record: Dict):
+        if not self._primary:
+            return
         record = dict(record)
         record.setdefault("time", time.time())
         with open(self.path, "a") as f:

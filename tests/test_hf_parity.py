@@ -1,0 +1,129 @@
+"""Golden-numerics parity against the actual HuggingFace torch
+implementations (the reference's models are vendored HF VideoMAE / VJEPA2 —
+matching HF numerics IS matching the reference).
+
+HF weights -> our params via models/convert.py, identical inputs, outputs
+compared to f32 tolerance. This is evidence the checkpoint converters and
+every layer's math (qv-bias trick, sincos positions, 3D RoPE quirk,
+pre-LN blocks) line up exactly."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from smb_vision_tpu.models.convert import (
+    convert_hf_videomae,
+    convert_hf_vjepa2,
+)
+
+TOL = dict(atol=2e-4, rtol=2e-4)
+
+
+def _hf_state_numpy(model):
+    return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+
+@pytest.fixture(scope="module")
+def videomae_pair():
+    from transformers import VideoMAEConfig as HFConfig
+    from transformers import VideoMAEModel as HFModel
+
+    from smb_vision_tpu.models.configs import VideoMAEConfig
+    from smb_vision_tpu.models.videomae import VideoMAEModel
+
+    kw = dict(image_size=32, patch_size=8, num_channels=1, num_frames=16,
+              tubelet_size=8, hidden_size=32, num_hidden_layers=2,
+              num_attention_heads=2, intermediate_size=64)
+    hf = HFModel(HFConfig(use_mean_pooling=True, **kw)).eval()
+    ours_cfg = VideoMAEConfig(use_mean_pooling=True, dtype="float32",
+                              attn_impl="xla", **kw)
+    ours = VideoMAEModel(ours_cfg)
+    converted = convert_hf_videomae(_hf_state_numpy(hf), num_layers=2)
+    # bare-encoder namespace: strip the videomae wrapper
+    from smb_vision_tpu.utils.serialization import (
+        flatten_params,
+        unflatten_params,
+    )
+
+    flat = flatten_params(converted)
+    params = unflatten_params({k.replace("params.videomae.", "params."): v
+                               for k, v in flat.items()})
+    return hf, ours, params, ours_cfg
+
+
+def test_videomae_encoder_matches_hf(videomae_pair):
+    hf, ours, params, cfg = videomae_pair
+    x = torch.randn(2, 16, 1, 32, 32)
+    with torch.no_grad():
+        ref = hf(x).last_hidden_state.numpy()
+    out, _ = ours.apply(params, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(out), ref, **TOL)
+
+
+def test_videomae_masked_encoder_matches_hf(videomae_pair):
+    hf, ours, params, cfg = videomae_pair
+    x = torch.randn(1, 16, 1, 32, 32)
+    n = cfg.seq_len
+    mask = np.zeros(n, bool)
+    mask[np.arange(0, n, 2)] = True       # 50% masked, static count
+    with torch.no_grad():
+        ref = hf(x, bool_masked_pos=torch.tensor(mask)[None]
+                 ).last_hidden_state.numpy()
+    out, _ = ours.apply(params, jnp.asarray(x.numpy()),
+                        jnp.asarray(mask)[None], int(mask.sum()))
+    np.testing.assert_allclose(np.asarray(out), ref, **TOL)
+
+
+@pytest.fixture(scope="module")
+def vjepa_pair():
+    from transformers import VJEPA2Config as HFConfig
+    from transformers import VJEPA2Model as HFModel
+
+    from smb_vision_tpu.models.configs import VJEPA2Config
+    from smb_vision_tpu.models.vjepa import VJEPA2Model
+
+    kw = dict(patch_size=8, crop_size=32, frames_per_clip=16, tubelet_size=8,
+              in_chans=1, hidden_size=48, num_attention_heads=2,
+              num_hidden_layers=2, pred_hidden_size=24,
+              pred_num_attention_heads=2, pred_num_hidden_layers=2,
+              pred_num_mask_tokens=4)
+    hf = HFModel(HFConfig(**kw)).eval()
+    ours_cfg = VJEPA2Config(dtype="float32", attn_impl="xla", **kw)
+    ours = VJEPA2Model(ours_cfg)
+    params = convert_hf_vjepa2(_hf_state_numpy(hf), num_layers=2,
+                               pred_layers=2)
+    return hf, ours, params, ours_cfg
+
+
+def test_vjepa2_encoder_matches_hf(vjepa_pair):
+    hf, ours, params, cfg = vjepa_pair
+    x = torch.randn(2, 16, 1, 32, 32)
+    with torch.no_grad():
+        ref = hf(pixel_values_videos=x).last_hidden_state.numpy()
+    out = ours.apply(params, jnp.asarray(x.numpy()), skip_predictor=True)
+    np.testing.assert_allclose(np.asarray(out["last_hidden_state"]), ref,
+                               **TOL)
+
+
+def test_vjepa2_predictor_matches_hf(vjepa_pair):
+    hf, ours, params, cfg = vjepa_pair
+    x = torch.randn(1, 16, 1, 32, 32)
+    n = cfg.seq_len
+    ctx_idx = np.arange(0, n, 2)
+    tgt_idx = np.arange(1, n, 2)
+    with torch.no_grad():
+        ref = hf(pixel_values_videos=x,
+                 context_mask=[torch.tensor(ctx_idx)[None]],
+                 target_mask=[torch.tensor(tgt_idx)[None]])
+    out = ours.apply(params, jnp.asarray(x.numpy()),
+                     context_mask=[jnp.asarray(ctx_idx)[None]],
+                     target_mask=[jnp.asarray(tgt_idx)[None]])
+    np.testing.assert_allclose(
+        np.asarray(out["predictor_output"]),
+        ref.predictor_output.last_hidden_state.numpy(), **TOL)
+    np.testing.assert_allclose(
+        np.asarray(out["masked_hidden_state"]),
+        ref.masked_hidden_state.numpy(), **TOL)
