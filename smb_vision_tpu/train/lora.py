@@ -20,7 +20,7 @@ first-class and functional:
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -107,9 +107,6 @@ def make_lora_classification_workload(model, config, *, task_type: str, tx,
     State: {'params' (frozen base), 'lora', 'head_opt_state', ...}."""
     import optax
 
-    from smb_vision_tpu.train.classification import (
-        make_classification_workload,
-    )
     from smb_vision_tpu.train.losses import cox_loss
     from smb_vision_tpu.train.trainer import train_state
 

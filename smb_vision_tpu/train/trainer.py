@@ -12,17 +12,14 @@ Responsibilities mirrored from the reference surface:
 
 from __future__ import annotations
 
-import dataclasses
-import json
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
-from typing import Any, Callable, Dict, Iterable, Optional
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from smb_vision_tpu.parallel.mesh import batch_sharding, create_mesh
 from smb_vision_tpu.parallel.sharding import (

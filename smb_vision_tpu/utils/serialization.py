@@ -7,7 +7,6 @@ framework (models/convert.py)."""
 
 from __future__ import annotations
 
-from pathlib import Path
 from typing import Dict
 
 import jax
