@@ -62,6 +62,7 @@ class ModelArguments:
     dtype: str = "bfloat16"
     attn_impl: str = "auto"
     gradient_checkpointing: bool = False
+    sequence_parallel: bool = False
 
 
 def build_config(model_args: ModelArguments):
@@ -86,6 +87,7 @@ def build_config(model_args: ModelArguments):
         "dtype": model_args.dtype,
         "attn_impl": model_args.attn_impl,
         "gradient_checkpointing": model_args.gradient_checkpointing,
+        "sequence_parallel": model_args.sequence_parallel,
     })
     if model_args.config_overrides:
         for kv in model_args.config_overrides.split(","):
@@ -167,8 +169,12 @@ def main(argv=None):
         training_args.model_flops_per_sample = mim_flops_per_sample(
             config, data_args.mask_ratio)
 
+    from smb_vision_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(model=training_args.model_parallel)
     key = jax.random.PRNGKey(training_args.seed)
-    state = init_fn(key)
+    with jax.set_mesh(mesh):
+        state = init_fn(key)
     if model_args.model_name_or_path:
         from smb_vision_tpu.utils.serialization import (
             load_params_safetensors)
@@ -178,7 +184,7 @@ def main(argv=None):
 
     trainer = Trainer(args=training_args, state=state, step_fn=step_fn,
                       train_loader=train_loader, eval_loader=eval_loader,
-                      eval_fn=eval_fn)
+                      eval_fn=eval_fn, mesh=mesh)
     if training_args.do_train:
         result = trainer.train()
         trainer.save_model()

@@ -46,6 +46,7 @@ class ModelArguments:
     dtype: str = "bfloat16"
     attn_impl: str = "auto"
     gradient_checkpointing: bool = False
+    sequence_parallel: bool = False
 
 
 def build_config(model_args: ModelArguments):
@@ -72,6 +73,7 @@ def build_config(model_args: ModelArguments):
         "dtype": model_args.dtype,
         "attn_impl": model_args.attn_impl,
         "gradient_checkpointing": model_args.gradient_checkpointing,
+        "sequence_parallel": model_args.sequence_parallel,
     })
     return config
 
@@ -146,10 +148,14 @@ def main(argv=None):
 
         training_args.model_flops_per_sample = vjepa_flops_per_sample(config)
 
-    state = init_fn(jax.random.PRNGKey(training_args.seed))
+    from smb_vision_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(model=training_args.model_parallel)
+    with jax.set_mesh(mesh):
+        state = init_fn(jax.random.PRNGKey(training_args.seed))
     trainer = Trainer(args=training_args, state=state, step_fn=step_fn,
                       train_loader=train_loader, eval_loader=eval_loader,
-                      eval_fn=eval_fn)
+                      eval_fn=eval_fn, mesh=mesh)
     if training_args.do_train:
         result = trainer.train()
         trainer.save_model()

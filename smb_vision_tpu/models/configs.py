@@ -103,6 +103,9 @@ class VideoMAEConfig(BaseConfig):
     dtype: str = "bfloat16"         # compute dtype
     attn_impl: str = "auto"         # auto | pallas | xla
     gradient_checkpointing: bool = False
+    # shard the token dimension over the mesh "model" axis (GSPMD inserts
+    # the attention collectives); forces the XLA attention path
+    sequence_parallel: bool = False
 
     @property
     def grid(self) -> Tuple[int, int, int]:
@@ -167,6 +170,7 @@ class VJEPA2Config(BaseConfig):
     dtype: str = "bfloat16"
     attn_impl: str = "auto"
     gradient_checkpointing: bool = False
+    sequence_parallel: bool = False
 
     @property
     def grid(self) -> Tuple[int, int, int]:

@@ -197,7 +197,11 @@ class Block(nn.Module):
 
 class Encoder(nn.Module):
     """Stack of Blocks with optional remat (gradient checkpointing — the
-    reference enables this via --gradient_checkpointing, run_mim.sh:34)."""
+    reference enables this via --gradient_checkpointing, run_mim.sh:34) and
+    optional sequence parallelism: tokens sharded over the mesh "model"
+    axis with GSPMD inserting the attention collectives (requires an
+    ambient Mesh; forces the XLA attention path, which GSPMD can
+    partition — the pallas kernel is opaque to it)."""
 
     num_layers: int
     hidden_size: int
@@ -213,9 +217,19 @@ class Encoder(nn.Module):
     attn_impl: str = "auto"
     remat: bool = False
     initializer_range: float = 0.02
+    sequence_parallel: bool = False
 
     @nn.compact
     def __call__(self, x, rope=None, deterministic: bool = True):
+        attn_impl = self.attn_impl
+        constrain = lambda y: y  # noqa: E731
+        if self.sequence_parallel:
+            from jax.sharding import PartitionSpec as P
+
+            attn_impl = "xla"
+            constrain = lambda y: jax.lax.with_sharding_constraint(  # noqa: E731
+                y, P("data", "model", None))
+            x = constrain(x)
         block_cls = Block
         if self.remat:
             block_cls = nn.remat(Block, static_argnums=(3,),
@@ -228,7 +242,9 @@ class Encoder(nn.Module):
                 layer_norm_eps=self.layer_norm_eps,
                 layerscale_value=self.layerscale_value,
                 drop_path_rate=rate, use_swiglu=self.use_swiglu,
-                dtype=self.dtype, attn_impl=self.attn_impl,
+                dtype=self.dtype, attn_impl=attn_impl,
                 initializer_range=self.initializer_range,
                 name=f"layer_{i}")(x, rope, deterministic)
+            if self.sequence_parallel:
+                x = constrain(x)
         return x

@@ -80,6 +80,7 @@ class VideoMAEModel(nn.Module):
             layer_norm_eps=cfg.layer_norm_eps, dtype=dt,
             attn_impl=cfg.attn_impl, remat=cfg.gradient_checkpointing,
             initializer_range=cfg.initializer_range,
+            sequence_parallel=cfg.sequence_parallel,
             name="encoder")(x, deterministic=deterministic)
 
         if not cfg.use_mean_pooling:
@@ -132,6 +133,7 @@ class VideoMAEForPreTraining(nn.Module):
             layer_norm_eps=cfg.layer_norm_eps, dtype=dt,
             attn_impl=cfg.attn_impl, remat=cfg.gradient_checkpointing,
             initializer_range=cfg.initializer_range,
+            sequence_parallel=cfg.sequence_parallel,
             name="decoder")(x_full, deterministic=deterministic)
 
         h = x_full[:, -num_masked:]

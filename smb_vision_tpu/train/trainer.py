@@ -201,6 +201,10 @@ class Trainer:
     # loops
     # ------------------------------------------------------------------
     def train(self) -> Dict[str, float]:
+        with jax.set_mesh(self.mesh):
+            return self._train()
+
+    def _train(self) -> Dict[str, float]:
         args = self.args
         total = args.num_train_steps
         if total is None:
@@ -294,6 +298,10 @@ class Trainer:
         return {"train_steps": step}
 
     def evaluate(self, step: Optional[int] = None) -> Dict[str, float]:
+        with jax.set_mesh(self.mesh):
+            return self._evaluate(step)
+
+    def _evaluate(self, step: Optional[int] = None) -> Dict[str, float]:
         if self.eval_loader is None or self.eval_fn is None:
             return {}
         losses, preds, labels = [], [], []
