@@ -161,13 +161,14 @@ def main(argv=None):
         train_ds.items = partition_items(
             train_ds.items, jax.process_count(), jax.process_index())
 
+    n_data = jax.device_count() // max(training_args.model_parallel, 1)
     train_loader = BatchLoader(
         train_ds, training_args.per_device_train_batch_size
-        * jax.device_count(), shuffle=True, seed=training_args.seed,
+        * n_data, shuffle=True, seed=training_args.seed,
         num_workers=data_args.num_workers, collate=collate)
     eval_loader = (BatchLoader(eval_ds,
                                training_args.per_device_eval_batch_size
-                               * jax.device_count(), collate=collate,
+                               * n_data, collate=collate,
                                num_workers=data_args.num_workers,
                                drop_last=False)
                    if eval_ds and len(eval_ds) else None)
