@@ -110,6 +110,31 @@ def resampled_shape(in_shape, in_spacing, out_spacing) -> Tuple[int, ...]:
         for s, si, so in zip(in_shape, in_spacing, out_spacing))
 
 
+def _trilinear_resize(vol: jax.Array, out_shape) -> jax.Array:
+    """Pure (non-anti-aliased) separable trilinear resampling with the
+    half-pixel convention: src = (dst + 0.5) * in/out - 0.5, edges clamped.
+
+    NOT jax.image.resize: that anti-aliases on downscale (triangle filter
+    widened by the scale factor), while the reference's MONAI Spacingd /
+    torch grid_sample do point-sampled trilinear — matching them keeps
+    embeddings consistent (and matches csrc/ctloader.cpp exactly)."""
+    for axis, out_n in enumerate(out_shape):
+        in_n = vol.shape[axis]
+        if in_n == out_n:
+            continue
+        f = (jnp.arange(out_n, dtype=jnp.float32) + 0.5) * (in_n / out_n) - 0.5
+        i0 = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, in_n - 1)
+        i1 = jnp.clip(i0 + 1, 0, in_n - 1)
+        w = jnp.clip(f - jnp.floor(f), 0.0, 1.0)
+        a = jnp.take(vol, i0, axis=axis)
+        b = jnp.take(vol, i1, axis=axis)
+        shape = [1, 1, 1]
+        shape[axis] = out_n
+        w = w.reshape(shape)
+        vol = a * (1.0 - w) + b * w
+    return vol
+
+
 @functools.partial(jax.jit, static_argnames=("out_shape", "hu", "rng",
                                              "clip", "target"))
 def _device_resample_window_fit(vol: jax.Array, out_shape, hu, rng, clip,
@@ -117,7 +142,7 @@ def _device_resample_window_fit(vol: jax.Array, out_shape, hu, rng, clip,
     """volume (H, W, D) float -> resample to out_shape -> window -> pad/crop
     to target. One fused compiled program per (in_shape, out_shape)."""
     vol = vol.astype(jnp.float32)
-    vol = jax.image.resize(vol, out_shape, method="trilinear")
+    vol = _trilinear_resize(vol, out_shape)
     a_min, a_max = hu
     b_min, b_max = rng
     vol = (vol - a_min) / (a_max - a_min) * (b_max - b_min) + b_min
@@ -147,7 +172,7 @@ def _device_resample_window(vol: jax.Array, out_shape, hu, rng,
     """Resample + window WITHOUT the fixed-size fit — used by the
     sliding-window path, which keeps the native (resampled) extent."""
     vol = vol.astype(jnp.float32)
-    vol = jax.image.resize(vol, out_shape, method="trilinear")
+    vol = _trilinear_resize(vol, out_shape)
     a_min, a_max = hu
     b_min, b_max = rng
     vol = (vol - a_min) / (a_max - a_min) * (b_max - b_min) + b_min

@@ -70,7 +70,11 @@ def normalize_pixel_targets(patches: jnp.ndarray,
 def sincos_position_table(n_position: int, d_hid: int) -> jnp.ndarray:
     """Fixed sinusoid table, matching get_sinusoid_encoding_table
     (modeling_videomae.py:95-106): angle(pos, j) = pos/10000^(2*(j//2)/d),
-    sin on even dims, cos on odd. Returns (1, n_position, d_hid) float32."""
+    sin on even dims, cos on odd. Returns (1, n_position, d_hid) float32.
+
+    Computed in float64 numpy then embedded as an f32 constant: on-device
+    f32 computation loses ~2e-3 rad of argument precision at 20k positions
+    (f32 sin range reduction), which breaks exact HF parity."""
     import numpy as np
 
     j = np.arange(d_hid)

@@ -138,3 +138,45 @@ def test_batchloader_shuffle_and_errors(tmp_path, rng):
     bad_loader = BatchLoader(bad, 1, num_workers=1)
     with pytest.raises(Exception):
         list(bad_loader)
+
+
+def test_orientation_permuted_affine(rng):
+    # axes permuted: voxel axis 0 points along world S, axis 2 along world R
+    data = rng.normal(size=(5, 7, 9)).astype(np.float32)
+    aff = np.zeros((4, 4))
+    aff[2, 0] = 2.0    # voxel axis 0 -> +S
+    aff[1, 1] = 1.5    # voxel axis 1 -> +A
+    aff[0, 2] = -1.0   # voxel axis 2 -> -R
+    aff[3, 3] = 1.0
+    out, new_aff = to_ras(data, aff)
+    # RAS order: (R, A, S) = (flipped axis2, axis1, axis0)
+    expected = np.transpose(data, (2, 1, 0))[::-1]
+    np.testing.assert_array_equal(out, expected)
+    # resulting affine has positive diagonal direction cosines
+    for i in range(3):
+        assert new_aff[i, i] > 0
+    # spacing preserved per world axis
+    sp = [np.linalg.norm(new_aff[:3, i]) for i in range(3)]
+    np.testing.assert_allclose(sp, [1.0, 1.5, 2.0])
+
+
+def test_native_permuted_affine_matches_python(tmp_path, rng):
+    from smb_vision_tpu.data.native import native_available, native_load_batch
+
+    if not native_available():
+        pytest.skip("native loader not built")
+    data = rng.normal(0, 300, (20, 24, 28)).astype(np.float32)
+    aff = np.zeros((4, 4))
+    aff[2, 0] = 2.0
+    aff[1, 1] = 1.5
+    aff[0, 2] = -1.0
+    aff[3, 3] = 1.0
+    p = tmp_path / "perm.nii.gz"
+    save_nifti(p, data, aff)
+    from smb_vision_tpu.data.preprocess import PreprocessConfig, preprocess_volume
+    cfg = PreprocessConfig((1.5, 1.5, 1.5), (24, 24, 24))
+    nat, status = native_load_batch([str(p)], target_size=cfg.target_size,
+                                    target_spacing=cfg.target_spacing)
+    assert status == [0]
+    img_ref = preprocess_volume(data, aff, cfg)[:, 0].transpose(1, 2, 0)
+    np.testing.assert_allclose(nat[0], img_ref, atol=1e-4)
