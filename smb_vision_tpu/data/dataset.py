@@ -63,8 +63,13 @@ class CTDataset:
         self.cache_dir = Path(cache_dir) if cache_dir else None
         if self.cache_dir:
             self.cache_dir.mkdir(parents=True, exist_ok=True)
+        from smb_vision_tpu.data.preprocess import PREPROCESS_VERSION
+
+        # version participates in the key: numerics changes (e.g. the
+        # anti-aliasing fix) must invalidate previously cached volumes
         self._pipe_hash = hashlib.md5(
-            repr(self.pipeline).encode()).hexdigest()[:12]
+            (repr(self.pipeline) + PREPROCESS_VERSION).encode()
+        ).hexdigest()[:12]
         if backend == "auto":
             from smb_vision_tpu.data.native import native_available
 

@@ -24,6 +24,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# bump when preprocessing numerics change — invalidates disk caches
+PREPROCESS_VERSION = "2"
+
 # ---------------------------------------------------------------------------
 # Orientation (host, zero-copy views)
 # ---------------------------------------------------------------------------
