@@ -27,6 +27,7 @@ class DataTrainingArguments:
     cache_data_dir: Optional[str] = None
     num_workers: int = 8
     num_mask_blocks: int = 3
+    inv_block: bool = False
 
 
 @dataclass
@@ -142,7 +143,8 @@ def main(argv=None):
         config, tx=tx,
         grad_accum=training_args.gradient_accumulation_steps,
         ema_momentum=model_args.ema_momentum,
-        num_blocks=data_args.num_mask_blocks)
+        num_blocks=data_args.num_mask_blocks,
+        inv_block=data_args.inv_block)
 
     if training_args.model_flops_per_sample is None:
         from smb_vision_tpu.utils.profiling import vjepa_flops_per_sample

@@ -50,9 +50,11 @@ class CTDataset:
                  pipeline="smb-vision", cache_dir: Optional[str] = None,
                  items: Optional[List[Dict]] = None,
                  image_key: str = "image", max_samples: Optional[int] = None,
-                 backend: str = "auto"):
+                 backend: str = "auto", ram_cache: bool = False):
         """backend: "native" (C++ loader, GIL-free), "python", or "auto"
-        (native when built, else python)."""
+        (native when built, else python). ram_cache additionally memoises
+        preprocessed volumes in memory (the reference's CacheDataset mode,
+        mim.py:210-236) — use when the dataset fits in host RAM."""
         if items is None:
             items = load_data(data_path, split=split)
         if max_samples:
@@ -75,6 +77,8 @@ class CTDataset:
 
             backend = "native" if native_available() else "python"
         self.backend = backend
+        self.ram_cache = ram_cache
+        self._ram: Dict[int, np.ndarray] = {}
 
     def __len__(self) -> int:
         return len(self.items)
@@ -124,7 +128,13 @@ class CTDataset:
 
     def __getitem__(self, idx: int) -> Dict:
         item = dict(self.items[idx])
-        out = {"image": self.load_volume(item)}
+        if self.ram_cache and idx in self._ram:
+            vol = self._ram[idx]
+        else:
+            vol = self.load_volume(item)
+            if self.ram_cache:
+                self._ram[idx] = vol
+        out = {"image": vol}
         for k, v in item.items():
             if k != self.image_key:
                 out[k] = v

@@ -112,10 +112,12 @@ def vjepa_target_mask(key: jax.Array, batch: int, *,
                       grid: Tuple[int, int, int],
                       pred_mask_scale: Tuple[float, float] = (0.2, 0.8),
                       aspect_ratio: Tuple[float, float] = (0.3, 3.0),
-                      num_blocks: int = 3) -> jax.Array:
+                      num_blocks: int = 3,
+                      inv_block: bool = False) -> jax.Array:
     """Multi-block 3D mask. Returns (batch, N) bool, True = target (to be
     predicted); context = ~target. One block size per sample, ``num_blocks``
-    random placements (union), exactly as the reference."""
+    random placements (union), exactly as the reference. inv_block swaps
+    context and target (transforms.py:210-215)."""
     gd, gh, gw = grid
 
     def one(k):
@@ -145,7 +147,8 @@ def vjepa_target_mask(key: jax.Array, batch: int, *,
             covered = covered | block(keys[i])
         return covered.reshape(-1)
 
-    return jax.vmap(one)(jax.random.split(key, batch))
+    out = jax.vmap(one)(jax.random.split(key, batch))
+    return ~out if inv_block else out
 
 
 def mask_to_indices(mask_bool, max_len: int | None = None):

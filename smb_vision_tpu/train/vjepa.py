@@ -28,14 +28,16 @@ def make_vjepa_workload(config: VJEPA2Config, *,
                         grad_accum: int = 1,
                         ema_momentum: float = EMA_MOMENTUM,
                         pred_mask_scale=(0.2, 0.8),
-                        aspect_ratio=(0.3, 3.0), num_blocks: int = 3):
+                        aspect_ratio=(0.3, 3.0), num_blocks: int = 3,
+                        inv_block: bool = False):
     model = VJEPA2Model(config)
 
     def gen_mask(key, batch):
         return vjepa_target_mask(key, batch, grid=config.grid,
                                  pred_mask_scale=pred_mask_scale,
                                  aspect_ratio=aspect_ratio,
-                                 num_blocks=num_blocks)
+                                 num_blocks=num_blocks,
+                                 inv_block=inv_block)
 
     def init_fn(key):
         px = jnp.zeros((1, config.frames_per_clip, config.in_chans,
