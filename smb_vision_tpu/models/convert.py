@@ -209,6 +209,49 @@ def convert_hf_vjepa2(hf_state: Dict[str, np.ndarray], num_layers: int,
     put(p + "layernorm.bias", "params.predictor.layernorm.bias")
     put(p + "proj.weight", "params.predictor.proj.kernel", _t)
     put(p + "proj.bias", "params.predictor.proj.bias")
+
+    # attentive pooler + classifier (VJEPA2ForVideoClassification)
+    pool = "pooler."
+    if any(k.startswith(pool) for k in f):
+        o = "params.pooler."
+        put(pool + "query_tokens", o + "query_tokens")
+        c = pool + "cross_attention_layer."
+        put(c + "layer_norm1.weight", o + "cross_norm1.scale")
+        put(c + "layer_norm1.bias", o + "cross_norm1.bias")
+        put(c + "layer_norm2.weight", o + "cross_norm2.scale")
+        put(c + "layer_norm2.bias", o + "cross_norm2.bias")
+        for hf_n, our_n in (("q_proj", "query"), ("k_proj", "key"),
+                            ("v_proj", "value")):
+            put(c + f"cross_attn.{hf_n}.weight",
+                o + f"cross_attn.{our_n}.kernel", _t)
+            put(c + f"cross_attn.{hf_n}.bias",
+                o + f"cross_attn.{our_n}.bias")
+        put(c + "mlp.fc1.weight", o + "cross_mlp.fc1.kernel", _t)
+        put(c + "mlp.fc1.bias", o + "cross_mlp.fc1.bias")
+        put(c + "mlp.fc2.weight", o + "cross_mlp.fc2.kernel", _t)
+        put(c + "mlp.fc2.bias", o + "cross_mlp.fc2.bias")
+        i = 0
+        while any(k.startswith(f"{pool}self_attention_layers.{i}.")
+                  for k in f):
+            sl = f"{pool}self_attention_layers.{i}."
+            ol = o + f"self_layer_{i}_"
+            put(sl + "layer_norm1.weight", ol + "norm1.scale")
+            put(sl + "layer_norm1.bias", ol + "norm1.bias")
+            put(sl + "layer_norm2.weight", ol + "norm2.scale")
+            put(sl + "layer_norm2.bias", ol + "norm2.bias")
+            for hf_n, our_n in (("q_proj", "query"), ("k_proj", "key"),
+                                ("v_proj", "value"), ("out_proj", "proj")):
+                put(sl + f"self_attn.{hf_n}.weight",
+                    ol + f"attn.{our_n}.kernel", _t)
+                put(sl + f"self_attn.{hf_n}.bias",
+                    ol + f"attn.{our_n}.bias")
+            put(sl + "mlp.fc1.weight", ol + "mlp.fc1.kernel", _t)
+            put(sl + "mlp.fc1.bias", ol + "mlp.fc1.bias")
+            put(sl + "mlp.fc2.weight", ol + "mlp.fc2.kernel", _t)
+            put(sl + "mlp.fc2.bias", ol + "mlp.fc2.bias")
+            i += 1
+    put("classifier.weight", "params.classifier.kernel", _t)
+    put("classifier.bias", "params.classifier.bias")
     return unflatten_params(out)
 
 

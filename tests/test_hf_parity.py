@@ -127,3 +127,80 @@ def test_vjepa2_predictor_matches_hf(vjepa_pair):
     np.testing.assert_allclose(
         np.asarray(out["masked_hidden_state"]),
         ref.masked_hidden_state.numpy(), **TOL)
+
+def test_videomae_pretraining_loss_matches_hf():
+    """Full pretraining objective: encoder -> enc2dec -> mask-token decoder
+    -> per-patch-normalised masked MSE, vs HF torch with converted weights
+    and the identical mask."""
+    from transformers import VideoMAEConfig as HFConfig
+    from transformers import VideoMAEForPreTraining as HFModel
+
+    from smb_vision_tpu.models.configs import VideoMAEConfig
+    from smb_vision_tpu.models.videomae import VideoMAEForPreTraining
+
+    kw = dict(image_size=32, patch_size=8, num_channels=1, num_frames=16,
+              tubelet_size=8, hidden_size=32, num_hidden_layers=2,
+              num_attention_heads=2, intermediate_size=64)
+    dec = dict(decoder_hidden_size=24, decoder_num_hidden_layers=1,
+               decoder_num_attention_heads=2, decoder_intermediate_size=48)
+    hf = HFModel(HFConfig(norm_pix_loss=True, **kw, **dec)).eval()
+    ours_cfg = VideoMAEConfig(norm_pix_loss=True, dtype="float32",
+                              attn_impl="xla", **kw, **dec)
+    ours = VideoMAEForPreTraining(ours_cfg)
+    params = convert_hf_videomae(_hf_state_numpy(hf), num_layers=2,
+                                 decoder_layers=1)
+
+    n = ours_cfg.seq_len
+    mask = np.zeros(n, bool)
+    mask[np.arange(0, n, 2)] = True
+    x = torch.randn(1, 16, 1, 32, 32)
+    with torch.no_grad():
+        ref = hf(x, bool_masked_pos=torch.tensor(mask)[None])
+    out = ours.apply(params, jnp.asarray(x.numpy()),
+                     jnp.asarray(mask)[None], int(mask.sum()))
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               ref.logits.numpy(), **TOL)
+    np.testing.assert_allclose(float(out["loss"]), float(ref.loss),
+                               rtol=1e-4)
+
+
+def test_vjepa2_classification_pooler_matches_hf():
+    """Attentive pooler (3 self-attn + 1 cross-attn, no o_proj) + classifier
+    vs HF torch with converted weights."""
+    from transformers import VJEPA2Config as HFConfig
+    from transformers import VJEPA2ForVideoClassification as HFModel
+
+    from smb_vision_tpu.models.configs import VJEPA2Config
+    from smb_vision_tpu.models.vjepa import VJEPA2ForVideoClassification
+    from smb_vision_tpu.utils.serialization import (
+        flatten_params,
+        unflatten_params,
+    )
+
+    kw = dict(patch_size=8, crop_size=32, frames_per_clip=16, tubelet_size=8,
+              in_chans=1, hidden_size=48, num_attention_heads=2,
+              num_hidden_layers=2, pred_hidden_size=24,
+              pred_num_attention_heads=2, pred_num_hidden_layers=1,
+              pred_num_mask_tokens=4, num_pooler_layers=2)
+    hf = HFModel(HFConfig(num_labels=3, **kw)).eval()
+    ours_cfg = VJEPA2Config(num_labels=3, dtype="float32", attn_impl="xla",
+                            **kw)
+    ours = VJEPA2ForVideoClassification(ours_cfg)
+    conv = convert_hf_vjepa2(_hf_state_numpy(hf), num_layers=2,
+                             pred_layers=1)
+    # nest encoder/predictor under the vjepa2 submodule of the cls model
+    flat = flatten_params(conv)
+    remapped = {}
+    for k, v in flat.items():
+        if k.startswith("params.encoder.") or k.startswith(
+                "params.predictor."):
+            remapped["params.vjepa2." + k[len("params."):]] = v
+        else:
+            remapped[k] = v
+    params = unflatten_params(remapped)
+
+    x = torch.randn(2, 16, 1, 32, 32)
+    with torch.no_grad():
+        ref = hf(pixel_values_videos=x).logits.numpy()
+    out = ours.apply(params, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(out["logits"]), ref, **TOL)
