@@ -49,11 +49,17 @@ class MetricLogger:
         self._wandb = None
         if report_to == "wandb" and self._primary:
             try:
+                import os
+
                 import wandb
 
                 self._wandb = wandb
                 if wandb.run is None:
-                    wandb.init(project="smb-vision-tpu", name=run_name)
+                    # WANDB_PROJECT env selects the project, as in the
+                    # reference launch scripts (run_mim.sh:2)
+                    wandb.init(project=os.environ.get("WANDB_PROJECT",
+                                                      "smb-vision-tpu"),
+                               name=run_name)
             except ImportError:
                 self.logger.warning(
                     "report_to=wandb requested but wandb is not installed; "
