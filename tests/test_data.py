@@ -180,3 +180,19 @@ def test_native_permuted_affine_matches_python(tmp_path, rng):
     assert status == [0]
     img_ref = preprocess_volume(data, aff, cfg)[:, 0].transpose(1, 2, 0)
     np.testing.assert_allclose(nat[0], img_ref, atol=1e-4)
+
+
+def test_preprocess_volume_full_keeps_extent(rng):
+    from smb_vision_tpu.data.preprocess import (
+        PreprocessConfig,
+        preprocess_volume_full,
+    )
+
+    vol = rng.normal(0, 300, (50, 60, 40)).astype(np.float32)
+    cfg = PreprocessConfig((2.0, 2.0, 2.0), (999, 999, 999))  # fit unused
+    out = preprocess_volume_full(vol, np.eye(4), cfg, pad_multiple=16)
+    # resampled extent: 50/2=25->32, 60/2=30->32, 40/2=20->32 (padded)
+    assert out.shape == (32, 32, 32)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    # padding region is b_min
+    assert out[30, 0, 0] == 0.0
