@@ -255,6 +255,105 @@ def convert_hf_vjepa2(hf_state: Dict[str, np.ndarray], num_layers: int,
     return unflatten_params(out)
 
 
+# ---------------------------------------------------------------------------
+# flax pytree -> HuggingFace torch state dict (inverse mapping)
+# ---------------------------------------------------------------------------
+
+def _invert_block(flat: Dict[str, np.ndarray], our_prefix: str, layer: int,
+                  out: Dict[str, np.ndarray], hf_prefix: str,
+                  hf_style: str) -> None:
+    o = f"{our_prefix}.layer_{layer}."
+    p = f"{hf_prefix}.{layer}."
+    if hf_style == "videomae":
+        pairs = [
+            (o + "attention.query.kernel", p + "attention.attention.query.weight", _t),
+            (o + "attention.key.kernel", p + "attention.attention.key.weight", _t),
+            (o + "attention.value.kernel", p + "attention.attention.value.weight", _t),
+            (o + "attention.query.bias", p + "attention.attention.q_bias", np.asarray),
+            (o + "attention.value.bias", p + "attention.attention.v_bias", np.asarray),
+            (o + "attention.proj.kernel", p + "attention.output.dense.weight", _t),
+            (o + "attention.proj.bias", p + "attention.output.dense.bias", np.asarray),
+            (o + "mlp.fc1.kernel", p + "intermediate.dense.weight", _t),
+            (o + "mlp.fc1.bias", p + "intermediate.dense.bias", np.asarray),
+            (o + "mlp.fc2.kernel", p + "output.dense.weight", _t),
+            (o + "mlp.fc2.bias", p + "output.dense.bias", np.asarray),
+            (o + "norm1.scale", p + "layernorm_before.weight", np.asarray),
+            (o + "norm1.bias", p + "layernorm_before.bias", np.asarray),
+            (o + "norm2.scale", p + "layernorm_after.weight", np.asarray),
+            (o + "norm2.bias", p + "layernorm_after.bias", np.asarray),
+        ]
+    else:
+        pairs = [
+            (o + "attention.query.kernel", p + "attention.query.weight", _t),
+            (o + "attention.query.bias", p + "attention.query.bias", np.asarray),
+            (o + "attention.key.kernel", p + "attention.key.weight", _t),
+            (o + "attention.key.bias", p + "attention.key.bias", np.asarray),
+            (o + "attention.value.kernel", p + "attention.value.weight", _t),
+            (o + "attention.value.bias", p + "attention.value.bias", np.asarray),
+            (o + "attention.proj.kernel", p + "attention.proj.weight", _t),
+            (o + "attention.proj.bias", p + "attention.proj.bias", np.asarray),
+            (o + "mlp.fc1.kernel", p + "mlp.fc1.weight", _t),
+            (o + "mlp.fc1.bias", p + "mlp.fc1.bias", np.asarray),
+            (o + "mlp.fc2.kernel", p + "mlp.fc2.weight", _t),
+            (o + "mlp.fc2.bias", p + "mlp.fc2.bias", np.asarray),
+            (o + "norm1.scale", p + "norm1.weight", np.asarray),
+            (o + "norm1.bias", p + "norm1.bias", np.asarray),
+            (o + "norm2.scale", p + "norm2.weight", np.asarray),
+            (o + "norm2.bias", p + "norm2.bias", np.asarray),
+        ]
+    for src, dst, fn in pairs:
+        if src in flat:
+            out[dst] = fn(flat[src])
+
+
+def export_hf_videomae(params, num_layers: int, decoder_layers: int = 0
+                       ) -> Dict[str, np.ndarray]:
+    """flax params (VideoMAEModel / ...ForPreTraining /
+    ...ForVideoClassification namespaces) -> HF torch state dict arrays
+    (the push_to_hub round-trip, reference run_mim.py:464-467)."""
+    flat = flatten_params(params)
+    # accept both bare-encoder and videomae-wrapped namespaces
+    if any(k.startswith("params.videomae.") for k in flat):
+        enc = "params.videomae"
+        base = "videomae." if any(
+            k.startswith("params.encoder_to_decoder") or
+            k.startswith("params.fc_norm") or
+            k.startswith("params.classifier") for k in flat) else "videomae."
+    else:
+        enc = "params"
+        base = ""
+    out: Dict[str, np.ndarray] = {}
+
+    def put(src, dst, fn=np.asarray):
+        if src in flat:
+            out[dst] = fn(flat[src])
+
+    put(enc + ".patch_embed_kernel",
+        base + "embeddings.patch_embeddings.projection.weight")
+    put(enc + ".patch_embed_bias",
+        base + "embeddings.patch_embeddings.projection.bias")
+    for i in range(num_layers):
+        _invert_block(flat, enc + ".encoder", i, out,
+                      base + "encoder.layer", "videomae")
+    put(enc + ".layernorm.scale", base + "layernorm.weight")
+    put(enc + ".layernorm.bias", base + "layernorm.bias")
+
+    put("params.encoder_to_decoder.kernel", "encoder_to_decoder.weight", _t)
+    put("params.mask_token", "mask_token")
+    for i in range(decoder_layers):
+        _invert_block(flat, "params.decoder", i, out,
+                      "decoder.decoder_layers", "videomae")
+    put("params.decoder_norm.scale", "decoder.norm.weight")
+    put("params.decoder_norm.bias", "decoder.norm.bias")
+    put("params.decoder_head.kernel", "decoder.head.weight", _t)
+    put("params.decoder_head.bias", "decoder.head.bias")
+    put("params.fc_norm.scale", "fc_norm.weight")
+    put("params.fc_norm.bias", "fc_norm.bias")
+    put("params.classifier.kernel", "classifier.weight", _t)
+    put("params.classifier.bias", "classifier.bias")
+    return out
+
+
 def load_hf_checkpoint_numpy(path: str) -> Dict[str, np.ndarray]:
     """Load an HF checkpoint directory/file to a flat numpy dict
     (safetensors preferred, torch .bin fallback)."""

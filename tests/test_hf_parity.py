@@ -204,3 +204,49 @@ def test_vjepa2_classification_pooler_matches_hf():
         ref = hf(pixel_values_videos=x).logits.numpy()
     out = ours.apply(params, jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(out["logits"]), ref, **TOL)
+
+
+def test_videomae_export_roundtrip_into_torch():
+    """ours -> HF state dict -> load into a torch VideoMAEForPreTraining ->
+    identical loss/logits: the push_to_hub round trip."""
+    from transformers import VideoMAEConfig as HFConfig
+    from transformers import VideoMAEForPreTraining as HFModel
+
+    from smb_vision_tpu.models.configs import VideoMAEConfig
+    from smb_vision_tpu.models.convert import export_hf_videomae
+    from smb_vision_tpu.models.videomae import VideoMAEForPreTraining
+
+    kw = dict(image_size=32, patch_size=8, num_channels=1, num_frames=16,
+              tubelet_size=8, hidden_size=32, num_hidden_layers=2,
+              num_attention_heads=2, intermediate_size=64)
+    dec = dict(decoder_hidden_size=24, decoder_num_hidden_layers=1,
+               decoder_num_attention_heads=2, decoder_intermediate_size=48)
+    ours_cfg = VideoMAEConfig(norm_pix_loss=True, dtype="float32",
+                              attn_impl="xla", **kw, **dec)
+    ours = VideoMAEForPreTraining(ours_cfg)
+    key = jax.random.PRNGKey(3)
+    n = ours_cfg.seq_len
+    mask = np.zeros(n, bool)
+    mask[np.arange(0, n, 2)] = True
+    x = np.random.default_rng(0).normal(size=(1, 16, 1, 32, 32)).astype(
+        np.float32)
+    params = ours.init(key, jnp.asarray(x), jnp.asarray(mask)[None],
+                       int(mask.sum()))
+
+    state = export_hf_videomae(params, num_layers=2, decoder_layers=1)
+    hf = HFModel(HFConfig(norm_pix_loss=True, **kw, **dec)).eval()
+    missing, unexpected = hf.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in state.items()}, strict=False)
+    # only non-param buffers (fixed sincos position tables) may be missing
+    assert not unexpected, unexpected
+    assert all("position_embeddings" in m for m in missing), missing
+
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(x), bool_masked_pos=torch.tensor(mask)[None])
+    out = ours.apply(params, jnp.asarray(x), jnp.asarray(mask)[None],
+                     int(mask.sum()))
+    np.testing.assert_allclose(np.asarray(out["logits"]), ref.logits.numpy(),
+                               **TOL)
+    np.testing.assert_allclose(float(out["loss"]), float(ref.loss),
+                               rtol=1e-4)
