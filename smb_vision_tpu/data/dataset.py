@@ -195,6 +195,18 @@ class BatchLoader:
         stop = threading.Event()
         failure = []
 
+        def _put(obj) -> bool:
+            """Bounded put that gives up when the consumer stopped reading
+            (mid-epoch break) — otherwise the producer thread would block
+            forever on the full queue."""
+            while not stop.is_set():
+                try:
+                    q.put(obj, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
@@ -202,11 +214,12 @@ class BatchLoader:
                         if stop.is_set():
                             return
                         examples = list(pool.map(self.ds.__getitem__, idxs))
-                        q.put(self.collate(examples))
+                        if not _put(self.collate(examples)):
+                            return
             except Exception as e:  # noqa: BLE001 — re-raised in consumer
                 failure.append(e)
             finally:
-                q.put(None)
+                _put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
