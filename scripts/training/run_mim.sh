@@ -14,7 +14,8 @@ python -m smb_vision_tpu.cli.run_mim \
     --output_dir "$OUTPUT_DIR" \
     --image_size 512 --depth 320 --patch_size 16 \
     --mask_patch_size 32 --mask_ratio 0.65 \
-    --hidden_size 768 --num_hidden_layers 12 --num_attention_heads 12 \
+    --hidden_size 768 --num_hidden_layers 12 --num_attention_heads 6 \
+    `# 6 heads = head_dim 128: 1.68x faster than 12 on TPU at equal FLOPs` \
     --intermediate_size 3072 \
     --dtype bfloat16 --gradient_checkpointing true \
     --per_device_train_batch_size 1 \
