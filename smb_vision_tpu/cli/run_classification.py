@@ -164,7 +164,8 @@ def main(argv=None):
     n_data = jax.device_count() // max(training_args.model_parallel, 1)
     train_loader = BatchLoader(
         train_ds, training_args.per_device_train_batch_size
-        * n_data, shuffle=True, seed=training_args.seed,
+        * n_data * training_args.gradient_accumulation_steps,
+        shuffle=True, seed=training_args.seed,
         num_workers=data_args.num_workers, collate=collate)
     eval_loader = (BatchLoader(eval_ds,
                                training_args.per_device_eval_batch_size
@@ -205,13 +206,15 @@ def main(argv=None):
                 base_params, model_args.model_name_or_path)
         init_fn, step_fn, eval_fn = make_lora_classification_workload(
             model, config, task_type=data_args.task_type, tx=tx,
-            rank=model_args.lora_rank, alpha=model_args.lora_alpha)
+            rank=model_args.lora_rank, alpha=model_args.lora_alpha,
+            grad_accum=training_args.gradient_accumulation_steps)
         state = init_fn(key, example, base_params)
         logger.info("LoRA rank %d: %d adapter params trainable",
                     model_args.lora_rank, lora_size(state["lora"]))
     else:
         init_fn, step_fn, eval_fn = make_classification_workload(
-            model, config, task_type=data_args.task_type, tx=tx)
+            model, config, task_type=data_args.task_type, tx=tx,
+            grad_accum=training_args.gradient_accumulation_steps)
         state = init_fn(key, example)
         if model_args.model_name_or_path:
             from smb_vision_tpu.models.convert import load_backbone_into

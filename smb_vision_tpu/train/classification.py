@@ -68,9 +68,18 @@ def collate_classification(examples: List[Dict], *, task_type: str,
 
 
 def make_classification_workload(model, config, *, task_type: str,
-                                 tx: optax.GradientTransformation):
+                                 tx: optax.GradientTransformation,
+                                 grad_accum: int = 1):
     """model: VideoMAEForVideoClassification | Dinov2ForImageClassification
-    (flax module, already built with problem_type set in its config)."""
+    (flax module, already built with problem_type set in its config).
+
+    grad_accum > 1 splits the (global) batch into microbatches via
+    accumulate_gradients — matching run_cls.sh recipes that rely on HF
+    Trainer's gradient_accumulation_steps. Note survival/Cox partial
+    likelihood is computed per-microbatch (within-microbatch risk sets),
+    which is also the reference-under-accumulation behaviour."""
+    from smb_vision_tpu.train.trainer import accumulate_gradients
+
     survival = task_type in ("survival", "cox_regression")
     # only the VideoMAE head fuses tabular features (ref :928-937)
     supports_features = config.model_type == "videomae"
@@ -100,10 +109,14 @@ def make_classification_workload(model, config, *, task_type: str,
             return cox_loss(risk, batch["duration"], batch["event"]), out
         return out["loss"], out
 
-    def step_fn(state, batch, key):
+    def loss_fn(params, b, key):
         del key
-        (loss, _), grads = jax.value_and_grad(
-            lambda p: loss_of(p, batch), has_aux=True)(state["params"])
+        loss, _ = loss_of(params, b)
+        return loss, None
+
+    def step_fn(state, batch, key):
+        loss, _, grads = accumulate_gradients(
+            loss_fn, state["params"], batch, key, grad_accum)
         updates, opt_state = tx.update(grads, state["opt_state"],
                                        state["params"])
         params = optax.apply_updates(state["params"], updates)

@@ -78,8 +78,12 @@ def merge_lora(params, trainable: Dict, alpha: float = 16.0,
     adapters = trainable.get("adapters", {})
     head = trainable.get("head", {})
     meta = trainable.get("meta")
-    scale = (meta["alpha"] / meta["rank"]) if meta is not None \
-        else alpha / rank
+    if meta is not None:
+        # merge hyperparameters are configuration, not parameters: never let
+        # gradients (or optimizer weight decay) reach them
+        scale = jax.lax.stop_gradient(meta["alpha"] / meta["rank"])
+    else:
+        scale = alpha / rank
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     out = []
     for path, leaf in flat:
@@ -102,13 +106,14 @@ def lora_size(trainable: Dict) -> int:
 
 def make_lora_classification_workload(model, config, *, task_type: str, tx,
                                       rank: int = 8, alpha: float = 16.0,
-                                      targets: str = DEFAULT_TARGETS):
+                                      targets: str = DEFAULT_TARGETS,
+                                      grad_accum: int = 1):
     """Classification workload where only LoRA adapters + head train.
-    State: {'params' (frozen base), 'lora', 'head_opt_state', ...}."""
+    State: {'params' (frozen base), 'lora', 'lora_meta', ...}."""
     import optax
 
     from smb_vision_tpu.train.losses import cox_loss
-    from smb_vision_tpu.train.trainer import train_state
+    from smb_vision_tpu.train.trainer import accumulate_gradients, train_state
 
     survival = task_type in ("survival", "cox_regression")
     supports_features = config.model_type == "videomae"
@@ -123,17 +128,19 @@ def make_lora_classification_workload(model, config, *, task_type: str, tx,
 
     def init_fn(key, example_batch, base_params):
         k1, _ = jax.random.split(key)
+        # the optimized pytree holds ONLY adapters + head; merge hyperparams
+        # live in a separate non-trained state extra (they previously sat
+        # inside the trainable tree, where AdamW weight decay silently
+        # drifted them every step)
         trainable = {
             "adapters": init_lora(base_params, k1, rank=rank,
                                   targets=targets),
             "head": split_head(base_params),
-            # merge hyperparams travel with the adapters so checkpoints
-            # and exports merge correctly regardless of CLI defaults
-            "meta": {"alpha": jnp.float32(alpha),
-                     "rank": jnp.float32(rank)},
         }
         opt_state = tx.init(trainable)
-        return train_state(base_params, opt_state, lora=trainable)
+        return train_state(base_params, opt_state, lora=trainable,
+                           lora_meta={"alpha": jnp.float32(alpha),
+                                      "rank": jnp.float32(rank)})
 
     def loss_of(state_params, trainable, batch, deterministic=False):
         eff = merge_lora(state_params, trainable, alpha=alpha, rank=rank,
@@ -145,12 +152,12 @@ def make_lora_classification_workload(model, config, *, task_type: str, tx,
         return out["loss"], out
 
     def step_fn(state, batch, key):
-        del key
+        def f(trainable, b, k):
+            del k
+            return loss_of(state["params"], trainable, b)[0], None
 
-        def f(trainable):
-            return loss_of(state["params"], trainable, batch)[0]
-
-        loss, grads = jax.value_and_grad(f)(state["lora"])
+        loss, _, grads = accumulate_gradients(
+            f, state["lora"], batch, key, grad_accum)
         updates, opt_state = tx.update(grads, state["opt_state"],
                                        state["lora"])
         trainable = optax.apply_updates(state["lora"], updates)

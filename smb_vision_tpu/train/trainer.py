@@ -190,10 +190,12 @@ class Trainer:
         if "lora" in self.state:
             from smb_vision_tpu.train.lora import merge_lora
 
-            save_params_safetensors(self.state["lora"],
-                                    self.out_dir / "lora.safetensors")
-            merged = merge_lora(self.state["params"], self.state["lora"],
-                                train=False)
+            # adapters + the (non-trained) merge hyperparams export together
+            lora = dict(self.state["lora"])
+            if "lora_meta" in self.state:
+                lora["meta"] = self.state["lora_meta"]
+            save_params_safetensors(lora, self.out_dir / "lora.safetensors")
+            merged = merge_lora(self.state["params"], lora, train=False)
             save_params_safetensors(merged,
                                     self.out_dir / "model_merged.safetensors")
 
@@ -365,7 +367,12 @@ def _device_peak_flops() -> Optional[float]:
 
 def accumulate_gradients(loss_fn, params, batch, key, n_accum: int):
     """Gradient accumulation via lax.scan over microbatches: batch leaves
-    are reshaped (n_accum, micro, ...). Returns (mean_loss, grads)."""
+    are reshaped (n_accum, micro, ...). Returns (mean_loss, aux, grads).
+
+    aux (the second element of loss_fn's return) must be a pytree of
+    mean-reducible metric arrays (scalars per microbatch) or None; it is
+    averaged over microbatches — so workloads keep their metrics under
+    accumulation instead of getting None back (round-1 weakness)."""
     if n_accum == 1:
         (loss, aux), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, batch, key)
@@ -378,17 +385,25 @@ def accumulate_gradients(loss_fn, params, batch, key, n_accum: int):
 
     mb = micro(batch)
     keys = jax.random.split(key, n_accum)
+    first = jax.tree_util.tree_map(lambda x: x[0], mb)
+    aux_shape = jax.eval_shape(
+        lambda p, b, k: loss_fn(p, b, k)[1], params, first, keys[0])
+    zero_aux = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), aux_shape)
 
     def body(carry, xs):
-        acc_loss, acc_grads = carry
+        acc_loss, acc_aux, acc_grads = carry
         b, k = xs
-        (loss, _aux), grads = jax.value_and_grad(
+        (loss, aux), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, b, k)
         acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
-        return (acc_loss + loss, acc_grads), None
+        acc_aux = jax.tree_util.tree_map(jnp.add, acc_aux, aux)
+        return (acc_loss + loss, acc_aux, acc_grads), None
 
     zero_grads = jax.tree_util.tree_map(
         lambda p: jnp.zeros(p.shape, jnp.float32), params)
-    (tot_loss, grads), _ = jax.lax.scan(body, (0.0, zero_grads), (mb, keys))
+    (tot_loss, aux, grads), _ = jax.lax.scan(
+        body, (0.0, zero_aux, zero_grads), (mb, keys))
     grads = jax.tree_util.tree_map(lambda g: g / n_accum, grads)
-    return tot_loss / n_accum, None, grads
+    aux = jax.tree_util.tree_map(lambda a: a / n_accum, aux)
+    return tot_loss / n_accum, aux, grads

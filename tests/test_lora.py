@@ -79,3 +79,45 @@ def test_lora_targets_cover_attention_and_mlp():
     names = "\n".join(adapters)
     for frag in ("query", "key", "value", "proj", "fc1", "fc2"):
         assert frag in names
+
+
+def test_lora_workload_steps_without_meta_drift():
+    """Regression for the round-1 bug: merge hyperparams (alpha/rank) sat in
+    the optimized pytree, so AdamW weight decay drifted them every step.
+    Now they live in state['lora_meta'], outside the optimizer."""
+    import optax
+
+    from smb_vision_tpu.train.lora import make_lora_classification_workload
+
+    cfg = VideoMAEConfig(image_size=16, num_frames=16, patch_size=8,
+                         tubelet_size=8, num_channels=1, hidden_size=32,
+                         num_hidden_layers=1, num_attention_heads=2,
+                         intermediate_size=64, num_labels=2,
+                         problem_type="single_label_classification",
+                         dtype="float32", attn_impl="xla")
+    model = VideoMAEForVideoClassification(cfg)
+    px = jax.random.normal(KEY, (2, 16, 1, 16, 16))
+    base_params = model.init(KEY, px, None, None)
+    batch = {"pixel_values": px, "labels": jnp.array([0, 1])}
+
+    tx = optax.adamw(1e-2, weight_decay=0.1)  # aggressive decay on purpose
+    init_fn, step_fn, eval_fn = make_lora_classification_workload(
+        model, cfg, task_type="classification", tx=tx, rank=4, alpha=16.0)
+    state = init_fn(KEY, batch, base_params)
+
+    assert "meta" not in state["lora"], "meta must not be optimized"
+    assert float(state["lora_meta"]["alpha"]) == 16.0
+    assert float(state["lora_meta"]["rank"]) == 4.0
+
+    b0 = jax.tree_util.tree_map(jnp.copy, state["lora"]["adapters"])
+    jitted = jax.jit(step_fn)
+    for i in range(3):
+        state, metrics = jitted(state, batch, KEY)
+        assert np.isfinite(float(metrics["loss"]))
+
+    # meta untouched; adapters actually trained
+    assert float(state["lora_meta"]["alpha"]) == 16.0
+    assert float(state["lora_meta"]["rank"]) == 4.0
+    moved = sum(float(jnp.abs(state["lora"]["adapters"][k]["b"]
+                              - b0[k]["b"]).sum()) for k in b0)
+    assert moved > 0, "adapters did not train"
