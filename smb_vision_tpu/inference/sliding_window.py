@@ -95,21 +95,52 @@ def _pad_to_min(volume: jnp.ndarray, roi_size, cval: float):
     return volume
 
 
+def token_weights(roi_size: Sequence[int], num_tokens: int,
+                  mode: str = "constant", sigma_scale: float = 0.125,
+                  token_grid: Optional[Sequence[int]] = None) -> jnp.ndarray:
+    """Per-token blending weights (L,): the voxel importance map average-
+    pooled over each token's patch. Tokens are assumed to tile the roi on a
+    regular grid (patch embed); the grid is inferred from num_tokens when
+    every axis shares the same patch size, else pass token_grid."""
+    if mode == "constant":
+        return jnp.ones((num_tokens,), jnp.float32)
+    if token_grid is None:
+        # infer a cubic patch: p such that prod(roi/p) == num_tokens
+        vox_per_token = int(np.prod(roi_size)) / num_tokens
+        p = round(vox_per_token ** (1 / 3))
+        grid = [r // p for r in roi_size]
+        if (p <= 0 or any(r % p for r in roi_size)
+                or int(np.prod(grid)) != num_tokens):
+            raise ValueError(
+                f"cannot infer a regular token grid for roi {tuple(roi_size)}"
+                f" with {num_tokens} tokens; pass token_grid=(th, tw, td)")
+        token_grid = grid
+    imap = np.asarray(importance_map(roi_size, mode, sigma_scale))
+    th, tw, td = token_grid
+    ph, pw, pd = (roi_size[0] // th, roi_size[1] // tw, roi_size[2] // td)
+    w = imap.reshape(th, ph, tw, pw, td, pd).mean(axis=(1, 3, 5))
+    return jnp.asarray(w.reshape(-1), jnp.float32)
+
+
 def sliding_window_embed(volume: jnp.ndarray, roi_size: Sequence[int],
                          embedder: Callable[[jnp.ndarray], jnp.ndarray],
                          *, overlap: float = 0.25, sw_batch_size: int = 1,
                          mode: str = "constant", sigma_scale: float = 0.125,
-                         cval: float = 0.0, pool: bool = False):
+                         cval: float = 0.0, pool: bool = False,
+                         token_grid: Optional[Sequence[int]] = None):
     """volume: (B, C, H, W, D). embedder: (N, C, *roi) -> (N, L, D).
 
     Returns (embeddings, starts):
       embeddings: (B, num_windows, L, D)   [or (B, num_windows, D) if pool]
       starts:     (num_windows, 3) window start coords in the padded volume
-    Window embeddings are importance-weight-normalised: with constant mode
-    this is exact passthrough; with gaussian mode each window's token
-    embeddings are scaled by the mean gaussian weight of the voxels each
-    token covers and renormalised (windows do not overlap in the output
-    grid — each window owns its row)."""
+
+    mode="gaussian" applies the reference's importance weighting
+    (/root/reference/src/inference.py:325-438) at token granularity: each
+    token is weighted by the mean gaussian weight of the voxels it covers
+    (token_weights). With pool=True the window embedding becomes the
+    weighted mean over tokens (centre tokens dominate); without pooling the
+    tokens are scaled mean-preservingly (weights normalised to mean 1).
+    mode="constant" is exact passthrough."""
     b = volume.shape[0]
     volume = _pad_to_min(volume, roi_size, cval)
     spatial = volume.shape[2:]
@@ -145,8 +176,13 @@ def sliding_window_embed(volume: jnp.ndarray, roi_size: Sequence[int],
         outs.append(out)
     emb = jnp.concatenate(outs, axis=0)           # (n_win, B, L, D)
     emb = jnp.swapaxes(emb, 0, 1)                 # (B, n_win, L, D)
+    if mode == "constant":
+        return (emb.mean(axis=2) if pool else emb), starts
+    w = token_weights(roi_size, emb.shape[2], mode, sigma_scale, token_grid)
     if pool:
-        emb = emb.mean(axis=2)
+        emb = jnp.einsum("bwld,l->bwd", emb, w / jnp.sum(w))
+    else:
+        emb = emb * (w / jnp.mean(w))[None, None, :, None]
     return emb, starts
 
 

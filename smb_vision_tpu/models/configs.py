@@ -103,9 +103,10 @@ class VideoMAEConfig(BaseConfig):
     dtype: str = "bfloat16"         # compute dtype
     attn_impl: str = "auto"         # auto | pallas | xla
     gradient_checkpointing: bool = False
-    # shard the token dimension over the mesh "model" axis (GSPMD inserts
-    # the attention collectives); forces the XLA attention path
+    # shard the token dimension over the mesh "model" axis; attention runs
+    # the flash kernel per shard (all-gather-kv CP or ring attention)
     sequence_parallel: bool = False
+    sp_variant: str = "gather"      # gather (all-gather kv) | ring
 
     @property
     def grid(self) -> Tuple[int, int, int]:
@@ -171,6 +172,7 @@ class VJEPA2Config(BaseConfig):
     attn_impl: str = "auto"
     gradient_checkpointing: bool = False
     sequence_parallel: bool = False
+    sp_variant: str = "gather"      # gather (all-gather kv) | ring
 
     @property
     def grid(self) -> Tuple[int, int, int]:

@@ -54,6 +54,10 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     attn_impl: str = "auto"
     initializer_range: float = 0.02
+    # sequence parallelism: tokens sharded over the mesh "model" axis; the
+    # local shard still runs the flash kernel (all-gather-kv CP or ring)
+    sequence_parallel: bool = False
+    sp_variant: str = "gather"   # "gather" (all-gather kv) | "ring"
 
     @nn.compact
     def __call__(self, x, rope: Optional[Tuple[jax.Array, jax.Array]] = None,
@@ -80,7 +84,27 @@ class Attention(nn.Module):
             q = apply_rope3d(q, cos, sin)
             k = apply_rope3d(k, cos, sin)
 
-        out = attention(q, k, v, impl=self.attn_impl)
+        if self.sequence_parallel and kv is None:
+            from smb_vision_tpu.parallel.context import (
+                context_parallel_attention,
+                ring_attention,
+            )
+            from smb_vision_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+            mesh = jax.sharding.get_abstract_mesh()
+            if mesh.empty:
+                raise ValueError(
+                    "sequence_parallel=True needs an ambient mesh: wrap the "
+                    "apply/jit in `with jax.set_mesh(mesh):`")
+            if self.sp_variant == "ring":
+                out = ring_attention(q, k, v, mesh=mesh, axis=MODEL_AXIS,
+                                     batch_axis=DATA_AXIS)
+            else:
+                out = context_parallel_attention(
+                    q, k, v, mesh=mesh, axis=MODEL_AXIS,
+                    impl=self.attn_impl, batch_axis=DATA_AXIS)
+        else:
+            out = attention(q, k, v, impl=self.attn_impl)
         out = out.reshape(b, n, self.hidden_size)
         if not self.out_proj:
             return out
@@ -159,6 +183,8 @@ class Block(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     attn_impl: str = "auto"
     initializer_range: float = 0.02
+    sequence_parallel: bool = False
+    sp_variant: str = "gather"
 
     @nn.compact
     def __call__(self, x, rope=None, deterministic: bool = True):
@@ -178,6 +204,8 @@ class Block(nn.Module):
                       bias_mode=self.bias_mode, dtype=self.dtype,
                       attn_impl=self.attn_impl,
                       initializer_range=self.initializer_range,
+                      sequence_parallel=self.sequence_parallel,
+                      sp_variant=self.sp_variant,
                       name="attention")(ln("norm1")(x), rope=rope)
         x = x + dp(scaled("layerscale1", h), deterministic)
 
@@ -199,9 +227,10 @@ class Encoder(nn.Module):
     """Stack of Blocks with optional remat (gradient checkpointing — the
     reference enables this via --gradient_checkpointing, run_mim.sh:34) and
     optional sequence parallelism: tokens sharded over the mesh "model"
-    axis with GSPMD inserting the attention collectives (requires an
-    ambient Mesh; forces the XLA attention path, which GSPMD can
-    partition — the pallas kernel is opaque to it)."""
+    axis. The norms/MLP partition via GSPMD sharding constraints while the
+    attention runs the flash kernel per shard through shard_map
+    (context_parallel_attention / ring_attention) — the round-1 version
+    fell back to O(N^2) XLA attention here."""
 
     num_layers: int
     hidden_size: int
@@ -218,15 +247,14 @@ class Encoder(nn.Module):
     remat: bool = False
     initializer_range: float = 0.02
     sequence_parallel: bool = False
+    sp_variant: str = "gather"
 
     @nn.compact
     def __call__(self, x, rope=None, deterministic: bool = True):
-        attn_impl = self.attn_impl
         constrain = lambda y: y  # noqa: E731
         if self.sequence_parallel:
             from jax.sharding import PartitionSpec as P
 
-            attn_impl = "xla"
             constrain = lambda y: jax.lax.with_sharding_constraint(  # noqa: E731
                 y, P("data", "model", None))
             x = constrain(x)
@@ -242,8 +270,10 @@ class Encoder(nn.Module):
                 layer_norm_eps=self.layer_norm_eps,
                 layerscale_value=self.layerscale_value,
                 drop_path_rate=rate, use_swiglu=self.use_swiglu,
-                dtype=self.dtype, attn_impl=attn_impl,
+                dtype=self.dtype, attn_impl=self.attn_impl,
                 initializer_range=self.initializer_range,
+                sequence_parallel=self.sequence_parallel,
+                sp_variant=self.sp_variant,
                 name=f"layer_{i}")(x, rope, deterministic)
             if self.sequence_parallel:
                 x = constrain(x)

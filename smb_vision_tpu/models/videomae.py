@@ -81,6 +81,7 @@ class VideoMAEModel(nn.Module):
             attn_impl=cfg.attn_impl, remat=cfg.gradient_checkpointing,
             initializer_range=cfg.initializer_range,
             sequence_parallel=cfg.sequence_parallel,
+            sp_variant=cfg.sp_variant,
             name="encoder")(x, deterministic=deterministic)
 
         if not cfg.use_mean_pooling:
@@ -134,6 +135,7 @@ class VideoMAEForPreTraining(nn.Module):
             attn_impl=cfg.attn_impl, remat=cfg.gradient_checkpointing,
             initializer_range=cfg.initializer_range,
             sequence_parallel=cfg.sequence_parallel,
+            sp_variant=cfg.sp_variant,
             name="decoder")(x_full, deterministic=deterministic)
 
         h = x_full[:, -num_masked:]

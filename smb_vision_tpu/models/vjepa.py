@@ -76,6 +76,7 @@ class VJEPA2Encoder(nn.Module):
             attn_impl=cfg.attn_impl, remat=cfg.gradient_checkpointing,
             initializer_range=cfg.initializer_range,
             sequence_parallel=cfg.sequence_parallel,
+            sp_variant=cfg.sp_variant,
             name="encoder")(x, rope=rope, deterministic=deterministic)
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dt,
                             param_dtype=jnp.float32, name="layernorm")(x)

@@ -32,22 +32,29 @@ from smb_vision_tpu.ops.attention import attention
 
 def context_parallel_attention(q, k, v, *, mesh: Mesh, axis: str = "model",
                                scale: Optional[float] = None,
-                               impl: str = "auto"):
+                               impl: str = "auto",
+                               batch_axis: Optional[str] = None):
     """q, k, v: (B, N, H, D) with N sharded over `axis`. Returns (B, N, H, D)
-    sequence-sharded the same way."""
+    sequence-sharded the same way. Each per-device body runs the flash
+    kernel (impl='auto' on TPU) on its local q shard against the gathered
+    kv — the sequence-parallel fast path the round-1 models abandoned.
+
+    batch_axis: mesh axis the batch dim is sharded over (usually "data"
+    inside the models); None keeps the batch replicated per shard group."""
 
     def local(q_shard, k_shard, v_shard):
         k_full = jax.lax.all_gather(k_shard, axis, axis=1, tiled=True)
         v_full = jax.lax.all_gather(v_shard, axis, axis=1, tiled=True)
         return attention(q_shard, k_full, v_full, scale=scale, impl=impl)
 
-    spec = P(None, axis, None, None)
+    spec = P(batch_axis, axis, None, None)
     return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
                      out_specs=spec)(q, k, v)
 
 
 def ring_attention(q, k, v, *, mesh: Mesh, axis: str = "model",
-                   scale: Optional[float] = None):
+                   scale: Optional[float] = None,
+                   batch_axis: Optional[str] = None):
     """Ring attention: kv shards rotate around the ring via ppermute while
     each device accumulates its q-shard's online softmax. Memory stays
     O(N/devices) per device; compute overlaps communication step-to-step.
@@ -103,6 +110,6 @@ def ring_attention(q, k, v, *, mesh: Mesh, axis: str = "model",
             0, n_dev - 1, step, (acc, (k_shard, v_shard)))
         return out.astype(q_shard.dtype)
 
-    spec = P(None, axis, None, None)
+    spec = P(batch_axis, axis, None, None)
     return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
                      out_specs=spec)(q, k, v)

@@ -42,7 +42,6 @@ def _path_str(path) -> str:
 
 def _fsdp_spec(shape, tp_spec, n_data: int):
     """Shard the largest not-yet-sharded dim divisible by n_data."""
-    used = set(a for a in tp_spec if a)
     dims = sorted(range(len(shape)), key=lambda i: -shape[i])
     spec = list(tp_spec) + [None] * (len(shape) - len(tp_spec))
     for i in dims:
@@ -86,16 +85,24 @@ def shard_params(params: Any, shardings: Any) -> Any:
 
 
 def opt_state_shardings(opt_state: Any, params_sharding: Any,
-                        mesh: Mesh) -> Any:
+                        mesh: Mesh, params: Any = None) -> Any:
     """Optimiser-state shardings: optax states embed copies of the params
     pytree (adam mu/nu, multi_transform partitions, masked wrappers) at
-    arbitrary depths. Each opt-state leaf whose path *ends with* a param
-    path (and matches its shape) inherits that param's sharding; every
-    other leaf (step counters, schedule state) replicates."""
+    arbitrary depths. Each opt-state leaf whose path ends with a param path
+    *at a '/' boundary* (and, when `params` is given, matches its shape)
+    inherits that param's sharding; every other leaf (step counters,
+    schedule state) replicates.
+
+    The boundary + shape checks guard against false suffix hits like
+    'a/kernel' matching 'lora_a/kernel' (ADVICE r1)."""
     replicated = NamedSharding(mesh, P())
     by_suffix = {}
     for path, sh in jax.tree_util.tree_flatten_with_path(params_sharding)[0]:
         by_suffix[_path_str(path)] = sh
+    shapes = {}
+    if params is not None:
+        for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+            shapes[_path_str(path)] = leaf.shape
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(opt_state)
     out = []
@@ -103,7 +110,10 @@ def opt_state_shardings(opt_state: Any, params_sharding: Any,
         ps = _path_str(path)
         sh = replicated
         for suffix, cand in by_suffix.items():
-            if ps.endswith(suffix):
+            if ps == suffix or ps.endswith("/" + suffix):
+                if suffix in shapes and getattr(leaf, "shape", None) \
+                        != shapes[suffix]:
+                    continue
                 sh = cand
                 break
         out.append(sh)

@@ -84,11 +84,15 @@ def make_classification_workload(model, config, *, task_type: str,
     # only the VideoMAE head fuses tabular features (ref :928-937)
     supports_features = config.model_type == "videomae"
 
-    def _apply(params, batch, deterministic):
+    def _apply(params, batch, deterministic, key=None):
         kwargs = {}
         if supports_features and "additional_features" in batch:
             kwargs["additional_features"] = batch["additional_features"]
         labels = None if survival else batch.get("labels")
+        if key is not None and not deterministic:
+            # stochastic-depth rng (DropPath calls make_rng('droppath')
+            # when drop_path_rate > 0; unused rngs are harmless)
+            kwargs["rngs"] = {"droppath": key}
         return model.apply(params, batch["pixel_values"], labels=labels,
                            deterministic=deterministic, **kwargs)
 
@@ -102,16 +106,15 @@ def make_classification_workload(model, config, *, task_type: str,
             lambda x: jnp.asarray(x)[:1], example_batch))
         return train_state(params, tx.init(params))
 
-    def loss_of(params, batch, deterministic=False):
-        out = _apply(params, batch, deterministic)
+    def loss_of(params, batch, deterministic=False, key=None):
+        out = _apply(params, batch, deterministic, key)
         if survival:
             risk = out["logits"].squeeze(-1)
             return cox_loss(risk, batch["duration"], batch["event"]), out
         return out["loss"], out
 
     def loss_fn(params, b, key):
-        del key
-        loss, _ = loss_of(params, b)
+        loss, _ = loss_of(params, b, key=key)
         return loss, None
 
     def step_fn(state, batch, key):

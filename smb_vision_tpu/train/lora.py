@@ -118,11 +118,13 @@ def make_lora_classification_workload(model, config, *, task_type: str, tx,
     survival = task_type in ("survival", "cox_regression")
     supports_features = config.model_type == "videomae"
 
-    def _apply(params, batch, deterministic):
+    def _apply(params, batch, deterministic, key=None):
         kwargs = {}
         if supports_features and "additional_features" in batch:
             kwargs["additional_features"] = batch["additional_features"]
         labels = None if survival else batch.get("labels")
+        if key is not None and not deterministic:
+            kwargs["rngs"] = {"droppath": key}
         return model.apply(params, batch["pixel_values"], labels=labels,
                            deterministic=deterministic, **kwargs)
 
@@ -142,10 +144,11 @@ def make_lora_classification_workload(model, config, *, task_type: str, tx,
                            lora_meta={"alpha": jnp.float32(alpha),
                                       "rank": jnp.float32(rank)})
 
-    def loss_of(state_params, trainable, batch, deterministic=False):
+    def loss_of(state_params, trainable, batch, deterministic=False,
+                key=None):
         eff = merge_lora(state_params, trainable, alpha=alpha, rank=rank,
                          train=not deterministic)
-        out = _apply(eff, batch, deterministic)
+        out = _apply(eff, batch, deterministic, key)
         if survival:
             risk = out["logits"].squeeze(-1)
             return cox_loss(risk, batch["duration"], batch["event"]), out
@@ -153,8 +156,7 @@ def make_lora_classification_workload(model, config, *, task_type: str, tx,
 
     def step_fn(state, batch, key):
         def f(trainable, b, k):
-            del k
-            return loss_of(state["params"], trainable, b)[0], None
+            return loss_of(state["params"], trainable, b, key=k)[0], None
 
         loss, _, grads = accumulate_gradients(
             f, state["lora"], batch, key, grad_accum)

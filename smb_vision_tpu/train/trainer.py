@@ -126,7 +126,8 @@ class Trainer:
             t_sh = param_shardings(state["teacher"], self.mesh,
                                    policy=args.sharding_policy)
             out["teacher"] = shard_params(state["teacher"], t_sh)
-        o_sh = opt_state_shardings(state["opt_state"], p_sh, self.mesh)
+        o_sh = opt_state_shardings(state["opt_state"], p_sh, self.mesh,
+                                   params=state["params"])
         out["opt_state"] = jax.device_put(state["opt_state"], o_sh)
         repl = replicated(self.mesh)
         for k, v in state.items():

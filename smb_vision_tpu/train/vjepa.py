@@ -51,8 +51,10 @@ def make_vjepa_workload(config: VJEPA2Config, *,
         return train_state(params, tx.init(params), teacher=teacher)
 
     def loss_for(params, teacher, px, key):
-        tb = gen_mask(key, px.shape[0])
-        out = model.apply(params, px, target_bool=tb, deterministic=False)
+        mask_key, dp_key = jax.random.split(key)
+        tb = gen_mask(mask_key, px.shape[0])
+        out = model.apply(params, px, target_bool=tb, deterministic=False,
+                          rngs={"droppath": dp_key})
         tgt = model.apply(teacher, px, target_bool=tb, skip_predictor=True)[
             "last_hidden_state"]
         return vjepa_loss(out["predictor_output"],

@@ -68,3 +68,55 @@ def test_sequence_parallel_train_step(eight_devices):
         l0, params, opt = step(params, opt, px, mask)
         l1, params, opt = step(params, opt, px, mask)
     assert np.isfinite(float(l0)) and float(l1) < float(l0)
+
+
+def test_sequence_parallel_uses_flash_wrapper(eight_devices, monkeypatch):
+    """The SP model path must route attention through the shard_map CP
+    wrapper (which runs the Pallas kernel per shard on TPU) — round 1
+    silently fell back to O(N^2) XLA attention."""
+    import smb_vision_tpu.models.layers as layers_mod
+    import smb_vision_tpu.parallel.context as ctx_mod
+
+    calls = {"cp": 0}
+    real = ctx_mod.context_parallel_attention
+
+    def spy(*a, **kw):
+        calls["cp"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ctx_mod, "context_parallel_attention", spy)
+
+    mesh = create_mesh(model=4, devices=eight_devices)
+    px = jax.random.normal(KEY, (2, 16, 1, 32, 32))
+    M = num_masked_tokens(32, 16, 8, 8, 0.5)
+    mask = mim_mask(KEY, 2, input_size=32, depth=16, mask_patch_size=8,
+                    model_patch_size=8, mask_ratio=0.5)
+    model = VideoMAEForPreTraining(_cfg(True))
+    params = VideoMAEForPreTraining(_cfg(False)).init(KEY, px, mask, M)
+    with jax.set_mesh(mesh):
+        loss = float(model.apply(params, px, mask, M)["loss"])
+    assert np.isfinite(loss)
+    # encoder 2 layers + decoder 1 layer = 3 attention calls
+    assert calls["cp"] == 3, calls
+
+
+def test_sequence_parallel_ring_variant_matches_dense(eight_devices):
+    mesh = create_mesh(model=4, devices=eight_devices)
+    B = 2
+    px = jax.random.normal(KEY, (B, 16, 1, 32, 32))
+    M = num_masked_tokens(32, 16, 8, 8, 0.5)
+    mask = mim_mask(KEY, B, input_size=32, depth=16, mask_patch_size=8,
+                    model_patch_size=8, mask_ratio=0.5)
+
+    dense = VideoMAEForPreTraining(_cfg(False))
+    params = dense.init(KEY, px, mask, M)
+    loss_dense = float(dense.apply(params, px, mask, M)["loss"])
+
+    cfg = _cfg(True)
+    import dataclasses
+    cfg = dataclasses.replace(cfg, sp_variant="ring")
+    ring_model = VideoMAEForPreTraining(cfg)
+    with jax.set_mesh(mesh):
+        fwd = jax.jit(lambda p, x, m: ring_model.apply(p, x, m, M)["loss"])
+        loss_ring = float(fwd(params, px, mask))
+    np.testing.assert_allclose(loss_ring, loss_dense, rtol=3e-5)

@@ -110,3 +110,24 @@ def test_sharded_train_step_runs(eight_devices):
     loss1, params, _ = step(params, opt_state, px, mask)
     assert np.isfinite(float(loss0)) and np.isfinite(float(loss1))
     assert float(loss1) < float(loss0) * 1.5
+
+
+def test_opt_state_sharding_suffix_boundary(eight_devices):
+    """'a/kernel' must NOT inherit 'lora_a/kernel' sharding (ADVICE r1):
+    matches only at '/' boundaries and only when shapes agree."""
+    mesh = create_mesh()
+    params = {"lora_a": {"kernel": jnp.zeros((16, 8))},
+              "a": {"kernel": jnp.zeros((4, 4))}}
+    p_sh = {"lora_a": {"kernel": NamedSharding(mesh, P("data", None))},
+            "a": {"kernel": NamedSharding(mesh, P())}}
+    # fake opt state mirroring params (adam mu)
+    opt = {"mu": params, "count": jnp.zeros(())}
+    o_sh = opt_state_shardings(opt, p_sh, mesh, params=params)
+    assert o_sh["mu"]["a"]["kernel"].spec == P()
+    assert o_sh["mu"]["lora_a"]["kernel"].spec == P("data", None)
+    assert o_sh["count"].spec == P()
+
+    # shape mismatch at a matching path -> falls back to replicated
+    opt2 = {"mu": {"a": {"kernel": jnp.zeros((2, 2))}}}
+    o_sh2 = opt_state_shardings(opt2, p_sh, mesh, params=params)
+    assert o_sh2["mu"]["a"]["kernel"].spec == P()

@@ -229,3 +229,69 @@ def test_classification_workload_grad_accum_steps(rng):
     for a, b in zip(leaves, leaves1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-6)
+
+
+def test_sliding_window_embed_gaussian_token_weighting(rng):
+    """mode='gaussian' must actually weight tokens (round-1: it silently
+    behaved like 'constant'). Pooled: weighted mean favouring centre tokens;
+    unpooled: mean-preserving per-token scaling."""
+    from smb_vision_tpu.inference.sliding_window import (
+        sliding_window_embed,
+        token_weights,
+    )
+
+    vol = jnp.asarray(rng.normal(size=(1, 1, 8, 8, 8)).astype(np.float32))
+
+    # embedder: 64 tokens on a 4x4x4 grid; token value = its flat index
+    # (asymmetric values, so gaussian weighting must shift the pooled mean)
+    def embedder(x):
+        n = x.shape[0]
+        return jnp.broadcast_to(jnp.arange(64.0)[None, :, None], (n, 64, 4))
+
+    emb_c, _ = sliding_window_embed(vol, (8, 8, 8), embedder, pool=True,
+                                    mode="constant")
+    emb_g, _ = sliding_window_embed(vol, (8, 8, 8), embedder, pool=True,
+                                    mode="gaussian")
+    # 4x4x4 token grid (patch 2): centre tokens must outweigh corners
+    w64 = np.asarray(token_weights((8, 8, 8), 64, "gaussian"))
+    centre = w64.reshape(4, 4, 4)[1:3, 1:3, 1:3].mean()
+    corner = w64.reshape(4, 4, 4)[0, 0, 0]
+    assert centre > corner * 2
+    # pooled gaussian is the w-weighted mean of token values
+    expect = (w64 * np.arange(64.0)).sum() / w64.sum()
+    np.testing.assert_allclose(np.asarray(emb_g)[0, 0, 0], expect, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(emb_c)[0, 0, 0], 31.5, rtol=1e-6)
+
+    # unpooled: mean-preserving scaling (weights normalised to mean 1)
+    emb_u, _ = sliding_window_embed(vol, (8, 8, 8), embedder, pool=False,
+                                    mode="gaussian")
+    assert emb_u.shape[2] == 64
+    scaled = np.arange(64.0) * (w64 / w64.mean())
+    np.testing.assert_allclose(np.asarray(emb_u)[0, 0, :, 0], scaled,
+                               rtol=1e-5)
+
+    # non-factorable token count -> clear error
+    import pytest
+    with pytest.raises(ValueError, match="token grid"):
+        token_weights((8, 8, 8), 7, "gaussian")
+
+
+def test_drop_path_trains_with_rngs(rng):
+    """drop_path_rate > 0 must train (round-1: missing-RNG trace error)."""
+    from smb_vision_tpu.models.configs import VJEPA2Config
+    from smb_vision_tpu.train.vjepa import make_vjepa_workload
+
+    cfg = VJEPA2Config(crop_size=32, frames_per_clip=16, patch_size=8,
+                       tubelet_size=8, in_chans=1, hidden_size=32,
+                       num_hidden_layers=2, num_attention_heads=2,
+                       mlp_ratio=2.0, pred_hidden_size=16,
+                       pred_num_hidden_layers=1, pred_num_attention_heads=2,
+                       pred_num_mask_tokens=4, drop_path_rate=0.5,
+                       dtype="float32", attn_impl="xla")
+    _, init_fn, step_fn, eval_fn = make_vjepa_workload(
+        cfg, tx=optax.sgd(1e-3))
+    state = init_fn(jax.random.PRNGKey(0))
+    px = jnp.asarray(rng.normal(size=(2, 16, 1, 32, 32)).astype(np.float32))
+    state, metrics = jax.jit(step_fn)(
+        state, {"pixel_values": px}, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
