@@ -396,12 +396,18 @@ AxisTab axis_table(int64_t in_n, double in_sp, double out_sp,
   int64_t rs = static_cast<int64_t>(std::ceil(in_n * in_sp / out_sp - 1e-4));
   if (rs < 1) rs = 1;
   int64_t off = rs >= target ? (rs / 2 - target / 2) : -((target - rs) / 2);
-  double scale = static_cast<double>(in_n) / static_cast<double>(rs);
+  // MONAI Spacingd convention: src = dst * (out_sp / in_sp), origin-voxel-
+  // aligned (zoom_affine keeps the translation), edges clamped ('border').
+  // Matches smb_vision_tpu/data/preprocess.py::_trilinear_resize and the
+  // torch grid_sample goldens in tests/test_data.py.
+  double scale = out_sp / in_sp;
   AxisTab t;
   for (int64_t d = 0; d < target; ++d) {
     int64_t r = d + off;
     if (r < 0 || r >= rs) continue;
-    double f = (r + 0.5) * scale - 0.5;
+    double f = r * scale;
+    if (f < 0) f = 0;
+    if (f > static_cast<double>(in_n - 1)) f = static_cast<double>(in_n - 1);
     int64_t a = static_cast<int64_t>(std::floor(f));
     float w = static_cast<float>(f - a);
     int64_t aa = a < 0 ? 0 : (a >= in_n ? in_n - 1 : a);

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 # bump when preprocessing numerics change — invalidates disk caches
-PREPROCESS_VERSION = "2"
+PREPROCESS_VERSION = "3"
 
 # ---------------------------------------------------------------------------
 # Orientation (host, zero-copy views)
@@ -113,19 +113,27 @@ def resampled_shape(in_shape, in_spacing, out_spacing) -> Tuple[int, ...]:
         for s, si, so in zip(in_shape, in_spacing, out_spacing))
 
 
-def _trilinear_resize(vol: jax.Array, out_shape) -> jax.Array:
+def _trilinear_resize(vol: jax.Array, out_shape, scales) -> jax.Array:
     """Pure (non-anti-aliased) separable trilinear resampling with the
-    half-pixel convention: src = (dst + 0.5) * in/out - 0.5, edges clamped.
+    MONAI Spacingd convention: src = dst * (out_spacing / in_spacing),
+    origin-voxel-aligned, edges clamped (padding_mode='border').
+
+    MONAI's Spacing builds dst->src as inv(src_affine) @ zoom_affine(...)
+    — zoom_affine rescales the direction columns and KEEPS the translation
+    (/root/reference/src/dataloader/transforms.py:222-312 chains Spacingd),
+    so voxel 0 of the output lands exactly on voxel 0 of the input and the
+    per-axis scale is the spacing ratio, not the shape ratio. Verified
+    against torch grid_sample goldens in tests/test_data.py.
 
     NOT jax.image.resize: that anti-aliases on downscale (triangle filter
-    widened by the scale factor), while the reference's MONAI Spacingd /
-    torch grid_sample do point-sampled trilinear — matching them keeps
-    embeddings consistent (and matches csrc/ctloader.cpp exactly)."""
-    for axis, out_n in enumerate(out_shape):
+    widened by the scale factor), while MONAI/grid_sample point-sample.
+    Matches csrc/ctloader.cpp exactly."""
+    for axis, (out_n, scale) in enumerate(zip(out_shape, scales)):
         in_n = vol.shape[axis]
-        if in_n == out_n:
+        if in_n == out_n and abs(scale - 1.0) < 1e-12:
             continue
-        f = (jnp.arange(out_n, dtype=jnp.float32) + 0.5) * (in_n / out_n) - 0.5
+        f = jnp.arange(out_n, dtype=jnp.float32) * scale
+        f = jnp.clip(f, 0.0, in_n - 1)
         i0 = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, in_n - 1)
         i1 = jnp.clip(i0 + 1, 0, in_n - 1)
         w = jnp.clip(f - jnp.floor(f), 0.0, 1.0)
@@ -138,14 +146,14 @@ def _trilinear_resize(vol: jax.Array, out_shape) -> jax.Array:
     return vol
 
 
-@functools.partial(jax.jit, static_argnames=("out_shape", "hu", "rng",
-                                             "clip", "target"))
-def _device_resample_window_fit(vol: jax.Array, out_shape, hu, rng, clip,
-                                target) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("out_shape", "scales", "hu",
+                                             "rng", "clip", "target"))
+def _device_resample_window_fit(vol: jax.Array, out_shape, scales, hu, rng,
+                                clip, target) -> jax.Array:
     """volume (H, W, D) float -> resample to out_shape -> window -> pad/crop
     to target. One fused compiled program per (in_shape, out_shape)."""
     vol = vol.astype(jnp.float32)
-    vol = _trilinear_resize(vol, out_shape)
+    vol = _trilinear_resize(vol, out_shape, scales)
     a_min, a_max = hu
     b_min, b_max = rng
     vol = (vol - a_min) / (a_max - a_min) * (b_max - b_min) + b_min
@@ -168,14 +176,14 @@ def _device_resample_window_fit(vol: jax.Array, out_shape, hu, rng, clip,
     return vol[tuple(slices)]
 
 
-@functools.partial(jax.jit, static_argnames=("out_shape", "hu", "rng",
-                                             "clip"))
-def _device_resample_window(vol: jax.Array, out_shape, hu, rng,
+@functools.partial(jax.jit, static_argnames=("out_shape", "scales", "hu",
+                                             "rng", "clip"))
+def _device_resample_window(vol: jax.Array, out_shape, scales, hu, rng,
                             clip) -> jax.Array:
     """Resample + window WITHOUT the fixed-size fit — used by the
     sliding-window path, which keeps the native (resampled) extent."""
     vol = vol.astype(jnp.float32)
-    vol = _trilinear_resize(vol, out_shape)
+    vol = _trilinear_resize(vol, out_shape, scales)
     a_min, a_max = hu
     b_min, b_max = rng
     vol = (vol - a_min) / (a_max - a_min) * (b_max - b_min) + b_min
@@ -196,9 +204,10 @@ def preprocess_volume_full(data: np.ndarray, affine: np.ndarray,
     data, affine = to_ras(data, affine)
     spacing = tuple(float(np.linalg.norm(affine[:3, i])) for i in range(3))
     out_shape = resampled_shape(data.shape, spacing, cfg.target_spacing)
+    scales = tuple(so / si for si, so in zip(spacing, cfg.target_spacing))
     vol = jnp.asarray(np.ascontiguousarray(data, dtype=np.float32))
     out = np.asarray(_device_resample_window(
-        vol, out_shape, cfg.hu_window, cfg.out_range, cfg.clip))
+        vol, out_shape, scales, cfg.hu_window, cfg.out_range, cfg.clip))
     # pad (after resampling — padding the resize target would change the
     # effective spacing) so window tiling sees round sizes
     pads = [(0, (-s) % pad_multiple) for s in out.shape]
@@ -223,10 +232,11 @@ def preprocess_volume(data: np.ndarray, affine: np.ndarray,
     data, affine = to_ras(data, affine)
     spacing = tuple(float(np.linalg.norm(affine[:3, i])) for i in range(3))
     out_shape = resampled_shape(data.shape, spacing, cfg.target_spacing)
+    scales = tuple(so / si for si, so in zip(spacing, cfg.target_spacing))
 
     vol = jnp.asarray(np.ascontiguousarray(data, dtype=np.float32))
     out = _device_resample_window_fit(
-        vol, out_shape, cfg.hu_window, cfg.out_range, cfg.clip,
+        vol, out_shape, scales, cfg.hu_window, cfg.out_range, cfg.clip,
         cfg.target_size)
     out = np.asarray(out)
 

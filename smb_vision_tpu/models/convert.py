@@ -354,6 +354,97 @@ def export_hf_videomae(params, num_layers: int, decoder_layers: int = 0
     return out
 
 
+def export_hf_vjepa2(params, num_layers: int, pred_layers: int = 0,
+                     pooler_self_layers: int = 0, *, wrap: bool = False,
+                     conv_name: str = "proj") -> Dict[str, np.ndarray]:
+    """flax VJEPA2Model / VJEPA2ForVideoClassification params -> HF torch
+    state dict arrays (inverse of convert_hf_vjepa2) — the push_to_hub
+    round-trip the reference publishes with (upload_model.py:6-23,
+    run_mim.py:464-467).
+
+    wrap=True prefixes backbone keys with 'vjepa2.' (the
+    VJEPA2ForVideoClassification layout); conv_name selects the patch-embed
+    conv key: 'proj' (upstream HF transformers) or 'proj_3d' (the
+    reference's vendored modeling_vjepa.py:119). convert_hf_vjepa2 accepts
+    both, so export -> convert is the identity either way."""
+    flat = flatten_params(params)
+    out: Dict[str, np.ndarray] = {}
+
+    def put(src, dst, fn=np.asarray):
+        if src in flat:
+            out[dst] = fn(flat[src])
+
+    if not any(k.startswith("params.encoder.") for k in flat):
+        raise ValueError("params do not look like a VJEPA2 pytree "
+                         "(missing params.encoder.*)")
+    base = "vjepa2." if wrap else ""
+    e = base + "encoder."
+    put("params.encoder.patch_embed_kernel",
+        e + f"embeddings.patch_embeddings.{conv_name}.weight")
+    put("params.encoder.patch_embed_bias",
+        e + f"embeddings.patch_embeddings.{conv_name}.bias")
+    for i in range(num_layers):
+        _invert_block(flat, "params.encoder.encoder", i, out,
+                      e + "layer", "vjepa")
+    put("params.encoder.layernorm.scale", e + "layernorm.weight")
+    put("params.encoder.layernorm.bias", e + "layernorm.bias")
+
+    p = base + "predictor."
+    put("params.predictor.predictor_embeddings.kernel",
+        p + "embeddings.predictor_embeddings.weight", _t)
+    put("params.predictor.predictor_embeddings.bias",
+        p + "embeddings.predictor_embeddings.bias")
+    put("params.predictor.mask_tokens", p + "embeddings.mask_tokens")
+    for i in range(pred_layers):
+        _invert_block(flat, "params.predictor.stack", i, out,
+                      p + "layer", "vjepa")
+    put("params.predictor.layernorm.scale", p + "layernorm.weight")
+    put("params.predictor.layernorm.bias", p + "layernorm.bias")
+    put("params.predictor.proj.kernel", p + "proj.weight", _t)
+    put("params.predictor.proj.bias", p + "proj.bias")
+
+    # attentive pooler + classifier (inverse of the pooler branch above)
+    o = "params.pooler."
+    if any(k.startswith(o) for k in flat):
+        pool = "pooler."
+        put(o + "query_tokens", pool + "query_tokens")
+        c = pool + "cross_attention_layer."
+        put(o + "cross_norm1.scale", c + "layer_norm1.weight")
+        put(o + "cross_norm1.bias", c + "layer_norm1.bias")
+        put(o + "cross_norm2.scale", c + "layer_norm2.weight")
+        put(o + "cross_norm2.bias", c + "layer_norm2.bias")
+        for hf_n, our_n in (("q_proj", "query"), ("k_proj", "key"),
+                            ("v_proj", "value")):
+            put(o + f"cross_attn.{our_n}.kernel",
+                c + f"cross_attn.{hf_n}.weight", _t)
+            put(o + f"cross_attn.{our_n}.bias",
+                c + f"cross_attn.{hf_n}.bias")
+        put(o + "cross_mlp.fc1.kernel", c + "mlp.fc1.weight", _t)
+        put(o + "cross_mlp.fc1.bias", c + "mlp.fc1.bias")
+        put(o + "cross_mlp.fc2.kernel", c + "mlp.fc2.weight", _t)
+        put(o + "cross_mlp.fc2.bias", c + "mlp.fc2.bias")
+        for i in range(pooler_self_layers):
+            sl = f"{pool}self_attention_layers.{i}."
+            ol = o + f"self_layer_{i}_"
+            put(ol + "norm1.scale", sl + "layer_norm1.weight")
+            put(ol + "norm1.bias", sl + "layer_norm1.bias")
+            put(ol + "norm2.scale", sl + "layer_norm2.weight")
+            put(ol + "norm2.bias", sl + "layer_norm2.bias")
+            for hf_n, our_n in (("q_proj", "query"), ("k_proj", "key"),
+                                ("v_proj", "value"), ("out_proj", "proj")):
+                put(ol + f"attn.{our_n}.kernel",
+                    sl + f"self_attn.{hf_n}.weight", _t)
+                put(ol + f"attn.{our_n}.bias",
+                    sl + f"self_attn.{hf_n}.bias")
+            put(ol + "mlp.fc1.kernel", sl + "mlp.fc1.weight", _t)
+            put(ol + "mlp.fc1.bias", sl + "mlp.fc1.bias")
+            put(ol + "mlp.fc2.kernel", sl + "mlp.fc2.weight", _t)
+            put(ol + "mlp.fc2.bias", sl + "mlp.fc2.bias")
+    put("params.classifier.kernel", "classifier.weight", _t)
+    put("params.classifier.bias", "classifier.bias")
+    return out
+
+
 def load_hf_checkpoint_numpy(path: str) -> Dict[str, np.ndarray]:
     """Load an HF checkpoint directory/file to a flat numpy dict
     (safetensors preferred, torch .bin fallback)."""

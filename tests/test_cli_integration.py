@@ -119,3 +119,55 @@ def test_vjepa_cli_smoke(dataset, tmp_path):
     metrics = [json.loads(line)
                for line in (out / "metrics.jsonl").read_text().splitlines()]
     assert all(np.isfinite(m["loss"]) for m in metrics if "loss" in m)
+
+
+def test_export_hf_script_vjepa2(tmp_path):
+    """scripts/export_hf.py: saved checkpoint -> HF-loadable state dict ->
+    convert back reproduces the pytree."""
+    import jax
+    import jax.numpy as jnp
+
+    from smb_vision_tpu.models.configs import VJEPA2Config
+    from smb_vision_tpu.models.convert import convert_hf_vjepa2
+    from smb_vision_tpu.models.vjepa import VJEPA2Model
+    from smb_vision_tpu.utils.serialization import (
+        flatten_params,
+        save_params_safetensors,
+    )
+
+    cfg = VJEPA2Config(crop_size=32, frames_per_clip=16, patch_size=16,
+                       tubelet_size=16, in_chans=1, hidden_size=32,
+                       num_hidden_layers=1, num_attention_heads=2,
+                       pred_hidden_size=16, pred_num_hidden_layers=1,
+                       pred_num_attention_heads=2, pred_num_mask_tokens=4,
+                       dtype="float32", attn_impl="xla")
+    model = VJEPA2Model(cfg)
+    px = jnp.zeros((1, 16, 1, 32, 32))
+    params = model.init(jax.random.PRNGKey(0), px, skip_predictor=True)
+
+    model_dir = tmp_path / "trained"
+    model_dir.mkdir()
+    save_params_safetensors(params["params"],
+                            model_dir / "model.safetensors")
+    cfg.save_json(model_dir / "config.json")
+
+    import sys
+    sys.path.insert(0, "scripts")
+    from export_hf import main as export_main
+
+    out = tmp_path / "hf"
+    export_main(["--model_dir", str(model_dir), "--out", str(out)])
+    assert (out / "model.safetensors").exists()
+
+    from safetensors.numpy import load_file
+
+    state = load_file(str(out / "model.safetensors"))
+    assert any(k.startswith("encoder.layer.0.") for k in state), list(state)
+    back = convert_hf_vjepa2(state, num_layers=1, pred_layers=1)
+    ours_flat = flatten_params(params)
+    back_flat = flatten_params(back)
+    assert set(back_flat) == set(ours_flat)
+    for k in ours_flat:
+        np.testing.assert_allclose(np.asarray(back_flat[k]),
+                                   np.asarray(ours_flat[k]), atol=1e-7,
+                                   err_msg=k)

@@ -250,3 +250,66 @@ def test_videomae_export_roundtrip_into_torch():
                                **TOL)
     np.testing.assert_allclose(float(out["loss"]), float(ref.loss),
                                rtol=1e-4)
+
+
+def test_vjepa2_export_roundtrip_into_torch():
+    """ours -> HF state dict -> load into upstream torch VJEPA2Model ->
+    identical encoder/predictor outputs (the push_to_hub round trip for the
+    V-JEPA flagship, reference upload_model.py:6-23)."""
+    from transformers import VJEPA2Config as HFConfig
+    from transformers import VJEPA2Model as HFModel
+
+    from smb_vision_tpu.models.configs import VJEPA2Config
+    from smb_vision_tpu.models.convert import export_hf_vjepa2
+    from smb_vision_tpu.models.vjepa import VJEPA2Model
+
+    kw = dict(patch_size=8, crop_size=32, frames_per_clip=16, tubelet_size=8,
+              in_chans=1, hidden_size=48, num_attention_heads=2,
+              num_hidden_layers=2, pred_hidden_size=24,
+              pred_num_attention_heads=2, pred_num_hidden_layers=2,
+              pred_num_mask_tokens=4)
+    ours_cfg = VJEPA2Config(dtype="float32", attn_impl="xla", **kw)
+    ours = VJEPA2Model(ours_cfg)
+    x = np.random.default_rng(0).normal(size=(1, 16, 1, 32, 32)).astype(
+        np.float32)
+    n = ours_cfg.seq_len
+    ctx_idx = np.arange(0, n, 2)
+    tgt_idx = np.arange(1, n, 2)
+    params = ours.init(jax.random.PRNGKey(7), jnp.asarray(x),
+                       context_mask=[jnp.asarray(ctx_idx)[None]],
+                       target_mask=[jnp.asarray(tgt_idx)[None]])
+
+    state = export_hf_vjepa2(params, num_layers=2, pred_layers=2)
+    hf = HFModel(HFConfig(**kw)).eval()
+    missing, unexpected = hf.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in state.items()}, strict=False)
+    assert not unexpected, unexpected
+    assert not missing, missing
+
+    with torch.no_grad():
+        ref = hf(pixel_values_videos=torch.from_numpy(x),
+                 context_mask=[torch.tensor(ctx_idx)[None]],
+                 target_mask=[torch.tensor(tgt_idx)[None]])
+    out = ours.apply(params, jnp.asarray(x),
+                     context_mask=[jnp.asarray(ctx_idx)[None]],
+                     target_mask=[jnp.asarray(tgt_idx)[None]])
+    np.testing.assert_allclose(
+        np.asarray(out["last_hidden_state"]),
+        ref.last_hidden_state.numpy(), **TOL)
+    np.testing.assert_allclose(
+        np.asarray(out["predictor_output"]),
+        ref.predictor_output.last_hidden_state.numpy(), **TOL)
+
+    # and the identity: export -> convert reproduces the original pytree
+    back = convert_hf_vjepa2(state, num_layers=2, pred_layers=2)
+    from smb_vision_tpu.utils.serialization import flatten_params
+
+    ours_flat = flatten_params(params)
+    back_flat = flatten_params(back)
+    assert set(back_flat) == set(ours_flat), (
+        set(ours_flat) ^ set(back_flat))
+    for k in ours_flat:
+        np.testing.assert_allclose(np.asarray(back_flat[k]),
+                                   np.asarray(ours_flat[k]), atol=1e-7,
+                                   err_msg=k)
