@@ -98,7 +98,10 @@ class CTDataset:
             return native_preprocess_volume(item[self.image_key],
                                             self.pipeline)
         img = load_nifti(item[self.image_key])
-        return preprocess_volume(img.data, img.affine, self.pipeline)
+        # bucket=32 bounds jit recompiles over mixed CT geometries (one
+        # compile per padded input bucket; numerics identical to exact)
+        return preprocess_volume(img.data, img.affine, self.pipeline,
+                                 bucket=32)
 
     def load_volume(self, item: Dict) -> np.ndarray:
         cache = self._cache_path(item)

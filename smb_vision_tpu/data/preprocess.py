@@ -216,15 +216,73 @@ def preprocess_volume_full(data: np.ndarray, affine: np.ndarray,
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("hu", "rng", "clip", "target"))
+def _device_fit_dynamic(vol: jax.Array, true_shape: jax.Array,
+                        scales: jax.Array, hu, rng, clip,
+                        target) -> jax.Array:
+    """Bucketed variant of _device_resample_window_fit: ONE compiled
+    program per padded input bucket, with the resample geometry (true
+    input extent, spacing ratios, crop offsets) as runtime values.
+
+    Fuses Spacingd + window + SpatialPadd + CenterSpatialCropd by mapping
+    every target voxel directly to its source coordinate:
+      r  = d + off          (off from MONAI center pad/crop arithmetic)
+      src = r * scale        (origin-aligned Spacingd map)
+      out-of-range r -> pad value.
+    Numerically identical to the static path (same gather weights);
+    verified in tests/test_data.py::test_preprocess_bucketed_matches_exact.
+    """
+    vol = vol.astype(jnp.float32)
+    a_min, a_max = hu
+    b_min, b_max = rng
+
+    valids = []
+    for axis, tgt in enumerate(target):
+        in_n = true_shape[axis]
+        scale = scales[axis]
+        # resampled extent rs = ceil(in_n * si/so - 1e-4) = ceil(in_n/scale)
+        rs = jnp.ceil(in_n.astype(jnp.float32) / scale - 1e-4).astype(
+            jnp.int32)
+        rs = jnp.maximum(rs, 1)
+        # MONAI pad-then-crop offset: r = d + off
+        off = jnp.where(rs >= tgt, rs // 2 - tgt // 2, -((tgt - rs) // 2))
+        d = jnp.arange(tgt, dtype=jnp.int32)
+        r = d + off
+        valid = (r >= 0) & (r < rs)
+        f = r.astype(jnp.float32) * scale.astype(jnp.float32)
+        f = jnp.clip(f, 0.0, (in_n - 1).astype(jnp.float32))
+        i0 = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, in_n - 1)
+        i1 = jnp.clip(i0 + 1, 0, in_n - 1)
+        w = jnp.clip(f - jnp.floor(f), 0.0, 1.0)
+        a = jnp.take(vol, i0, axis=axis)
+        b = jnp.take(vol, i1, axis=axis)
+        shape = [1, 1, 1]
+        shape[axis] = tgt
+        vol = a * (1.0 - w.reshape(shape)) + b * w.reshape(shape)
+        valids.append(valid.reshape(shape))
+
+    vol = (vol - a_min) / (a_max - a_min) * (b_max - b_min) + b_min
+    if clip:
+        vol = jnp.clip(vol, min(b_min, b_max), max(b_min, b_max))
+    mask = valids[0] & valids[1] & valids[2]
+    return jnp.where(mask, vol, b_min)
+
+
 def preprocess_volume(data: np.ndarray, affine: np.ndarray,
                       pipeline: str | PreprocessConfig,
-                      device: Optional[jax.Device] = None) -> np.ndarray:
+                      device: Optional[jax.Device] = None,
+                      bucket: Optional[int] = None) -> np.ndarray:
     """Full chain for one volume: RAS reorient (host) + device
     resample/window/pad/crop. Returns the model-input array:
 
       layout "DCHW": (D, 1, H, W)  — depth-as-frames (PermuteImage,
                       transforms.py:84-93: (C,H,W,D) -> (D,C,H,W))
       layout "CHWD": (1, H, W, D)
+
+    bucket: pad the input to a multiple of `bucket` per axis and use the
+    dynamic-geometry kernel — bounds jit compiles to one per input-shape
+    bucket over arbitrarily varied CT geometries (the round-1 path
+    compiled once per distinct volume shape).
     """
     cfg = CT_PIPELINES[pipeline] if isinstance(pipeline, str) else pipeline
     if data.ndim == 4:  # drop trailing singleton (time) dims
@@ -234,10 +292,20 @@ def preprocess_volume(data: np.ndarray, affine: np.ndarray,
     out_shape = resampled_shape(data.shape, spacing, cfg.target_spacing)
     scales = tuple(so / si for si, so in zip(spacing, cfg.target_spacing))
 
-    vol = jnp.asarray(np.ascontiguousarray(data, dtype=np.float32))
-    out = _device_resample_window_fit(
-        vol, out_shape, scales, cfg.hu_window, cfg.out_range, cfg.clip,
-        cfg.target_size)
+    if bucket:
+        true_shape = np.asarray(data.shape, np.int32)
+        pads = [(0, (-s) % bucket) for s in data.shape]
+        if any(p[1] for p in pads):
+            data = np.pad(data, pads)
+        vol = jnp.asarray(np.ascontiguousarray(data, dtype=np.float32))
+        out = _device_fit_dynamic(
+            vol, jnp.asarray(true_shape), jnp.asarray(scales, jnp.float32),
+            cfg.hu_window, cfg.out_range, cfg.clip, cfg.target_size)
+    else:
+        vol = jnp.asarray(np.ascontiguousarray(data, dtype=np.float32))
+        out = _device_resample_window_fit(
+            vol, out_shape, scales, cfg.hu_window, cfg.out_range, cfg.clip,
+            cfg.target_size)
     out = np.asarray(out)
 
     if cfg.layout == "DCHW":

@@ -67,6 +67,7 @@ class TrainingArguments:
     # parallelism
     sharding_policy: str = "dp"      # dp | fsdp | tp | fsdp+tp
     model_parallel: int = 1
+    dcn_slices: int = 1              # multi-slice: data axis spans DCN
     # perf accounting
     model_flops_per_sample: Optional[float] = None
 
@@ -96,7 +97,8 @@ class Trainer:
                  compute_metrics: Optional[Callable] = None,
                  mesh=None, donate: bool = True):
         self.args = args
-        self.mesh = mesh or create_mesh(model=args.model_parallel)
+        self.mesh = mesh or create_mesh(model=args.model_parallel,
+                                        dcn=args.dcn_slices)
         self.train_loader = train_loader
         self.eval_loader = eval_loader
         self.eval_fn = eval_fn
@@ -308,28 +310,54 @@ class Trainer:
         if self.eval_loader is None or self.eval_fn is None:
             return {}
         losses, preds, labels = [], [], []
-        from smb_vision_tpu.data.dataset import prefetch_to_device
+
+        # Fixed eval batch: partial final batches are padded (repeating the
+        # last row) to the first batch's size so eval_fn compiles exactly
+        # once. Padded rows are sliced off logits/labels, so metrics are
+        # exact; only the final batch's *loss* value includes the duplicated
+        # rows — its contribution is weighted by the true count.
+        # (Round 1 replicated odd batches -> one multi-minute TPU compile
+        # per distinct shape.)
+        target_b = {"n": None}
+
         n_data = self.mesh.shape["data"]
-        from smb_vision_tpu.parallel.mesh import replicated
-        repl = replicated(self.mesh)
 
-        def eval_sharding(batch):
-            # partial final batches can't shard on the data axis; replicate
+        def pad_batch(batch):
             first = jax.tree_util.tree_leaves(batch)[0]
-            return self.batch_sh if first.shape[0] % n_data == 0 else repl
+            n = first.shape[0]
+            if target_b["n"] is None:
+                # divisible by the data axis even if the whole dataset is
+                # smaller than one eval batch
+                target_b["n"] = -(-n // n_data) * n_data
+            tb = target_b["n"]
+            if n == tb:
+                return batch, n
+            pad = tb - n
+            batch = jax.tree_util.tree_map(
+                lambda x: np.concatenate(
+                    [np.asarray(x)] + [np.asarray(x)[-1:]] * pad), batch)
+            return batch, n
 
-        for batch in prefetch_to_device(self.eval_loader,
-                                        sharding_fn=eval_sharding):
+        for raw in self.eval_loader:
+            batch, n_true = pad_batch(raw)
+            batch = jax.device_put(batch, self.batch_sh)
             out = self.eval_fn(self.state, batch)
             if "loss" in out:
-                losses.append(float(out["loss"]))
+                losses.append((float(out["loss"]), n_true))
             if "logits" in out:
-                preds.append(np.asarray(out["logits"]))
+                preds.append(np.asarray(out["logits"])[:n_true])
             if "labels" in out:
-                labels.append(out["labels"])
+                lab = out["labels"]
+                if isinstance(lab, dict):
+                    lab = {k: np.asarray(v)[:n_true] for k, v in lab.items()}
+                else:
+                    lab = np.asarray(lab)[:n_true]
+                labels.append(lab)
         rec: Dict[str, float] = {}
         if losses:
-            rec["eval_loss"] = float(np.mean(losses))
+            tot = sum(w for _, w in losses)
+            rec["eval_loss"] = float(
+                sum(l * w for l, w in losses) / max(tot, 1))
         if preds and self.compute_metrics:
             preds_all = np.concatenate(preds)
             labels_all = _concat_labels(labels)

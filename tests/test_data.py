@@ -331,3 +331,44 @@ def test_native_loader_matches_torch_goldens(tmp_path, rng):
         out_range=cfg.out_range)
     assert status[0] == 0
     assert np.abs(nat[0] - golden).max() < 1e-3
+
+
+def test_preprocess_bucketed_matches_exact(rng):
+    """bucket= path (one compile per input bucket) is numerically identical
+    to the exact-shape path and to the torch goldens."""
+    from smb_vision_tpu.data.preprocess import (
+        PreprocessConfig,
+        preprocess_volume,
+    )
+
+    cfg = PreprocessConfig((1.5, 1.5, 3.0), (24, 24, 16), layout="CHWD")
+    for in_shape, in_sp in [((40, 37, 29), (0.7, 0.7, 2.5)),
+                            ((33, 41, 22), (1.1, 0.9, 4.0)),
+                            ((24, 24, 24), (2.0, 2.0, 2.0))]:
+        vol = rng.normal(0, 300, in_shape).astype(np.float32)
+        aff = np.diag(list(in_sp) + [1.0])
+        exact = preprocess_volume(vol, aff, cfg)
+        bucketed = preprocess_volume(vol, aff, cfg, bucket=16)
+        np.testing.assert_allclose(bucketed, exact, atol=2e-5, rtol=1e-5)
+        golden = _golden_pipeline(vol.astype(np.float64), in_sp, cfg)
+        assert np.abs(bucketed[0] - golden).max() < 1e-3
+
+
+def test_preprocess_bucketed_compile_count(rng):
+    """Distinct geometries inside one bucket share a single compilation."""
+    import jax
+
+    from smb_vision_tpu.data.preprocess import (
+        PreprocessConfig,
+        _device_fit_dynamic,
+        preprocess_volume,
+    )
+
+    cfg = PreprocessConfig((1.5, 1.5, 3.0), (24, 24, 16), layout="CHWD")
+    _device_fit_dynamic._clear_cache()
+    for shape, sp in [((30, 30, 20), (1.0, 1.0, 2.0)),
+                      ((25, 28, 30), (0.8, 1.2, 2.5)),
+                      ((32, 32, 32), (1.5, 1.5, 3.0))]:
+        vol = rng.normal(0, 300, shape).astype(np.float32)
+        preprocess_volume(vol, np.diag(list(sp) + [1.0]), cfg, bucket=32)
+    assert _device_fit_dynamic._cache_size() == 1

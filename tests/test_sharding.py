@@ -131,3 +131,21 @@ def test_opt_state_sharding_suffix_boundary(eight_devices):
     opt2 = {"mu": {"a": {"kernel": jnp.zeros((2, 2))}}}
     o_sh2 = opt_state_shardings(opt2, p_sh, mesh, params=params)
     assert o_sh2["mu"]["a"]["kernel"].spec == P()
+
+
+def test_dcn_mesh_two_slice_emulation(eight_devices):
+    """Multi-slice mesh (VERDICT r1 item 8): data axis spans the emulated
+    DCN boundary; sharding semantics identical to the flat mesh."""
+    mesh = create_mesh(model=2, dcn=2, devices=eight_devices)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    # a sharded batch + param matmul runs under the hybrid mesh
+    x = jnp.arange(16.0).reshape(4, 4)
+    w = jnp.ones((4, 4))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+    ws = jax.device_put(w, NamedSharding(mesh, P(None, "model")))
+    with jax.set_mesh(mesh):
+        out = jax.jit(lambda a, b: a @ b)(xs, ws)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x @ w))
+
+    with pytest.raises(ValueError, match="divisible"):
+        create_mesh(model=2, dcn=3, devices=eight_devices)

@@ -295,3 +295,58 @@ def test_drop_path_trains_with_rngs(rng):
     state, metrics = jax.jit(step_fn)(
         state, {"pixel_values": px}, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_eval_single_compile_over_ragged_dataset(tmp_path):
+    """Eval over a dataset not divisible by the batch must compile eval_fn
+    exactly once (round 1 re-jitted per distinct final-batch shape — one
+    multi-minute TPU compile each) and still produce exact metrics."""
+    from smb_vision_tpu.train.trainer import Trainer, TrainingArguments
+
+    class ListLoader:
+        def __init__(self, batches):
+            self.batches = batches
+            self.ds = list(range(sum(
+                b["x"].shape[0] for b in batches)))
+
+        def __iter__(self):
+            return iter(self.batches)
+
+        def __len__(self):
+            return len(self.batches)
+
+        def set_epoch(self, e):
+            pass
+
+    # 10 samples, batch 4 -> batches of 4, 4, 2 (ragged tail)
+    xs = np.arange(10, dtype=np.float32)
+    batches = [{"x": xs[i:i + 4], "labels": xs[i:i + 4] * 2}
+               for i in (0, 4, 8)]
+
+    compiles = {"n": 0}
+
+    @jax.jit
+    def _eval(state, batch):
+        compiles["n"] += 1  # traced once per new shape
+        return {"loss": jnp.mean(batch["x"]),
+                "logits": batch["x"][:, None] * state["params"]["w"],
+                "labels": batch["labels"]}
+
+    state = {"params": {"w": jnp.asarray(2.0)},
+             "opt_state": (), "step": jnp.asarray(0)}
+    args = TrainingArguments(output_dir=str(tmp_path), do_train=False)
+    tr = Trainer(args=args, state=state, step_fn=lambda s, b, k: (s, {}),
+                 train_loader=ListLoader(batches),
+                 eval_loader=ListLoader(batches), eval_fn=_eval,
+                 compute_metrics=lambda p, l: {
+                     "mse": float(np.mean((p[:, 0] - l) ** 2))})
+    rec = tr.evaluate()
+    assert compiles["n"] == 1, f"eval compiled {compiles['n']} times"
+    # metrics exact: padded rows sliced off -> logits = 2*x, labels = 2*x
+    assert rec["eval_mse"] == 0.0
+    # eval batches pad to a multiple of the 8-device data axis (here 8,
+    # repeating each batch's last row); losses weight by the true count:
+    # mean([0..3,3*4])=2.25 w4, mean([4..7,7*4])=6.25 w4,
+    # mean([8,9,9*6])=8.875 w2
+    expect = (2.25 * 4 + 6.25 * 4 + 8.875 * 2) / 10
+    np.testing.assert_allclose(rec["eval_loss"], expect, rtol=1e-6)
