@@ -1,0 +1,90 @@
+"""Training-step benchmarks on the v5e: full-res MIM (d64 + d128) and
+V-JEPA ViT-L at the reference recipe scale. Honest protocol (distinct
+inputs, scalar readback). Compare against BENCHMARKS.md round-1 numbers."""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+PEAK = 197e12
+
+
+def _time_steps(step, state, batches, key):
+    # warmup/compile on batch 0
+    state, m = step(state, batches[0], key)
+    print("  compile done, loss0:", float(m["loss"]))
+    times, losses = [], []
+    for i, b in enumerate(batches[1:]):
+        key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
+        state, m = step(state, b, sub)
+        loss = float(m["loss"])  # scalar readback forces completion
+        times.append(time.perf_counter() - t0)
+        losses.append(round(loss, 4))
+    return min(times), losses
+
+
+def bench_mim(heads, label):
+    from smb_vision_tpu.models.configs import VideoMAEConfig
+    from smb_vision_tpu.train.mim import make_mim_workload
+    from smb_vision_tpu.utils.profiling import mim_flops_per_sample
+
+    cfg = VideoMAEConfig(image_size=512, num_frames=320, patch_size=16,
+                         tubelet_size=16, num_channels=1,
+                         num_attention_heads=heads, norm_pix_loss=True,
+                         dtype="bfloat16", attn_impl="auto",
+                         gradient_checkpointing=True)
+    tx = optax.adamw(1e-4)
+    model, init_fn, step_fn, _ = make_mim_workload(
+        cfg, mask_patch_size=32, mask_ratio=0.65, tx=tx)
+    key = jax.random.PRNGKey(0)
+    state = init_fn(key)
+    step = jax.jit(step_fn, donate_argnums=(0,))
+    batches = [{"pixel_values": jax.random.normal(
+        jax.random.PRNGKey(10 + i), (1, 320, 1, 512, 512), jnp.bfloat16)}
+        for i in range(4)]
+    jax.block_until_ready(batches)
+    t, losses = _time_steps(step, state, batches, key)
+    fl = mim_flops_per_sample(cfg, 0.65)
+    print(f"MIM {label}: {t*1e3:.0f} ms/step, MFU {fl/t/PEAK*100:.1f}% "
+          f"({fl/t/1e12:.1f} TFLOP/s) losses {losses}")
+
+
+def bench_vjepa():
+    from smb_vision_tpu.models.configs import VJEPA2Config
+    from smb_vision_tpu.train.vjepa import make_vjepa_workload
+    from smb_vision_tpu.utils.profiling import vjepa_flops_per_sample
+
+    cfg = VJEPA2Config(crop_size=384, frames_per_clip=256, patch_size=16,
+                       tubelet_size=16, in_chans=1,
+                       dtype="bfloat16", attn_impl="auto",
+                       gradient_checkpointing=True)
+    tx = optax.adamw(1e-4)
+    model, init_fn, step_fn, _ = make_vjepa_workload(cfg, tx=tx)
+    key = jax.random.PRNGKey(0)
+    state = init_fn(key)
+    step = jax.jit(step_fn, donate_argnums=(0,))
+    batches = [{"pixel_values": jax.random.normal(
+        jax.random.PRNGKey(20 + i), (1, 256, 1, 384, 384), jnp.bfloat16)}
+        for i in range(4)]
+    jax.block_until_ready(batches)
+    t, losses = _time_steps(step, state, batches, key)
+    fl = vjepa_flops_per_sample(cfg)
+    print(f"V-JEPA ViT-L 384^2x256: {t*1e3:.0f} ms/step, "
+          f"MFU {fl/t/PEAK*100:.1f}% ({fl/t/1e12:.1f} TFLOP/s) "
+          f"losses {losses}")
+
+
+if __name__ == "__main__":
+    print("device:", jax.devices()[0].device_kind)
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("all", "mim"):
+        bench_mim(12, "d64 (reference arch)")
+        bench_mim(6, "d128 (TPU config)")
+    if which in ("all", "vjepa"):
+        bench_vjepa()

@@ -220,6 +220,7 @@ class Dinov2Config(BaseConfig):
     layerscale_value: float = 1.0
     drop_path_rate: float = 0.0
     use_swiglu_ffn: bool = False
+    use_mask_token: bool = True     # masked-embedding path (ref :99-118)
 
     num_labels: int = 2
     problem_type: Optional[str] = None

@@ -255,6 +255,75 @@ def convert_hf_vjepa2(hf_state: Dict[str, np.ndarray], num_layers: int,
     return unflatten_params(out)
 
 
+def convert_hf_dinov2(hf_state: Dict[str, np.ndarray], num_layers: int,
+                      depth_patch: Optional[int] = None) -> Dict:
+    """HF DINOv2 checkpoint -> our Dinov2ForImageClassification pytree.
+
+    Accepts both the reference's 3D Conv3d patch embed (5D weight,
+    /root/reference/src/models/dinov2/modeling_dinov2.py:121-158) and
+    upstream 2D checkpoints (4D weight): 2D weights are depth-inflated by
+    replicating across `depth_patch` taps scaled by 1/depth_patch (I3D
+    inflation — a depth-constant input then reproduces the 2D activations
+    exactly; verified in tests/test_hf_parity.py)."""
+    out: Dict[str, np.ndarray] = {}
+    f = hf_state
+
+    def put(src, dst, fn=np.asarray):
+        if src in f:
+            out[dst] = fn(f[src])
+
+    base = "dinov2." if any(k.startswith("dinov2.") for k in f) else ""
+    e = base + "embeddings."
+    proj = e + "patch_embeddings.projection.weight"
+    if proj in f:
+        w = np.asarray(f[proj])
+        if w.ndim == 4:
+            if not depth_patch:
+                raise ValueError("2D DINOv2 checkpoint needs depth_patch "
+                                 "for Conv3d inflation")
+            w = np.repeat(w[..., None], depth_patch, axis=-1) / depth_patch
+        out["params.dinov2.patch_embed_kernel"] = w
+    put(e + "patch_embeddings.projection.bias",
+        "params.dinov2.patch_embed_bias")
+    put(e + "cls_token", "params.dinov2.cls_token")
+    put(e + "mask_token", "params.dinov2.mask_token")
+    put(e + "position_embeddings", "params.dinov2.position_embeddings_3d")
+    put(e + "position_embeddings_3d", "params.dinov2.position_embeddings_3d")
+
+    for i in range(num_layers):
+        p = f"{base}encoder.layer.{i}."
+        o = f"params.dinov2.encoder.layer_{i}."
+        for hf_n, our_n in (("query", "query"), ("key", "key"),
+                            ("value", "value")):
+            put(p + f"attention.attention.{hf_n}.weight",
+                o + f"attention.{our_n}.kernel", _t)
+            put(p + f"attention.attention.{hf_n}.bias",
+                o + f"attention.{our_n}.bias")
+        put(p + "attention.output.dense.weight",
+            o + "attention.proj.kernel", _t)
+        put(p + "attention.output.dense.bias", o + "attention.proj.bias")
+        put(p + "layer_scale1.lambda1", o + "layerscale1")
+        put(p + "layer_scale2.lambda1", o + "layerscale2")
+        put(p + "norm1.weight", o + "norm1.scale")
+        put(p + "norm1.bias", o + "norm1.bias")
+        put(p + "norm2.weight", o + "norm2.scale")
+        put(p + "norm2.bias", o + "norm2.bias")
+        put(p + "mlp.fc1.weight", o + "mlp.fc1.kernel", _t)
+        put(p + "mlp.fc1.bias", o + "mlp.fc1.bias")
+        put(p + "mlp.fc2.weight", o + "mlp.fc2.kernel", _t)
+        put(p + "mlp.fc2.bias", o + "mlp.fc2.bias")
+        put(p + "mlp.weights_in.weight", o + "mlp.weights_in.kernel", _t)
+        put(p + "mlp.weights_in.bias", o + "mlp.weights_in.bias")
+        put(p + "mlp.weights_out.weight", o + "mlp.weights_out.kernel", _t)
+        put(p + "mlp.weights_out.bias", o + "mlp.weights_out.bias")
+
+    put(base + "layernorm.weight", "params.dinov2.layernorm.scale")
+    put(base + "layernorm.bias", "params.dinov2.layernorm.bias")
+    put("classifier.weight", "params.classifier.kernel", _t)
+    put("classifier.bias", "params.classifier.bias")
+    return unflatten_params(out)
+
+
 # ---------------------------------------------------------------------------
 # flax pytree -> HuggingFace torch state dict (inverse mapping)
 # ---------------------------------------------------------------------------

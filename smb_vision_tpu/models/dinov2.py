@@ -50,7 +50,8 @@ class Dinov2Model(nn.Module):
     config: Dinov2Config
 
     @nn.compact
-    def __call__(self, pixel_values, deterministic: bool = True):
+    def __call__(self, pixel_values, bool_masked_pos=None,
+                 deterministic: bool = True):
         cfg = self.config
         dt = jnp.dtype(cfg.dtype)
         p = cfg.patch_size
@@ -69,6 +70,19 @@ class Dinov2Model(nn.Module):
                      preferred_element_type=jnp.float32)
              + pbias).astype(dt)
 
+        if cfg.use_mask_token:
+            # masked-embedding path (reference modeling_dinov2.py:99-118):
+            # masked patch embeddings are replaced by the learned mask token
+            # BEFORE the CLS concat and position add
+            mask_token = self.param("mask_token", nn.initializers.zeros,
+                                    (1, cfg.hidden_size), jnp.float32)
+            if bool_masked_pos is not None:
+                x = jnp.where(bool_masked_pos[..., None],
+                              mask_token[None].astype(dt), x)
+        elif bool_masked_pos is not None:
+            raise ValueError("bool_masked_pos given but use_mask_token is "
+                             "False in the config")
+
         cls = self.param("cls_token", nn.initializers.normal(1.0),
                          (1, 1, cfg.hidden_size), jnp.float32)
         b = x.shape[0]
@@ -81,12 +95,21 @@ class Dinov2Model(nn.Module):
                          (1, n + 1, cfg.hidden_size), jnp.float32)
         x = x + pos.astype(dt)
 
+        if cfg.use_swiglu_ffn:
+            # SwiGLU hidden sizing rule (reference modeling_dinov2.py:
+            # 383-384): 2/3 of mlp hidden, rounded up to a multiple of 8
+            inter = (int(cfg.hidden_size * cfg.mlp_ratio * 2 / 3) + 7) \
+                // 8 * 8
+        else:
+            inter = cfg.hidden_size * cfg.mlp_ratio
         x = Encoder(
             num_layers=cfg.num_hidden_layers, hidden_size=cfg.hidden_size,
             num_heads=cfg.num_attention_heads,
-            intermediate_size=cfg.hidden_size * cfg.mlp_ratio,
+            intermediate_size=inter,
             act=cfg.hidden_act,
-            bias_mode="qv" if cfg.qkv_bias else "none",
+            # all of q, k, v carry a bias in DINOv2 (reference
+            # modeling_dinov2.py:210-212) — unlike VideoMAE's q/v-only trick
+            bias_mode="qkv" if cfg.qkv_bias else "none",
             layer_norm_eps=cfg.layer_norm_eps,
             layerscale_value=cfg.layerscale_value,
             drop_path_rate=cfg.drop_path_rate,
@@ -105,7 +128,8 @@ class Dinov2ForImageClassification(nn.Module):
     @nn.compact
     def __call__(self, pixel_values, labels=None, deterministic: bool = True):
         cfg = self.config
-        seq = Dinov2Model(cfg, name="dinov2")(pixel_values, deterministic)
+        seq = Dinov2Model(cfg, name="dinov2")(pixel_values,
+                                              deterministic=deterministic)
         cls_token = seq[:, 0]
         patch_mean = jnp.mean(seq[:, 1:], axis=1)
         pooled = jnp.concatenate([cls_token, patch_mean], axis=-1)
