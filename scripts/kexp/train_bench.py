@@ -29,7 +29,7 @@ def _time_steps(step, state, batches, key):
     return min(times), losses
 
 
-def bench_mim(heads, label):
+def bench_mim(heads, label, remat=True):
     from smb_vision_tpu.models.configs import VideoMAEConfig
     from smb_vision_tpu.train.mim import make_mim_workload
     from smb_vision_tpu.utils.profiling import mim_flops_per_sample
@@ -38,7 +38,7 @@ def bench_mim(heads, label):
                          tubelet_size=16, num_channels=1,
                          num_attention_heads=heads, norm_pix_loss=True,
                          dtype="bfloat16", attn_impl="auto",
-                         gradient_checkpointing=True)
+                         gradient_checkpointing=remat)
     tx = optax.adamw(1e-4)
     model, init_fn, step_fn, _ = make_mim_workload(
         cfg, mask_patch_size=32, mask_ratio=0.65, tx=tx)
@@ -55,7 +55,7 @@ def bench_mim(heads, label):
           f"({fl/t/1e12:.1f} TFLOP/s) losses {losses}")
 
 
-def bench_vjepa():
+def bench_vjepa(remat=True):
     from smb_vision_tpu.models.configs import VJEPA2Config
     from smb_vision_tpu.train.vjepa import make_vjepa_workload
     from smb_vision_tpu.utils.profiling import vjepa_flops_per_sample
@@ -63,7 +63,7 @@ def bench_vjepa():
     cfg = VJEPA2Config(crop_size=384, frames_per_clip=256, patch_size=16,
                        tubelet_size=16, in_chans=1,
                        dtype="bfloat16", attn_impl="auto",
-                       gradient_checkpointing=True)
+                       gradient_checkpointing=remat)
     tx = optax.adamw(1e-4)
     model, init_fn, step_fn, _ = make_vjepa_workload(cfg, tx=tx)
     key = jax.random.PRNGKey(0)
@@ -88,3 +88,7 @@ if __name__ == "__main__":
         bench_mim(6, "d128 (TPU config)")
     if which in ("all", "vjepa"):
         bench_vjepa()
+    if which == "noremat":
+        bench_mim(6, "d128 NO remat", remat=False)
+        bench_vjepa(remat=False)
+        bench_mim(12, "d64 NO remat", remat=False)

@@ -182,6 +182,7 @@ def main(argv=None):
         warmup_ratio=training_args.warmup_ratio,
         warmup_steps=training_args.warmup_steps,
         schedule=training_args.lr_scheduler_type,
+        optim=training_args.optim,
         min_lr=training_args.min_lr, grad_clip=training_args.max_grad_norm,
         vision_lr=training_args.vision_lr, merger_lr=training_args.merger_lr)
 

@@ -158,6 +158,7 @@ def main(argv=None):
         warmup_ratio=training_args.warmup_ratio,
         warmup_steps=training_args.warmup_steps,
         schedule=training_args.lr_scheduler_type,
+        optim=training_args.optim,
         min_lr=training_args.min_lr, grad_clip=training_args.max_grad_norm)
     model, init_fn, step_fn, eval_fn = make_mim_workload(
         config, mask_patch_size=data_args.mask_patch_size,

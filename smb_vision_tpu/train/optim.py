@@ -60,16 +60,29 @@ def make_optimizer(*, learning_rate: float, total_steps: int,
                    eps: float = 1e-8, grad_clip: Optional[float] = 1.0,
                    vision_lr: Optional[float] = None,
                    merger_lr: Optional[float] = None,
-                   head_regex: str = "classifier"):
+                   head_regex: str = "classifier",
+                   optim: str = "adamw"):
     """AdamW with cosine/linear warmup schedule.
 
     If vision_lr/merger_lr are both set, parameters matching ``head_regex``
     in their path train at merger_lr and the rest at vision_lr (two-tier
-    fine-tuning, run_cls.sh:14-24)."""
+    fine-tuning, run_cls.sh:14-24).
+
+    optim="adamw8bit" stores the Adam moments as int8 blockwise-quantized
+    state (the reference's bitsandbytes Adam8bit analog,
+    ref trainer.py:155-167)."""
 
     def adamw(lr_sched):
-        tx = optax.adamw(lr_sched, b1=b1, b2=b2, eps=eps,
-                         weight_decay=weight_decay, mask=decay_mask)
+        if optim == "adamw8bit":
+            from smb_vision_tpu.train.quantized import adamw8bit
+
+            tx = adamw8bit(lr_sched, b1=b1, b2=b2, eps=eps,
+                           weight_decay=weight_decay, mask=decay_mask)
+        elif optim == "adamw":
+            tx = optax.adamw(lr_sched, b1=b1, b2=b2, eps=eps,
+                             weight_decay=weight_decay, mask=decay_mask)
+        else:
+            raise ValueError(f"unknown optim {optim!r}")
         if grad_clip:
             tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
         return tx

@@ -50,6 +50,7 @@ class TrainingArguments:
     warmup_ratio: float = 0.0
     warmup_steps: int = 0
     lr_scheduler_type: str = "cosine"
+    optim: str = "adamw"             # adamw | adamw8bit (bnb Adam8bit analog)
     min_lr: float = 0.0
     max_grad_norm: float = 1.0
     seed: int = 42

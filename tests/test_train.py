@@ -350,3 +350,44 @@ def test_eval_single_compile_over_ragged_dataset(tmp_path):
     # mean([8,9,9*6])=8.875 w2
     expect = (2.25 * 4 + 6.25 * 4 + 8.875 * 2) / 10
     np.testing.assert_allclose(rec["eval_loss"], expect, rtol=1e-6)
+
+
+def test_adamw8bit_tracks_exact_adamw(rng):
+    """8-bit Adam (bnb Adam8bit analog, ref trainer.py:155-167): int8
+    blockwise moment state must track exact AdamW closely on a real
+    optimization trajectory, and its state must actually be int8."""
+    from smb_vision_tpu.train.quantized import adamw8bit
+
+    w0 = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32) * 0.3)
+    x = jnp.asarray(rng.normal(size=(256, 64)).astype(np.float32))
+    w_true = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+    y = x @ w_true
+
+    def loss(w):
+        return jnp.mean((x @ w - y) ** 2)
+
+    def train(tx, steps=60):
+        w = w0
+        state = tx.init(w)
+        step = jax.jit(lambda w, s: (lambda g: (
+            optax.apply_updates(w, tx.update(g, s, w)[0]),
+            tx.update(g, s, w)[1]))(jax.grad(loss)(w)))
+        for _ in range(steps):
+            w, state = step(w, state)
+        return float(loss(w)), state
+
+    l_exact, _ = train(optax.adamw(3e-2, weight_decay=1e-3))
+    l_8bit, st = train(adamw8bit(3e-2, weight_decay=1e-3))
+    # tracks exact AdamW closely (measured ~6% behind after 60 steps)
+    assert l_8bit < l_exact * 1.15, (l_8bit, l_exact)
+    assert l_8bit < float(loss(w0)) * 0.1, l_8bit  # and really optimizes
+
+    # the moment state really is int8 + f32 block scales
+    leaves = jax.tree_util.tree_leaves(st)
+    dtypes = {str(l.dtype) for l in leaves}
+    assert "int8" in dtypes, dtypes
+    int8_bytes = sum(l.size for l in leaves if l.dtype == jnp.int8)
+    f32_bytes = sum(l.size * 4 for l in leaves if l.dtype == jnp.float32)
+    # scales are 1/256 of codes -> state ~3.6x smaller than f32 Adam
+    assert int8_bytes >= 2 * w0.size  # mu + nu codes
+    assert f32_bytes < int8_bytes / 16
