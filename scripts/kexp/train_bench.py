@@ -29,7 +29,7 @@ def _time_steps(step, state, batches, key):
     return min(times), losses
 
 
-def bench_mim(heads, label, remat=True):
+def bench_mim(heads, label, remat=True, batch=1):
     from smb_vision_tpu.models.configs import VideoMAEConfig
     from smb_vision_tpu.train.mim import make_mim_workload
     from smb_vision_tpu.utils.profiling import mim_flops_per_sample
@@ -46,16 +46,17 @@ def bench_mim(heads, label, remat=True):
     state = init_fn(key)
     step = jax.jit(step_fn, donate_argnums=(0,))
     batches = [{"pixel_values": jax.random.normal(
-        jax.random.PRNGKey(10 + i), (1, 320, 1, 512, 512), jnp.bfloat16)}
-        for i in range(4)]
+        jax.random.PRNGKey(10 + i), (batch, 320, 1, 512, 512),
+        jnp.bfloat16)} for i in range(4)]
     jax.block_until_ready(batches)
     t, losses = _time_steps(step, state, batches, key)
-    fl = mim_flops_per_sample(cfg, 0.65)
-    print(f"MIM {label}: {t*1e3:.0f} ms/step, MFU {fl/t/PEAK*100:.1f}% "
+    fl = mim_flops_per_sample(cfg, 0.65) * batch
+    print(f"MIM {label} bs{batch}: {t*1e3:.0f} ms/step, "
+          f"MFU {fl/t/PEAK*100:.1f}% "
           f"({fl/t/1e12:.1f} TFLOP/s) losses {losses}")
 
 
-def bench_vjepa(remat=True):
+def bench_vjepa(remat=True, batch=1):
     from smb_vision_tpu.models.configs import VJEPA2Config
     from smb_vision_tpu.train.vjepa import make_vjepa_workload
     from smb_vision_tpu.utils.profiling import vjepa_flops_per_sample
@@ -70,12 +71,12 @@ def bench_vjepa(remat=True):
     state = init_fn(key)
     step = jax.jit(step_fn, donate_argnums=(0,))
     batches = [{"pixel_values": jax.random.normal(
-        jax.random.PRNGKey(20 + i), (1, 256, 1, 384, 384), jnp.bfloat16)}
-        for i in range(4)]
+        jax.random.PRNGKey(20 + i), (batch, 256, 1, 384, 384),
+        jnp.bfloat16)} for i in range(4)]
     jax.block_until_ready(batches)
     t, losses = _time_steps(step, state, batches, key)
-    fl = vjepa_flops_per_sample(cfg)
-    print(f"V-JEPA ViT-L 384^2x256: {t*1e3:.0f} ms/step, "
+    fl = vjepa_flops_per_sample(cfg) * batch
+    print(f"V-JEPA ViT-L 384^2x256 bs{batch}: {t*1e3:.0f} ms/step, "
           f"MFU {fl/t/PEAK*100:.1f}% ({fl/t/1e12:.1f} TFLOP/s) "
           f"losses {losses}")
 
@@ -88,6 +89,10 @@ if __name__ == "__main__":
         bench_mim(6, "d128 (TPU config)")
     if which in ("all", "vjepa"):
         bench_vjepa()
+    if which == "bs2":
+        bench_vjepa(batch=2)
+        bench_mim(6, "d128 (TPU config)", batch=2)
+        bench_mim(12, "d64 (reference arch)", batch=2)
     if which == "noremat":
         bench_mim(6, "d128 NO remat", remat=False)
         bench_vjepa(remat=False)

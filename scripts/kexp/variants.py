@@ -964,3 +964,87 @@ def fwd_nmth2(q, k, v, *, scale, block_q=1024, block_k=1024,
 
 
 VARIANTS["nmth2"] = fwd_nmth2
+
+
+# ---------------------------------------------------------------------------
+# v_nmti8: nmt with int8 q@k^T (v5e has 2x int8 MACs). Per-token (row)
+# symmetric scales for q and k computed outside the kernel; the rank-1
+# scale correction sq_i*sk_j is applied to the f32 scores before exp
+# (softmax is NOT scale-invariant, so it cannot be folded). Inference path.
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel_nmti8(q_ref, k_ref, v1_ref, sq_ref, sk_ref, o_ref,
+                      c_scr, acc_scr):
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    q = q_ref[0]                                       # (bq, d) int8
+    k = k_ref[0]                                       # (bk, d) int8
+    v1 = v1_ref[0]
+    st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    # scale correction: s = st * sk_i * sq_j (outer product, fused with exp)
+    st = st.astype(jnp.float32) * (sk_ref[0] * sq_ref[0].T)
+
+    @pl.when(ik == 0)
+    def _init():
+        c_scr[:] = jnp.broadcast_to(
+            jnp.max(st, axis=0, keepdims=True), c_scr.shape)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    pt = jnp.exp2(st - c_scr[:1]).astype(v1.dtype)
+    acc_scr[:] += jax.lax.dot_general(
+        v1, pt, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(ik == nk - 1)
+    def _finish():
+        d = o_ref.shape[-1]
+        l = acc_scr[d:d + 1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[:d] / l).T.astype(o_ref.dtype)
+
+
+def fwd_nmti8(q, k, v, *, scale, block_q=1024, block_k=1024,
+              interpret=False):
+    bh, nq, d = q.shape
+    kv = k.shape[1]
+    if kv % block_k:
+        raise ValueError("nmti8 needs kv % block_k == 0")
+    qf = q.astype(jnp.float32) * (scale * LOG2E)
+    sq = jnp.max(jnp.abs(qf), axis=-1, keepdims=True) / 127.0  # (bh, nq, 1)
+    sq = jnp.where(sq == 0, 1.0, sq)
+    q8 = jnp.clip(jnp.round(qf / sq), -127, 127).astype(jnp.int8)
+    kf = k.astype(jnp.float32)
+    sk = jnp.max(jnp.abs(kf), axis=-1, keepdims=True) / 127.0
+    sk = jnp.where(sk == 0, 1.0, sk)
+    k8 = jnp.clip(jnp.round(kf / sk), -127, 127).astype(jnp.int8)
+    ones = jnp.ones((bh, kv, 1), v.dtype)
+    zpad = jnp.zeros((bh, kv, 7), v.dtype)
+    v1 = jnp.concatenate([v, ones, zpad], axis=-1)
+    grid = (bh, _cdiv(nq, block_q), kv // block_k)
+    out = pl.pallas_call(
+        _fwd_kernel_nmti8,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, block_k, d + 8), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_k, 1), lambda b, iq, ik: (b, ik, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, nq, d), v.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((8, block_q), jnp.float32),
+            pltpu.VMEM((d + 8, block_q), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=110 * 2 ** 20),
+        interpret=interpret,
+    )(q8, k8, v1, sq, sk)
+    return out
+
+
+VARIANTS["nmti8"] = fwd_nmti8

@@ -169,6 +169,92 @@ def _fwd(q, k, v, *, scale, block_q, block_k, interpret=False):
 
 
 # ---------------------------------------------------------------------------
+# int8-score forward (inference fast path, impl="pallas_int8")
+# ---------------------------------------------------------------------------
+# q@k^T on the MXU's 2x-rate int8 path with per-token (row) symmetric
+# scales; the rank-1 correction sq_i*sk_j is applied to the f32 scores
+# before exp (softmax is not scale-invariant, so it cannot fold away).
+# Accuracy: rel err ~0.5% vs f32 softmax — the same order as the bf16
+# operands themselves (8-bit mantissa). 12.6 vs 13.7 ms/layer at the
+# flagship d64 shape. Forward-only (no VJP): inference embedding path.
+
+def _fwd_i8_kernel(q_ref, k_ref, v1_ref, sq_ref, sk_ref, o_ref,
+                   c_scr, acc_scr, *, block_k: int, kv_len: int):
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    q = q_ref[0]                                       # (bq, d) int8
+    k = k_ref[0]                                       # (bk, d) int8
+    v1 = v1_ref[0]
+    st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    st = st.astype(jnp.float32) * (sk_ref[0] * sq_ref[0].T)
+    ragged = kv_len % block_k != 0
+    if ragged:
+        kv_ids = ik * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, st.shape, dimension=0)
+        st = jnp.where(kv_ids < kv_len, st, NEG_INF)
+
+    @pl.when(ik == 0)
+    def _init():
+        c_scr[:] = jnp.broadcast_to(
+            jnp.max(st, axis=0, keepdims=True), c_scr.shape)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    if ragged:
+        v1 = _zero_pad_rows(v1, ik * block_k, kv_len)
+    pt = jnp.exp2(st - c_scr[:1]).astype(v1.dtype)
+    acc_scr[:] += jax.lax.dot_general(
+        v1, pt, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(ik == nk - 1)
+    def _finish():
+        d = o_ref.shape[-1]
+        l = acc_scr[d:d + 1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[:d] / l).T.astype(o_ref.dtype)
+
+
+def _fwd_i8(q, k, v, *, scale, block_q, block_k, interpret=False):
+    bh, nq, d = q.shape
+    kv = k.shape[1]
+    qf = q.astype(jnp.float32) * (scale * LOG2E)
+    sq = jnp.max(jnp.abs(qf), axis=-1, keepdims=True) / 127.0
+    sq = jnp.where(sq == 0, 1.0, sq)
+    q8 = jnp.clip(jnp.round(qf / sq), -127, 127).astype(jnp.int8)
+    kf = k.astype(jnp.float32)
+    sk = jnp.max(jnp.abs(kf), axis=-1, keepdims=True) / 127.0
+    sk = jnp.where(sk == 0, 1.0, sk)
+    k8 = jnp.clip(jnp.round(kf / sk), -127, 127).astype(jnp.int8)
+    ones = jnp.ones((bh, kv, 1), v.dtype)
+    zpad = jnp.zeros((bh, kv, 7), v.dtype)
+    v1 = jnp.concatenate([v, ones, zpad], axis=-1)
+    grid = (bh, _cdiv(nq, block_q), _cdiv(kv, block_k))
+    return pl.pallas_call(
+        functools.partial(_fwd_i8_kernel, block_k=block_k, kv_len=kv),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, block_k, d + 8), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_k, 1), lambda b, iq, ik: (b, ik, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, nq, d), v.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((8, block_q), jnp.float32),
+            pltpu.VMEM((d + 8, block_q), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=110 * 2 ** 20),
+        interpret=interpret,
+    )(q8, k8, v1, sq, sk)
+
+
+# ---------------------------------------------------------------------------
 # Backward kernels
 # ---------------------------------------------------------------------------
 # Standard flash-attention backward split in two passes, both with
@@ -400,7 +486,9 @@ def attention(q, k, v, *, scale: Optional[float] = None,
       q: (B, Nq, H, D); k, v: (B, Nk, H, D)  (head-minor, matmul-friendly)
       scale: softmax scale, default 1/sqrt(D)
       bias: optional additive (B|1, H|1, Nq, Nk) bias -> routes to XLA impl
-      impl: "auto" (pallas on TPU, xla elsewhere) | "pallas" | "xla"
+      impl: "auto" (pallas on TPU, xla elsewhere) | "pallas" | "xla" |
+        "pallas_int8" (int8 q@k^T inference fast path — forward-only,
+        ~8% faster at d64, rel err ~0.5%)
       block_q/block_k: kernel tile sizes (defaults from the v5e sweep,
         BENCHMARKS.md)
     Returns:
@@ -433,6 +521,10 @@ def attention(q, k, v, *, scale: Optional[float] = None,
     bq = _pick_block(nq, block_q)
     bk = _pick_block(kv, block_k)
 
-    out = _flash(fold(q), fold(k), fold(v), scale, bq, bk, interpret)
+    if impl == "pallas_int8":
+        out = _fwd_i8(fold(q), fold(k), fold(v), scale=scale, block_q=bq,
+                      block_k=bk, interpret=interpret)
+    else:
+        out = _flash(fold(q), fold(k), fold(v), scale, bq, bk, interpret)
     out = out[..., :d].reshape(b, h, nq, d)
     return jnp.swapaxes(out, 1, 2)

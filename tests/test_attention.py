@@ -68,3 +68,27 @@ def test_softmax_rows_sum_to_one_property():
     out = attention(q, k, v, impl="pallas", interpret=True,
                     block_q=32, block_k=32)
     np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-5)
+
+
+def test_int8_forward_matches_xla():
+    """pallas_int8 inference path: per-row int8 q@k^T with rank-1 scale
+    correction — accuracy within bf16 noise of the f32-softmax reference."""
+    q, k, v = _qkv(jax.random.PRNGKey(5), n=256)
+    ref = xla_attention(q, k, v)
+    out = attention(q, k, v, impl="pallas_int8", interpret=True,
+                    block_q=128, block_k=128)
+    rel = float(jnp.abs(out.astype(jnp.float32)
+                        - ref.astype(jnp.float32)).max()
+                / jnp.abs(ref.astype(jnp.float32)).max())
+    assert rel < 2e-2, rel
+
+
+def test_int8_forward_unaligned_seq():
+    q, k, v = _qkv(jax.random.PRNGKey(6), n=100)
+    ref = xla_attention(q, k, v)
+    out = attention(q, k, v, impl="pallas_int8", interpret=True,
+                    block_q=64, block_k=64)
+    rel = float(jnp.abs(out.astype(jnp.float32)
+                        - ref.astype(jnp.float32)).max()
+                / jnp.abs(ref.astype(jnp.float32)).max())
+    assert rel < 2e-2, rel
