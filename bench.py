@@ -1,14 +1,20 @@
-"""Headline benchmark: 3D volumes/sec/chip for 512x512x320 embedding
-(the BASELINE.json metric — ViT-Base encoder forward over the full 20,480
-token sequence, bf16, pallas flash attention, batch tuned to chip memory).
+"""Headline benchmark: 3D volumes/sec/chip for 512x512x320 embedding at the
+REFERENCE architecture (ViT-Base, 12 heads / head_dim 64 — the config of
+standardmodelbio/smb-vision-base), bf16 pallas flash attention, batch 4.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md). The divisor
 is an analytic A100 estimate of the reference's own path (torch ViT-Base +
-flash-attn-2, bs 1, 512^2x320): ~19.6 TFLOP/volume forward
+flash-attn-2, 512^2x320): ~19.6 TFLOP/volume forward
 (matmul 2*86M*20480*2 + attention 4*12*20480^2*768) at a generous 50% MFU
-of A100's 312 TFLOP/s bf16 -> 156 TFLOP/s -> ~8.0 volumes/s/GPU.
+of A100's 312 TFLOP/s bf16 -> 156 TFLOP/s -> ~8.0 volumes/s/GPU. Note the
+structural context (BENCHMARKS.md): one v5e has 197 TFLOP/s bf16 peak vs
+A100's 312, so vs_baseline = 1.0 would require ~100% MFU here; this repo's
+per-peak efficiency (62% MFU at d64 incl. the int8-score path, 74% at the
+d128 TPU-native config) already exceeds the 50% the divisor grants the
+A100. On the BASELINE.md target hardware (v5p, 459 TFLOP/s) the same
+kernels project to vs_baseline > 1.4.
 """
 
 from __future__ import annotations
@@ -26,18 +32,13 @@ def main():
     from smb_vision_tpu.models.configs import VideoMAEConfig
     from smb_vision_tpu.models.videomae import VideoMAEModel
 
-    # the recommended TPU configuration: same params/FLOPs as ViT-Base but
-    # 6 heads (head_dim 128) — head_dim 64 leaves the MXU fill/width-bound
-    # (BENCHMARKS.md ablation; 12-head reference architecture measures
-    # 3.3 vol/s vs 5.6 here). The reference trains from scratch, so the
-    # head count is a free TPU-first design choice.
     config = VideoMAEConfig(image_size=512, num_frames=320, patch_size=16,
                             tubelet_size=16, num_channels=1,
-                            num_attention_heads=6,
+                            num_attention_heads=12,
                             dtype="bfloat16", attn_impl="auto")
     model = VideoMAEModel(config)
     key = jax.random.PRNGKey(0)
-    batch = 1
+    batch = 4
     px = jax.random.normal(key, (batch, 320, 1, 512, 512), jnp.bfloat16)
     params = jax.jit(model.init)(key, px)
 
@@ -64,7 +65,8 @@ def main():
     vol_per_s = n_iters * batch / dt
 
     print(json.dumps({
-        "metric": "volumes/sec/chip (512x512x320 ViT-Base-d128 embed, bf16)",
+        "metric": "volumes/sec/chip (512x512x320 ViT-Base-d64 embed, "
+                  "bf16, bs4)",
         "value": round(vol_per_s, 3),
         "unit": "volumes/s",
         "vs_baseline": round(vol_per_s / A100_EST_VOL_PER_S, 3),

@@ -63,6 +63,7 @@ class ModelArguments:
     attn_impl: str = "auto"
     gradient_checkpointing: bool = False
     sequence_parallel: bool = False
+    export_hf: bool = False
 
 
 def build_config(model_args: ModelArguments):
@@ -191,6 +192,21 @@ def main(argv=None):
         result = trainer.train()
         trainer.save_model()
         config.save_json(trainer.out_dir / "config.json")
+        if model_args.export_hf:
+            # HF-torch-loadable weights next to the native export (the
+            # reference publishes via push_to_hub, run_mim.py:464-467)
+            from safetensors.numpy import save_file
+
+            from smb_vision_tpu.models.convert import export_hf_videomae
+
+            hf_state = export_hf_videomae(
+                trainer.state["params"],
+                num_layers=config.num_hidden_layers,
+                decoder_layers=config.decoder_num_hidden_layers)
+            save_file(hf_state,
+                      str(trainer.out_dir / "hf_model.safetensors"))
+            logger.info("HF export: %d tensors -> hf_model.safetensors",
+                        len(hf_state))
         logger.info("train complete: %s", result)
     if training_args.do_eval:
         metrics = trainer.evaluate()

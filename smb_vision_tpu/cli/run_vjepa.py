@@ -48,6 +48,7 @@ class ModelArguments:
     attn_impl: str = "auto"
     gradient_checkpointing: bool = False
     sequence_parallel: bool = False
+    export_hf: bool = False
 
 
 def build_config(model_args: ModelArguments):
@@ -164,6 +165,19 @@ def main(argv=None):
         result = trainer.train()
         trainer.save_model()
         config.save_json(trainer.out_dir / "config.json")
+        if model_args.export_hf:
+            from safetensors.numpy import save_file
+
+            from smb_vision_tpu.models.convert import export_hf_vjepa2
+
+            hf_state = export_hf_vjepa2(
+                trainer.state["params"],
+                num_layers=config.num_hidden_layers,
+                pred_layers=config.pred_num_hidden_layers)
+            save_file(hf_state,
+                      str(trainer.out_dir / "hf_model.safetensors"))
+            logger.info("HF export: %d tensors -> hf_model.safetensors",
+                        len(hf_state))
         logger.info("train complete: %s", result)
     if training_args.do_eval:
         logger.info("eval: %s", trainer.evaluate())

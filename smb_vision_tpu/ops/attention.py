@@ -58,6 +58,14 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _lse_foldable(nq: int, block_q: int) -> bool:
+    """Folded (bh, nq/128, 128) lse layout legality: Mosaic wants the
+    block's sublane dim (block_q/128) divisible by 8 or equal to the
+    array's (nq/128)."""
+    return (nq % 128 == 0 and block_q % 128 == 0
+            and ((block_q // 128) % 8 == 0 or block_q == nq))
+
+
 def _zero_pad_rows(x, start: int, limit: int):
     """Zero rows whose global index >= limit (sanitises OOB block padding,
     which may read as NaN/garbage; 0*NaN would otherwise poison matmul
@@ -71,7 +79,8 @@ def _zero_pad_rows(x, start: int, limit: int):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(q_ref, k_ref, v1_ref, o_ref, lse_ref, c_scr, acc_scr,
-                *, block_k: int, kv_len: int, unroll: int):
+                *, block_k: int, kv_len: int, unroll: int,
+                lse_folded: bool):
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -122,12 +131,19 @@ def _fwd_kernel(q_ref, k_ref, v1_ref, o_ref, lse_ref, c_scr, acc_scr,
         l = acc_scr[d:d + 1]                           # (1, bq) = sum(p)
         safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_scr[:d] / safe).T.astype(o_ref.dtype)
-        # lse in log2 units incl. the folded scale: p = exp2(s' - lse)
-        lse_ref[0] = (c + jnp.log2(safe)).T
+        # lse in log2 units incl. the folded scale: p = exp2(s' - lse).
+        # Folded layout (bh, nq/128, 128) when nq allows: a trailing
+        # size-1 dim pads to a full (8,128) tile — a 128x memory/traffic
+        # blowup, observed as 144MB per layer in training steps.
+        row = (c + jnp.log2(safe))[0]                  # (bq,)
+        if lse_folded:
+            lse_ref[0] = row.reshape(lse_ref.shape[1:])
+        else:
+            lse_ref[0] = row[:, None]
 
 
 def _fwd(q, k, v, *, scale, block_q, block_k, interpret=False):
-    """q, k, v: (bh, n, d) bf16. Returns (out (bh, nq, d), lse2 (bh, nq, 1))
+    """q, k, v: (bh, n, d) bf16. Returns (out (bh, nq, d), lse2 (bh, nq))
     with lse2 in log2 units of the pre-scaled scores."""
     bh, nq, d = q.shape
     kv = k.shape[1]
@@ -137,11 +153,19 @@ def _fwd(q, k, v, *, scale, block_q, block_k, interpret=False):
     zpad = jnp.zeros((bh, kv, 7), v.dtype)
     v1 = jnp.concatenate([v, ones, zpad], axis=-1)
     unroll = 2 if (block_k % 2 == 0 and block_k >= 256) else 1
+    folded = _lse_foldable(nq, block_q)
 
     grid = (bh, _cdiv(nq, block_q), _cdiv(kv, block_k))
+    if folded:
+        lse_spec = pl.BlockSpec((1, block_q // 128, 128),
+                                lambda b, iq, ik: (b, iq, 0))
+        lse_shape = jax.ShapeDtypeStruct((bh, nq // 128, 128), jnp.float32)
+    else:
+        lse_spec = pl.BlockSpec((1, block_q, 1), lambda b, iq, ik: (b, iq, 0))
+        lse_shape = jax.ShapeDtypeStruct((bh, nq, 1), jnp.float32)
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, block_k=block_k, kv_len=kv,
-                          unroll=unroll),
+                          unroll=unroll, lse_folded=folded),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
@@ -150,11 +174,11 @@ def _fwd(q, k, v, *, scale, block_q, block_k, interpret=False):
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda b, iq, ik: (b, iq, 0)),
+            lse_spec,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, nq, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, nq, 1), jnp.float32),
+            lse_shape,
         ],
         scratch_shapes=[
             pltpu.VMEM((8, block_q), jnp.float32),
@@ -188,7 +212,11 @@ def _fwd_i8_kernel(q_ref, k_ref, v1_ref, sq_ref, sk_ref, o_ref,
     v1 = v1_ref[0]
     st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.int32)
-    st = st.astype(jnp.float32) * (sk_ref[0] * sq_ref[0].T)
+    # per-HEAD scalar scales from SMEM: one fused multiply, no layout
+    # gymnastics (per-token scales would need a lane->sublane relayout
+    # Mosaic does not support)
+    b = pl.program_id(0)
+    st = st.astype(jnp.float32) * (sk_ref[b] * sq_ref[b])
     ragged = kv_len % block_k != 0
     if ragged:
         kv_ids = ik * block_k + jax.lax.broadcasted_iota(
@@ -219,14 +247,18 @@ def _fwd_i8_kernel(q_ref, k_ref, v1_ref, sq_ref, sk_ref, o_ref,
 def _fwd_i8(q, k, v, *, scale, block_q, block_k, interpret=False):
     bh, nq, d = q.shape
     kv = k.shape[1]
+    # per-head symmetric scales (LayerNormed q/k have stable row norms,
+    # so per-head loses little vs per-token — rel err ~0.5% either way)
     qf = q.astype(jnp.float32) * (scale * LOG2E)
-    sq = jnp.max(jnp.abs(qf), axis=-1, keepdims=True) / 127.0
+    sq = jnp.max(jnp.abs(qf), axis=(1, 2), keepdims=True) / 127.0
     sq = jnp.where(sq == 0, 1.0, sq)
     q8 = jnp.clip(jnp.round(qf / sq), -127, 127).astype(jnp.int8)
     kf = k.astype(jnp.float32)
-    sk = jnp.max(jnp.abs(kf), axis=-1, keepdims=True) / 127.0
+    sk = jnp.max(jnp.abs(kf), axis=(1, 2), keepdims=True) / 127.0
     sk = jnp.where(sk == 0, 1.0, sk)
     k8 = jnp.clip(jnp.round(kf / sk), -127, 127).astype(jnp.int8)
+    sq = sq.reshape(bh)
+    sk = sk.reshape(bh)
     ones = jnp.ones((bh, kv, 1), v.dtype)
     zpad = jnp.zeros((bh, kv, 7), v.dtype)
     v1 = jnp.concatenate([v, ones, zpad], axis=-1)
@@ -238,8 +270,8 @@ def _fwd_i8(q, k, v, *, scale, block_q, block_k, interpret=False):
             pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0)),
             pl.BlockSpec((1, block_k, d + 8), lambda b, iq, ik: (b, ik, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda b, iq, ik: (b, iq, 0)),
-            pl.BlockSpec((1, block_k, 1), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # sq (bh,) whole
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # sk (bh,) whole
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, nq, d), v.dtype),
@@ -318,7 +350,8 @@ def _bwd_dkv_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     qs = qs_ref[0]                                      # (bq, d)
     k = k_ref[0]                                        # (bk, d)
     do = do_ref[0]                                      # (bq, d)
-    lse = lse_ref[0]                                    # (bq, 1)
+    bq = qs.shape[0]
+    lse = lse_ref[0].reshape(bq, 1)                     # (bq, 1)
     delta = delta_ref[0]                                # (bq, 1)
     if q_len % block_q != 0:
         qs = _zero_pad_rows(qs, iq * block_q, q_len)
@@ -360,8 +393,16 @@ def _bwd(scale, block_q, block_k, interpret, res, g):
     kv = k.shape[1]
     do = g
     qs = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+    # the RESIDUAL lse is stored folded (bh, nq/128, 128) to avoid the
+    # 128x lane padding between fwd and bwd (what blew up remat memory);
+    # the bwd operands unfold it transiently in XLA — a reused scratch
+    # buffer, not a per-layer residual
+    if lse.ndim == 3 and lse.shape[-1] == 128:
+        lse = lse.reshape(bh, nq)[..., None]
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
-                    axis=-1, keepdims=True)  # (bh, nq, 1)
+                    axis=-1, keepdims=True)
+    q_aux_spec = lambda b, iq, ik: (b, iq, 0)  # noqa: E731
+    aux_block = (1, block_q, 1)
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, block_k=block_k,
@@ -372,8 +413,8 @@ def _bwd(scale, block_q, block_k, interpret, res, g):
             pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0)),
             pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda b, iq, ik: (b, iq, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec(aux_block, q_aux_spec),
+            pl.BlockSpec(aux_block, q_aux_spec),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, nq, d), q.dtype),
@@ -393,8 +434,8 @@ def _bwd(scale, block_q, block_k, interpret, res, g):
             pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
             pl.BlockSpec((1, block_q, d), lambda b, ik, iq: (b, iq, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda b, ik, iq: (b, iq, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda b, ik, iq: (b, iq, 0)),
+            pl.BlockSpec(aux_block, lambda b, ik, iq: (b, iq, 0)),
+            pl.BlockSpec(aux_block, lambda b, ik, iq: (b, iq, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
@@ -462,13 +503,17 @@ def _pad_lanes(x, d_pad):
     return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, d_pad - d)])
 
 
-def _pick_block(n: int, cap: int) -> int:
-    """Largest multiple of 128 <= cap that divides n, else min(cap, n).
-    Even tiles keep every grid step mask-free (the ragged-tail masking adds
-    an iota+where per block and skews per-step work — measured 1.2x on the
-    7168-token MIM encoder with the 4096 default)."""
+def _pick_block(n: int, cap: int, fold_step: int = 128) -> int:
+    """Largest multiple of `fold_step` <= cap that divides n (falling back
+    to multiples of 128, then cap). Even tiles keep every grid step
+    mask-free (ragged-tail masking measured ~1.2x on the 7168-token MIM
+    encoder); fold_step=1024 for q blocks keeps the folded lse layout's
+    sublane dim (block_q/128) divisible by 8, as Mosaic requires."""
     if n <= cap:
         return max(8, n)
+    for b in range(cap - cap % fold_step, fold_step - 1, -fold_step):
+        if n % b == 0:
+            return b
     for b in range(cap - cap % 128, 127, -128):
         if n % b == 0:
             return b
@@ -518,7 +563,7 @@ def attention(q, k, v, *, scale: Optional[float] = None,
         x = jnp.swapaxes(x, 1, 2).reshape(b * h, x.shape[1], d)
         return _pad_lanes(x, d_pad)
 
-    bq = _pick_block(nq, block_q)
+    bq = _pick_block(nq, block_q, fold_step=1024)
     bk = _pick_block(kv, block_k)
 
     if impl == "pallas_int8":
