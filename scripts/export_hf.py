@@ -26,7 +26,7 @@ def main(argv=None):
     ap.add_argument("--model_dir", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--family", default="auto",
-                    choices=["auto", "videomae", "vjepa2"])
+                    choices=["auto", "videomae", "vjepa2", "dinov2"])
     ap.add_argument("--wrap", action="store_true",
                     help="vjepa2: prefix backbone keys with 'vjepa2.' "
                          "(VJEPA2ForVideoClassification layout)")
@@ -39,6 +39,7 @@ def main(argv=None):
     from safetensors.numpy import save_file
 
     from smb_vision_tpu.models.convert import (
+        export_hf_dinov2,
         export_hf_videomae,
         export_hf_vjepa2,
     )
@@ -50,10 +51,15 @@ def main(argv=None):
         model_dir / "model.safetensors")}
     family = args.family
     if family == "auto":
-        family = ("vjepa2" if "pred_num_hidden_layers" in cfg
-                  or cfg.get("model_type") == "vjepa2" else "videomae")
+        mt = cfg.get("model_type")
+        family = (mt if mt in ("vjepa2", "dinov2", "videomae")
+                  else "vjepa2" if "pred_num_hidden_layers" in cfg
+                  else "videomae")
 
-    if family == "vjepa2":
+    if family == "dinov2":
+        state = export_hf_dinov2(params,
+                                 num_layers=cfg["num_hidden_layers"])
+    elif family == "vjepa2":
         state = export_hf_vjepa2(
             params, num_layers=cfg["num_hidden_layers"],
             pred_layers=cfg.get("pred_num_hidden_layers", 0),

@@ -514,6 +514,60 @@ def export_hf_vjepa2(params, num_layers: int, pred_layers: int = 0,
     return out
 
 
+def export_hf_dinov2(params, num_layers: int) -> Dict[str, np.ndarray]:
+    """flax Dinov2Model / Dinov2ForImageClassification params -> HF torch
+    state dict arrays (inverse of convert_hf_dinov2; 3D Conv3d weight is
+    exported as-is — loadable by the reference's vendored 3D DINOv2)."""
+    flat = flatten_params(params)
+    wrapped = any(k.startswith("params.dinov2.") for k in flat)
+    enc = "params.dinov2." if wrapped else "params."
+    base = "dinov2." if wrapped else ""
+    out: Dict[str, np.ndarray] = {}
+
+    def put(src, dst, fn=np.asarray):
+        if src in flat:
+            out[dst] = fn(flat[src])
+
+    e = base + "embeddings."
+    put(enc + "patch_embed_kernel",
+        e + "patch_embeddings.projection.weight")
+    put(enc + "patch_embed_bias", e + "patch_embeddings.projection.bias")
+    put(enc + "cls_token", e + "cls_token")
+    put(enc + "mask_token", e + "mask_token")
+    put(enc + "position_embeddings_3d", e + "position_embeddings_3d")
+    for i in range(num_layers):
+        o = f"{enc}encoder.layer_{i}."
+        p = f"{base}encoder.layer.{i}."
+        for our_n, hf_n in (("query", "query"), ("key", "key"),
+                            ("value", "value")):
+            put(o + f"attention.{our_n}.kernel",
+                p + f"attention.attention.{hf_n}.weight", _t)
+            put(o + f"attention.{our_n}.bias",
+                p + f"attention.attention.{hf_n}.bias")
+        put(o + "attention.proj.kernel",
+            p + "attention.output.dense.weight", _t)
+        put(o + "attention.proj.bias", p + "attention.output.dense.bias")
+        put(o + "layerscale1", p + "layer_scale1.lambda1")
+        put(o + "layerscale2", p + "layer_scale2.lambda1")
+        put(o + "norm1.scale", p + "norm1.weight")
+        put(o + "norm1.bias", p + "norm1.bias")
+        put(o + "norm2.scale", p + "norm2.weight")
+        put(o + "norm2.bias", p + "norm2.bias")
+        put(o + "mlp.fc1.kernel", p + "mlp.fc1.weight", _t)
+        put(o + "mlp.fc1.bias", p + "mlp.fc1.bias")
+        put(o + "mlp.fc2.kernel", p + "mlp.fc2.weight", _t)
+        put(o + "mlp.fc2.bias", p + "mlp.fc2.bias")
+        put(o + "mlp.weights_in.kernel", p + "mlp.weights_in.weight", _t)
+        put(o + "mlp.weights_in.bias", p + "mlp.weights_in.bias")
+        put(o + "mlp.weights_out.kernel", p + "mlp.weights_out.weight", _t)
+        put(o + "mlp.weights_out.bias", p + "mlp.weights_out.bias")
+    put(enc + "layernorm.scale", base + "layernorm.weight")
+    put(enc + "layernorm.bias", base + "layernorm.bias")
+    put("params.classifier.kernel", "classifier.weight", _t)
+    put("params.classifier.bias", "classifier.bias")
+    return out
+
+
 def load_hf_checkpoint_numpy(path: str) -> Dict[str, np.ndarray]:
     """Load an HF checkpoint directory/file to a flat numpy dict
     (safetensors preferred, torch .bin fallback)."""

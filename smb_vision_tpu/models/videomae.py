@@ -58,19 +58,33 @@ class VideoMAEModel(nn.Module):
         bias = self.param("patch_embed_bias", nn.initializers.zeros,
                           (cfg.hidden_size,), jnp.float32)
 
-        x = patch_embed(pixel_values, kernel, bias, dtype=dt)  # (B, N, D)
-        n = x.shape[1]
+        n = cfg.seq_len
         pos = sincos_position_table(n, cfg.hidden_size).astype(dt)
-        x = x + pos
 
         order = None
         if bool_masked_pos is not None and num_masked > 0:
             # stable sort: visible tokens first, original order preserved —
-            # identical to boolean indexing with ~mask (ref :134-137)
+            # identical to boolean indexing with ~mask (ref :134-137).
+            # Gather PIXEL patches (non-differentiable input) before the
+            # embed matmul: the backward then has no scatter-add, and the
+            # projection runs on the visible ~35% only. Bitwise equal to
+            # embed-then-gather (row-independent matmul).
             order = jnp.argsort(bool_masked_pos.astype(jnp.int32), axis=-1,
                                 stable=True)
             vis_idx = order[:, : n - num_masked]
-            x = jnp.take_along_axis(x, vis_idx[..., None], axis=1)
+            patches = extract_patches(pixel_values, cfg.tubelet_size,
+                                      cfg.patch_size, channel_major=True)
+            patches = jnp.take_along_axis(
+                jax.lax.stop_gradient(patches), vis_idx[..., None], axis=1)
+            wmat = kernel.reshape(cfg.hidden_size, -1).T
+            x = jnp.dot(patches.astype(dt), wmat.astype(dt),
+                        preferred_element_type=jnp.float32)
+            x = (x + bias.astype(jnp.float32)).astype(dt)
+            pos_b = jnp.broadcast_to(pos, (x.shape[0], n, cfg.hidden_size))
+            x = x + jnp.take_along_axis(pos_b, vis_idx[..., None], axis=1)
+        else:
+            x = patch_embed(pixel_values, kernel, bias, dtype=dt)
+            x = x + pos
 
         x = Encoder(
             num_layers=cfg.num_hidden_layers, hidden_size=cfg.hidden_size,

