@@ -58,6 +58,7 @@ class ModelArguments:
     hidden_size: int = 768
     num_hidden_layers: int = 12
     num_attention_heads: int = 12
+    decoder_num_attention_heads: int = 6   # 3 -> head_dim 128 (TPU config)
     intermediate_size: int = 3072
     dtype: str = "bfloat16"
     attn_impl: str = "auto"
@@ -89,6 +90,7 @@ def build_config(model_args: ModelArguments):
         "attn_impl": model_args.attn_impl,
         "gradient_checkpointing": model_args.gradient_checkpointing,
         "sequence_parallel": model_args.sequence_parallel,
+        "decoder_num_attention_heads": model_args.decoder_num_attention_heads,
     })
     if model_args.config_overrides:
         for kv in model_args.config_overrides.split(","):

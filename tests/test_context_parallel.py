@@ -59,3 +59,23 @@ def test_ring_attention_grad_flows(eight_devices, qkv):
         q, k, v)
     np.testing.assert_allclose(np.asarray(g), np.asarray(ref), atol=5e-5,
                                rtol=5e-5)
+
+
+def test_ring_attention_grads_match_dense(eight_devices, qkv):
+    """Ring attention must be differentiable (the sequence-parallel TRAIN
+    path with sp_variant='ring' relies on it; fori_loop with static bounds
+    differentiates as a scan)."""
+    mesh = create_mesh(model=4, devices=eight_devices)
+    q, k, v = qkv
+    spec = NamedSharding(mesh, P(None, "model", None, None))
+    qs, ks, vs = (jax.device_put(x, spec) for x in (q, k, v))
+
+    def loss(q, k, v):
+        return jnp.sum(ring_attention(q, k, v, mesh=mesh) ** 2)
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(qs, ks, vs)
+    ref = jax.grad(lambda q, k, v: jnp.sum(xla_attention(q, k, v) ** 2),
+                   argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
