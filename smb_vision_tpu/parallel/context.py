@@ -22,9 +22,18 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 try:
-    from jax import shard_map
+    from jax import shard_map as _shard_map
 except ImportError:  # older jax
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+
+def shard_map(f, **kw):
+    """shard_map with varying-manual-axes checking off: pallas_call outputs
+    carry no vma metadata, which trips check_vma on TPU (jax >= 0.9)."""
+    try:
+        return _shard_map(f, check_vma=False, **kw)
+    except TypeError:  # older jax spells it check_rep
+        return _shard_map(f, check_rep=False, **kw)
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from smb_vision_tpu.ops.attention import attention
