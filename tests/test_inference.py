@@ -147,3 +147,38 @@ def test_convert_hf_videomae_roundtrip(rng):
     out2, _ = model.apply(params2, px)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
                                atol=1e-6)
+
+
+def test_build_encoder_manifest_script(tmp_path):
+    """LLaVA-style raw JSON -> encoder-runner manifest (the reference's
+    llava-med build_json analog), incl. the misspelled 'conversatons' key
+    and missing-file skipping."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    from build_encoder_manifest import main as build_main
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    (img_dir / "a.png").write_bytes(b"x")
+    raw = [
+        {"id": "u1", "image": "a.png",
+         "conversatons": [{"from": "human", "value": "?"}]},
+        {"id": "u2", "image": "missing.png"},
+        {"image": "a.png"},  # no id
+    ]
+    (tmp_path / "raw.json").write_text(json.dumps(raw))
+    out = tmp_path / "m" / "manifest.json"
+    rc = build_main(["--input_json", str(tmp_path / "raw.json"),
+                     "--image_dir", str(img_dir),
+                     "--output_json", str(out)])
+    assert rc == 0
+    m = json.loads(out.read_text())
+    assert len(m["images"]) == 1
+    e = m["images"][0]
+    assert e["uid"] == "u1" and e["image_path"].endswith("a.png")
+    assert e["metadata"]["conversations"][0]["from"] == "human"
+
+    # the produced manifest is directly consumable by the runner's loader
+    items = BaseEncoderRunner.load_input_json(str(out))
+    assert [i["uid"] for i in items] == ["u1"]
