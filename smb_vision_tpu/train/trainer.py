@@ -254,11 +254,40 @@ class Trainer:
                 f"be formed; reduce per_device_train_batch_size / "
                 f"grad-accum or add data")
 
+        # grad-accum batches are pre-split into (n_accum, micro, ...) on the
+        # HOST and device_put with the data axis on the MICRO dim: splitting
+        # a data-sharded global batch on device would otherwise reshard
+        # (all-to-all) every step under GSPMD. accumulate_gradients detects
+        # the sentinel and skips its in-jit reshape.
+        accum = args.gradient_accumulation_steps
+        accum_sh = None
+        if accum > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from smb_vision_tpu.parallel.mesh import DATA_AXIS
+            accum_sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
+
+        def presplit(batch):
+            if accum <= 1:
+                return batch
+            out = {k: np.asarray(v).reshape(
+                (accum, v.shape[0] // accum) + v.shape[1:])
+                for k, v in batch.items()}
+            micro = next(iter(out.values())).shape[1]
+            # sentinel shaped like a microbatched leaf so the shared
+            # (None, "data") sharding applies to it too
+            out[ACCUM_SPLIT_KEY] = np.zeros((accum, micro), np.bool_)
+            return out
+
+        def batch_sharding_fn(batch):
+            return accum_sh if ACCUM_SPLIT_KEY in batch else self.batch_sh
+
         while step < total:
             self.train_loader.set_epoch(epoch)
-            data_iter = self.train_loader
             from smb_vision_tpu.data.dataset import prefetch_to_device
-            for batch in prefetch_to_device(data_iter, self.batch_sh):
+            data_iter = map(presplit, self.train_loader)
+            for batch in prefetch_to_device(data_iter,
+                                            sharding_fn=batch_sharding_fn):
                 if step >= total:
                     break
                 key, sub = jax.random.split(key)
@@ -395,14 +424,25 @@ def _device_peak_flops() -> Optional[float]:
     return None
 
 
+# sentinel key marking a batch whose leaves are already (n_accum, micro, ..)
+# — set by the Trainer, which pre-splits on the host so the data axis lands
+# on the micro dim without a device-side reshard
+ACCUM_SPLIT_KEY = "_accum_presplit"
+
+
 def accumulate_gradients(loss_fn, params, batch, key, n_accum: int):
     """Gradient accumulation via lax.scan over microbatches: batch leaves
-    are reshaped (n_accum, micro, ...). Returns (mean_loss, aux, grads).
+    are reshaped (n_accum, micro, ...) — unless the Trainer pre-split them
+    on the host (ACCUM_SPLIT_KEY present), which avoids an all-to-all under
+    GSPMD data sharding. Returns (mean_loss, aux, grads).
 
     aux (the second element of loss_fn's return) must be a pytree of
     mean-reducible metric arrays (scalars per microbatch) or None; it is
     averaged over microbatches — so workloads keep their metrics under
     accumulation instead of getting None back (round-1 weakness)."""
+    pre_split = isinstance(batch, dict) and ACCUM_SPLIT_KEY in batch
+    if pre_split:
+        batch = {k: v for k, v in batch.items() if k != ACCUM_SPLIT_KEY}
     if n_accum == 1:
         (loss, aux), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, batch, key)
@@ -413,7 +453,7 @@ def accumulate_gradients(loss_fn, params, batch, key, n_accum: int):
             lambda x: x.reshape((n_accum, x.shape[0] // n_accum)
                                 + x.shape[1:]), b)
 
-    mb = micro(batch)
+    mb = batch if pre_split else micro(batch)
     keys = jax.random.split(key, n_accum)
     first = jax.tree_util.tree_map(lambda x: x[0], mb)
     aux_shape = jax.eval_shape(

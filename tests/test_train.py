@@ -391,3 +391,30 @@ def test_adamw8bit_tracks_exact_adamw(rng):
     # scales are 1/256 of codes -> state ~3.6x smaller than f32 Adam
     assert int8_bytes >= 2 * w0.size  # mu + nu codes
     assert f32_bytes < int8_bytes / 16
+
+
+def test_accumulate_gradients_presplit_matches(rng):
+    """Host-pre-split batches (Trainer's zero-reshard grad-accum path) give
+    identical results to in-jit splitting."""
+    from smb_vision_tpu.train.trainer import (
+        ACCUM_SPLIT_KEY,
+        accumulate_gradients,
+    )
+
+    params = {"w": jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32))}
+    batch = {"x": jnp.asarray(rng.normal(size=(8, 4)).astype(np.float32)),
+             "y": jnp.asarray(rng.normal(size=(8, 3)).astype(np.float32))}
+
+    def loss_fn(p, b, key):
+        del key
+        return jnp.mean((b["x"] @ p["w"] - b["y"]) ** 2), None
+
+    key = jax.random.PRNGKey(0)
+    l_a, _, g_a = accumulate_gradients(loss_fn, params, batch, key, 4)
+    split = {k: np.asarray(v).reshape((4, 2) + v.shape[1:])
+             for k, v in batch.items()}
+    split[ACCUM_SPLIT_KEY] = np.zeros((4, 2), np.bool_)
+    l_b, _, g_b = accumulate_gradients(loss_fn, params, split, key, 4)
+    np.testing.assert_allclose(float(l_a), float(l_b), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_a["w"]), np.asarray(g_b["w"]),
+                               rtol=1e-6)
