@@ -208,14 +208,16 @@ def main(argv=None):
         init_fn, step_fn, eval_fn = make_lora_classification_workload(
             model, config, task_type=data_args.task_type, tx=tx,
             rank=model_args.lora_rank, alpha=model_args.lora_alpha,
-            grad_accum=training_args.gradient_accumulation_steps)
+            grad_accum=training_args.gradient_accumulation_steps,
+            accum_dtype=training_args.grad_accum_dtype)
         state = init_fn(key, example, base_params)
         logger.info("LoRA rank %d: %d adapter params trainable",
                     model_args.lora_rank, lora_size(state["lora"]))
     else:
         init_fn, step_fn, eval_fn = make_classification_workload(
             model, config, task_type=data_args.task_type, tx=tx,
-            grad_accum=training_args.gradient_accumulation_steps)
+            grad_accum=training_args.gradient_accumulation_steps,
+            accum_dtype=training_args.grad_accum_dtype)
         state = init_fn(key, example)
         if model_args.model_name_or_path:
             from smb_vision_tpu.models.convert import load_backbone_into

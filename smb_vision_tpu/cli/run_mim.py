@@ -166,7 +166,8 @@ def main(argv=None):
     model, init_fn, step_fn, eval_fn = make_mim_workload(
         config, mask_patch_size=data_args.mask_patch_size,
         mask_ratio=data_args.mask_ratio, tx=tx,
-        grad_accum=training_args.gradient_accumulation_steps)
+        grad_accum=training_args.gradient_accumulation_steps,
+        accum_dtype=training_args.grad_accum_dtype)
 
     if training_args.model_flops_per_sample is None:
         from smb_vision_tpu.utils.profiling import mim_flops_per_sample

@@ -44,6 +44,10 @@ class ModelArguments:
     pred_num_hidden_layers: int = 12
     pred_num_attention_heads: int = 12
     ema_momentum: float = 0.99925
+    # attention impl for the forward-only EMA teacher (e.g. "pallas_int8"
+    # to run target encoding on the 2x-rate int8 MXU path); None = same as
+    # the online model
+    teacher_attn_impl: Optional[str] = None
     dtype: str = "bfloat16"
     attn_impl: str = "auto"
     gradient_checkpointing: bool = False
@@ -144,7 +148,9 @@ def main(argv=None):
     model, init_fn, step_fn, eval_fn = make_vjepa_workload(
         config, tx=tx,
         grad_accum=training_args.gradient_accumulation_steps,
+        accum_dtype=training_args.grad_accum_dtype,
         ema_momentum=model_args.ema_momentum,
+        teacher_attn_impl=model_args.teacher_attn_impl,
         num_blocks=data_args.num_mask_blocks,
         inv_block=data_args.inv_block)
 

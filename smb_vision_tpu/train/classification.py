@@ -69,7 +69,7 @@ def collate_classification(examples: List[Dict], *, task_type: str,
 
 def make_classification_workload(model, config, *, task_type: str,
                                  tx: optax.GradientTransformation,
-                                 grad_accum: int = 1):
+                                 grad_accum: int = 1, accum_dtype=None):
     """model: VideoMAEForVideoClassification | Dinov2ForImageClassification
     (flax module, already built with problem_type set in its config).
 
@@ -119,7 +119,8 @@ def make_classification_workload(model, config, *, task_type: str,
 
     def step_fn(state, batch, key):
         loss, _, grads = accumulate_gradients(
-            loss_fn, state["params"], batch, key, grad_accum)
+            loss_fn, state["params"], batch, key, grad_accum,
+            accum_dtype=accum_dtype)
         updates, opt_state = tx.update(grads, state["opt_state"],
                                        state["params"])
         params = optax.apply_updates(state["params"], updates)

@@ -107,7 +107,8 @@ def lora_size(trainable: Dict) -> int:
 def make_lora_classification_workload(model, config, *, task_type: str, tx,
                                       rank: int = 8, alpha: float = 16.0,
                                       targets: str = DEFAULT_TARGETS,
-                                      grad_accum: int = 1):
+                                      grad_accum: int = 1,
+                                      accum_dtype=None):
     """Classification workload where only LoRA adapters + head train.
     State: {'params' (frozen base), 'lora', 'lora_meta', ...}."""
     import optax
@@ -159,7 +160,8 @@ def make_lora_classification_workload(model, config, *, task_type: str, tx,
             return loss_of(state["params"], trainable, b, key=k)[0], None
 
         loss, _, grads = accumulate_gradients(
-            f, state["lora"], batch, key, grad_accum)
+            f, state["lora"], batch, key, grad_accum,
+            accum_dtype=accum_dtype)
         updates, opt_state = tx.update(grads, state["opt_state"],
                                        state["lora"])
         trainable = optax.apply_updates(state["lora"], updates)

@@ -21,7 +21,7 @@ from smb_vision_tpu.train.trainer import accumulate_gradients, train_state
 
 def make_mim_workload(config: VideoMAEConfig, *, mask_patch_size: int,
                       mask_ratio: float, tx: optax.GradientTransformation,
-                      grad_accum: int = 1):
+                      grad_accum: int = 1, accum_dtype=None):
     """Returns (model, init_fn, step_fn, eval_fn)."""
     model = VideoMAEForPreTraining(config)
     num_masked = num_masked_tokens(
@@ -52,7 +52,8 @@ def make_mim_workload(config: VideoMAEConfig, *, mask_patch_size: int,
 
     def step_fn(state, batch, key):
         loss, _, grads = accumulate_gradients(
-            loss_fn, state["params"], batch, key, grad_accum)
+            loss_fn, state["params"], batch, key, grad_accum,
+            accum_dtype=accum_dtype)
         updates, opt_state = tx.update(grads, state["opt_state"],
                                        state["params"])
         params = optax.apply_updates(state["params"], updates)

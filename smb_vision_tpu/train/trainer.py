@@ -45,6 +45,10 @@ class TrainingArguments:
     per_device_train_batch_size: int = 1
     per_device_eval_batch_size: int = 1
     gradient_accumulation_steps: int = 1
+    # dtype of the scan-carried gradient accumulator under accumulation:
+    # float32 (exact) | bfloat16 (halves carried state; lets ViT-L V-JEPA
+    # grad-accum fit the 16 GB v5e)
+    grad_accum_dtype: str = "float32"
     learning_rate: float = 5e-5
     weight_decay: float = 0.01
     warmup_ratio: float = 0.0
@@ -430,7 +434,8 @@ def _device_peak_flops() -> Optional[float]:
 ACCUM_SPLIT_KEY = "_accum_presplit"
 
 
-def accumulate_gradients(loss_fn, params, batch, key, n_accum: int):
+def accumulate_gradients(loss_fn, params, batch, key, n_accum: int,
+                         accum_dtype=None):
     """Gradient accumulation via lax.scan over microbatches: batch leaves
     are reshaped (n_accum, micro, ...) — unless the Trainer pre-split them
     on the host (ACCUM_SPLIT_KEY present), which avoids an all-to-all under
@@ -439,7 +444,14 @@ def accumulate_gradients(loss_fn, params, batch, key, n_accum: int):
     aux (the second element of loss_fn's return) must be a pytree of
     mean-reducible metric arrays (scalars per microbatch) or None; it is
     averaged over microbatches — so workloads keep their metrics under
-    accumulation instead of getting None back (round-1 weakness)."""
+    accumulation instead of getting None back (round-1 weakness).
+
+    accum_dtype: dtype of the scan-carried gradient accumulator (default
+    f32). bfloat16 halves the carried state — the difference between a
+    ViT-L V-JEPA step fitting in the 16 GB v5e HBM or OOMing at
+    grad_accum >= 2 (NOTES_ROUND3 known limit). The mean over <=8
+    microbatches in bf16 costs ~2-3 significant digits of gradient — well
+    under SGD noise; the optimizer update itself stays f32."""
     pre_split = isinstance(batch, dict) and ACCUM_SPLIT_KEY in batch
     if pre_split:
         batch = {k: v for k, v in batch.items() if k != ACCUM_SPLIT_KEY}
@@ -461,19 +473,24 @@ def accumulate_gradients(loss_fn, params, batch, key, n_accum: int):
     zero_aux = jax.tree_util.tree_map(
         lambda s: jnp.zeros(s.shape, s.dtype), aux_shape)
 
+    acc_dt = jnp.dtype(accum_dtype) if accum_dtype is not None \
+        else jnp.float32
+
     def body(carry, xs):
         acc_loss, acc_aux, acc_grads = carry
         b, k = xs
         (loss, aux), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, b, k)
-        acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
+        acc_grads = jax.tree_util.tree_map(
+            lambda a, g: a + g.astype(acc_dt), acc_grads, grads)
         acc_aux = jax.tree_util.tree_map(jnp.add, acc_aux, aux)
         return (acc_loss + loss, acc_aux, acc_grads), None
 
     zero_grads = jax.tree_util.tree_map(
-        lambda p: jnp.zeros(p.shape, jnp.float32), params)
+        lambda p: jnp.zeros(p.shape, acc_dt), params)
     (tot_loss, aux, grads), _ = jax.lax.scan(
         body, (0.0, zero_aux, zero_grads), (mb, keys))
-    grads = jax.tree_util.tree_map(lambda g: g / n_accum, grads)
+    grads = jax.tree_util.tree_map(
+        lambda g: g.astype(jnp.float32) / n_accum, grads)
     aux = jax.tree_util.tree_map(lambda a: a / n_accum, aux)
     return tot_loss / n_accum, aux, grads

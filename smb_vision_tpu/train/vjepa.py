@@ -25,12 +25,23 @@ EMA_MOMENTUM = 0.99925  # run_vjepa.py:107
 
 def make_vjepa_workload(config: VJEPA2Config, *,
                         tx: optax.GradientTransformation,
-                        grad_accum: int = 1,
+                        grad_accum: int = 1, accum_dtype=None,
                         ema_momentum: float = EMA_MOMENTUM,
                         pred_mask_scale=(0.2, 0.8),
                         aspect_ratio=(0.3, 3.0), num_blocks: int = 3,
-                        inv_block: bool = False):
+                        inv_block: bool = False,
+                        teacher_attn_impl: str = None):
     model = VJEPA2Model(config)
+    # the EMA teacher is forward-only (stop_gradient below), so it may run
+    # the int8-score inference attention path (teacher_attn_impl=
+    # "pallas_int8") — its targets shift by ~the bf16 operand noise while
+    # the teacher's ~1/3 of step attention FLOPs runs on the 2x int8 MXU
+    if teacher_attn_impl:
+        import dataclasses
+        tmodel = VJEPA2Model(
+            dataclasses.replace(config, attn_impl=teacher_attn_impl))
+    else:
+        tmodel = model
 
     def gen_mask(key, batch):
         return vjepa_target_mask(key, batch, grid=config.grid,
@@ -55,7 +66,7 @@ def make_vjepa_workload(config: VJEPA2Config, *,
         tb = gen_mask(mask_key, px.shape[0])
         out = model.apply(params, px, target_bool=tb, deterministic=False,
                           rngs={"droppath": dp_key})
-        tgt = model.apply(teacher, px, target_bool=tb, skip_predictor=True)[
+        tgt = tmodel.apply(teacher, px, target_bool=tb, skip_predictor=True)[
             "last_hidden_state"]
         return vjepa_loss(out["predictor_output"],
                           jax.lax.stop_gradient(tgt), tb)
@@ -67,7 +78,8 @@ def make_vjepa_workload(config: VJEPA2Config, *,
             return loss_for(params, teacher, b["pixel_values"], k), None
 
         loss, _, grads = accumulate_gradients(
-            loss_fn, state["params"], batch, key, grad_accum)
+            loss_fn, state["params"], batch, key, grad_accum,
+            accum_dtype=accum_dtype)
         updates, opt_state = tx.update(grads, state["opt_state"],
                                        state["params"])
         params = optax.apply_updates(state["params"], updates)

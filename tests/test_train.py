@@ -189,6 +189,31 @@ def test_accumulate_gradients_matches_full_batch_and_carries_aux(rng):
                                atol=1e-6)
 
 
+def test_accumulate_gradients_bf16_accumulator_tracks_f32(rng):
+    """accum_dtype='bfloat16' (the v5e HBM-relief option for ViT-L V-JEPA
+    grad-accum) must track the exact f32 accumulation within bf16 noise and
+    still return f32 gradients for the optimizer."""
+    from smb_vision_tpu.train.trainer import accumulate_gradients
+
+    params = {"w": jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32))}
+    batch = {"x": jnp.asarray(rng.normal(size=(8, 4)).astype(np.float32)),
+             "y": jnp.asarray(rng.normal(size=(8, 3)).astype(np.float32))}
+
+    def loss_fn(p, b, key):
+        del key
+        pred = b["x"] @ p["w"]
+        return jnp.mean((pred - b["y"]) ** 2), None
+
+    key = jax.random.PRNGKey(0)
+    _, _, g32 = accumulate_gradients(loss_fn, params, batch, key, 4)
+    _, _, g16 = accumulate_gradients(loss_fn, params, batch, key, 4,
+                                     accum_dtype="bfloat16")
+    assert g16["w"].dtype == jnp.float32
+    ref = np.asarray(g32["w"])
+    np.testing.assert_allclose(np.asarray(g16["w"]), ref,
+                               atol=2e-2 * np.abs(ref).max())
+
+
 def test_classification_workload_grad_accum_steps(rng):
     """make_classification_workload(grad_accum=2) consumes a 2x batch and
     takes one optimizer step; loss matches the mean of microbatch losses
