@@ -1,6 +1,6 @@
 """Model-level 512^2x320 embed throughput at d64 (reference arch) and d128
-(TPU-recommended), with the integrated round-2 kernel. Honest protocol:
-distinct inputs + scalar readback per call."""
+(TPU-recommended), bf16 + int8-score paths, with the integrated kernel.
+Honest protocol: distinct inputs + scalar readback per call."""
 import sys
 import time
 
@@ -13,11 +13,11 @@ from smb_vision_tpu.models.configs import VideoMAEConfig
 from smb_vision_tpu.models.videomae import VideoMAEModel
 
 
-def run(heads, batch=1, iters=4):
+def run(heads, batch=1, iters=4, impl="auto"):
     config = VideoMAEConfig(image_size=512, num_frames=320, patch_size=16,
                             tubelet_size=16, num_channels=1,
                             num_attention_heads=heads,
-                            dtype="bfloat16", attn_impl="auto")
+                            dtype="bfloat16", attn_impl=impl)
     model = VideoMAEModel(config)
     key = jax.random.PRNGKey(0)
     px = jax.random.normal(key, (batch, 320, 1, 512, 512), jnp.bfloat16)
@@ -37,13 +37,25 @@ def run(heads, batch=1, iters=4):
         float(encode_sum(params, x))
     dt = time.perf_counter() - t0
     vps = iters * batch / dt
-    print(f"heads={heads:2d} (d{768//heads}) batch={batch}: "
-          f"{vps:.3f} vol/s  ({dt/iters*1e3:.0f} ms/vol-call)")
+    print(f"heads={heads:2d} (d{768//heads}) batch={batch} {impl:11s}: "
+          f"{vps:.3f} vol/s  ({dt/iters*1e3:.0f} ms/call)")
     return vps
 
 
 if __name__ == "__main__":
     print("device:", jax.devices()[0].device_kind)
-    for heads in (12, 6):
-        for batch in (1, 2):
-            run(heads, batch)
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("all", "headline"):
+        run(12, 4, impl="auto")
+        run(12, 4, impl="pallas_int8")
+        run(12, 8, impl="pallas_int8")
+        run(6, 4, impl="pallas_int8")
+    if which == "bf16":
+        for heads in (12, 6):
+            for batch in (1, 2, 4):
+                run(heads, batch)
+    if which == "grid":
+        for heads in (12, 6):
+            for impl in ("auto", "pallas_int8"):
+                for batch in (2, 4):
+                    run(heads, batch, impl=impl)

@@ -53,6 +53,16 @@ def check_numerics():
         rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-6)
         print(f"grad d{name} rel err: {rel:.5f}")
         assert rel < 3e-2, (name, rel)
+
+    # int8-score inference path (incl. the sub-block unroll), compiled
+    @jax.jit
+    def i8(q, k, v):
+        return attention(q, k, v, impl="pallas_int8")
+
+    out_i = np.asarray(i8(q, k, v), np.float32)
+    rel = np.abs(out_i - out_x).max() / np.abs(out_x).max()
+    print(f"int8 fwd rel err vs xla on TPU: {rel:.5f}")
+    assert rel < 2e-2, rel
     print("NUMERICS OK (compiled TPU kernel)")
 
 

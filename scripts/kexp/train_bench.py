@@ -56,7 +56,7 @@ def bench_mim(heads, label, remat=True, batch=1):
           f"({fl/t/1e12:.1f} TFLOP/s) losses {losses}")
 
 
-def bench_vjepa(remat=True, batch=1):
+def bench_vjepa(remat=True, batch=1, teacher_impl=None):
     from smb_vision_tpu.models.configs import VJEPA2Config
     from smb_vision_tpu.train.vjepa import make_vjepa_workload
     from smb_vision_tpu.utils.profiling import vjepa_flops_per_sample
@@ -66,7 +66,8 @@ def bench_vjepa(remat=True, batch=1):
                        dtype="bfloat16", attn_impl="auto",
                        gradient_checkpointing=remat)
     tx = optax.adamw(1e-4)
-    model, init_fn, step_fn, _ = make_vjepa_workload(cfg, tx=tx)
+    model, init_fn, step_fn, _ = make_vjepa_workload(
+        cfg, tx=tx, teacher_attn_impl=teacher_impl)
     key = jax.random.PRNGKey(0)
     state = init_fn(key)
     step = jax.jit(step_fn, donate_argnums=(0,))
@@ -76,7 +77,8 @@ def bench_vjepa(remat=True, batch=1):
     jax.block_until_ready(batches)
     t, losses = _time_steps(step, state, batches, key)
     fl = vjepa_flops_per_sample(cfg) * batch
-    print(f"V-JEPA ViT-L 384^2x256 bs{batch}: {t*1e3:.0f} ms/step, "
+    ti = f" teacher={teacher_impl}" if teacher_impl else ""
+    print(f"V-JEPA ViT-L 384^2x256 bs{batch}{ti}: {t*1e3:.0f} ms/step, "
           f"MFU {fl/t/PEAK*100:.1f}% ({fl/t/1e12:.1f} TFLOP/s) "
           f"losses {losses}")
 
@@ -93,6 +95,9 @@ if __name__ == "__main__":
         bench_vjepa(batch=2)
         bench_mim(6, "d128 (TPU config)", batch=2)
         bench_mim(12, "d64 (reference arch)", batch=2)
+    if which == "teacher_i8":
+        bench_vjepa(teacher_impl="pallas_int8")
+        bench_vjepa(teacher_impl="pallas_int8", batch=2)
     if which == "noremat":
         bench_mim(6, "d128 NO remat", remat=False)
         bench_vjepa(remat=False)

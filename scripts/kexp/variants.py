@@ -1048,3 +1048,276 @@ def fwd_nmti8(q, k, v, *, scale, block_q=1024, block_k=1024,
 
 
 VARIANTS["nmti8"] = fwd_nmti8
+
+
+# ---------------------------------------------------------------------------
+# Round-2b int8 refinements. The SHIPPED int8 kernel (ops/attention._fwd_i8)
+# has NO sub-block unroll — the bf16 kernel's u2 trick (independent MXU/VPU
+# work per grid step) never made it into the int8 path. Variants:
+#   i8u2  — int8 q@k^T, per-head SMEM scalar scales, 2 kv sub-blocks/step
+#   i8bx  — int8 q@k^T + bf16 exp2 (halves the dominant VPU pass if Mosaic
+#           runs bf16 transcendentals at 2x lane rate)
+#   i8u2bx — both
+#   nmtu2bx — the bf16 kernel with bf16 exp2 (isolates the exp-cost lever)
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_i8u(q_ref, k_ref, v1_ref, sq_ref, sk_ref, o_ref,
+                    c_scr, acc_scr, *, unroll: int, bf16_exp: bool):
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+    b = pl.program_id(0)
+
+    q = q_ref[0]                                       # (bq, d) int8
+    sub = k_ref.shape[1] // unroll
+    scale = sk_ref[b] * sq_ref[b]
+    sts = []
+    for u in range(unroll):
+        k_u = k_ref[0][u * sub:(u + 1) * sub]
+        st = jax.lax.dot_general(k_u, q, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        sts.append(st.astype(jnp.float32) * scale)
+
+    @pl.when(ik == 0)
+    def _init():
+        m = jnp.max(sts[0], axis=0, keepdims=True)
+        for st in sts[1:]:
+            m = jnp.maximum(m, jnp.max(st, axis=0, keepdims=True))
+        c_scr[:] = jnp.broadcast_to(m, c_scr.shape)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    c = c_scr[:1]
+    acc = acc_scr[:]
+    for u in range(unroll):
+        v_u = v1_ref[0][u * sub:(u + 1) * sub]
+        if bf16_exp:
+            pt = jnp.exp2((sts[u] - c).astype(jnp.bfloat16))
+        else:
+            pt = jnp.exp2(sts[u] - c).astype(v_u.dtype)
+        acc += jax.lax.dot_general(v_u, pt, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    acc_scr[:] = acc
+
+    @pl.when(ik == nk - 1)
+    def _finish():
+        d = o_ref.shape[-1]
+        l = acc_scr[d:d + 1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[:d] / l).T.astype(o_ref.dtype)
+
+
+def _fwd_i8u(q, k, v, *, scale, block_q, block_k, unroll, bf16_exp,
+             interpret=False):
+    bh, nq, d = q.shape
+    kv = k.shape[1]
+    if kv % block_k:
+        raise ValueError("i8u needs kv % block_k == 0")
+    qf = q.astype(jnp.float32) * (scale * LOG2E)
+    sq = jnp.max(jnp.abs(qf), axis=(1, 2), keepdims=True) / 127.0
+    sq = jnp.where(sq == 0, 1.0, sq)
+    q8 = jnp.clip(jnp.round(qf / sq), -127, 127).astype(jnp.int8)
+    kf = k.astype(jnp.float32)
+    sk = jnp.max(jnp.abs(kf), axis=(1, 2), keepdims=True) / 127.0
+    sk = jnp.where(sk == 0, 1.0, sk)
+    k8 = jnp.clip(jnp.round(kf / sk), -127, 127).astype(jnp.int8)
+    sq = sq.reshape(bh)
+    sk = sk.reshape(bh)
+    ones = jnp.ones((bh, kv, 1), v.dtype)
+    zpad = jnp.zeros((bh, kv, 7), v.dtype)
+    v1 = jnp.concatenate([v, ones, zpad], axis=-1)
+    grid = (bh, _cdiv(nq, block_q), kv // block_k)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_i8u, unroll=unroll, bf16_exp=bf16_exp),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, block_k, d + 8), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, nq, d), v.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((8, block_q), jnp.float32),
+            pltpu.VMEM((d + 8, block_q), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=110 * 2 ** 20),
+        interpret=interpret,
+    )(q8, k8, v1, sq, sk)
+
+
+def fwd_i8u2(q, k, v, *, scale, block_q=1024, block_k=1024, interpret=False):
+    return _fwd_i8u(q, k, v, scale=scale, block_q=block_q, block_k=block_k,
+                    unroll=2, bf16_exp=False, interpret=interpret)
+
+
+def fwd_i8bx(q, k, v, *, scale, block_q=1024, block_k=1024, interpret=False):
+    return _fwd_i8u(q, k, v, scale=scale, block_q=block_q, block_k=block_k,
+                    unroll=1, bf16_exp=True, interpret=interpret)
+
+
+def fwd_i8u2bx(q, k, v, *, scale, block_q=1024, block_k=1024,
+               interpret=False):
+    return _fwd_i8u(q, k, v, scale=scale, block_q=block_q, block_k=block_k,
+                    unroll=2, bf16_exp=True, interpret=interpret)
+
+
+VARIANTS["i8u2"] = fwd_i8u2
+VARIANTS["i8bx"] = fwd_i8bx
+VARIANTS["i8u2bx"] = fwd_i8u2bx
+
+
+def _fwd_kernel_nmtu2bx(q_ref, k_ref, v1_ref, o_ref, c_scr, acc_scr):
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v1 = v1_ref[0]
+    half = k.shape[0] // 2
+    st1 = jax.lax.dot_general(k[:half], q, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    st2 = jax.lax.dot_general(k[half:], q, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+
+    @pl.when(ik == 0)
+    def _init():
+        m12 = jnp.maximum(jnp.max(st1, axis=0, keepdims=True),
+                          jnp.max(st2, axis=0, keepdims=True))
+        c_scr[:] = jnp.broadcast_to(m12, c_scr.shape)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    c = c_scr[:1]
+    pt1 = jnp.exp2((st1 - c).astype(jnp.bfloat16))
+    pt2 = jnp.exp2((st2 - c).astype(jnp.bfloat16))
+    acc = acc_scr[:]
+    acc += jax.lax.dot_general(v1[:half], pt1, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    acc += jax.lax.dot_general(v1[half:], pt2, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    acc_scr[:] = acc
+
+    @pl.when(ik == nk - 1)
+    def _finish():
+        d = o_ref.shape[-1]
+        l = acc_scr[d:d + 1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[:d] / l).T.astype(o_ref.dtype)
+
+
+def fwd_nmtu2bx(q, k, v, *, scale, block_q=1024, block_k=1024,
+                interpret=False):
+    bh, nq, d = q.shape
+    kv = k.shape[1]
+    if kv % block_k:
+        raise ValueError("nmtu2bx needs kv % block_k == 0")
+    q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+    ones = jnp.ones((bh, kv, 1), v.dtype)
+    zpad = jnp.zeros((bh, kv, 7), v.dtype)
+    v1 = jnp.concatenate([v, ones, zpad], axis=-1)
+    grid = (bh, _cdiv(nq, block_q), kv // block_k)
+    return pl.pallas_call(
+        _fwd_kernel_nmtu2bx,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, block_k, d + 8), lambda b, iq, ik: (b, ik, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, nq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((8, block_q), jnp.float32),
+            pltpu.VMEM((d + 8, block_q), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=110 * 2 ** 20),
+        interpret=interpret,
+    )(q, k, v1)
+
+
+VARIANTS["nmtu2bx"] = fwd_nmtu2bx
+
+
+def fwd_i8u4(q, k, v, *, scale, block_q=1024, block_k=1024, interpret=False):
+    return _fwd_i8u(q, k, v, scale=scale, block_q=block_q, block_k=block_k,
+                    unroll=4, bf16_exp=False, interpret=interpret)
+
+
+VARIANTS["i8u4"] = fwd_i8u4
+
+
+def _fwd_kernel_nmtu(q_ref, k_ref, v1_ref, o_ref, c_scr, acc_scr,
+                     *, unroll: int):
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    q = q_ref[0]
+    sub = k_ref.shape[1] // unroll
+    sts = [jax.lax.dot_general(k_ref[0][u * sub:(u + 1) * sub], q,
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+           for u in range(unroll)]
+
+    @pl.when(ik == 0)
+    def _init():
+        m = jnp.max(sts[0], axis=0, keepdims=True)
+        for st in sts[1:]:
+            m = jnp.maximum(m, jnp.max(st, axis=0, keepdims=True))
+        c_scr[:] = jnp.broadcast_to(m, c_scr.shape)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    c = c_scr[:1]
+    acc = acc_scr[:]
+    for u in range(unroll):
+        v_u = v1_ref[0][u * sub:(u + 1) * sub]
+        pt = jnp.exp2(sts[u] - c).astype(v_u.dtype)
+        acc += jax.lax.dot_general(v_u, pt, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    acc_scr[:] = acc
+
+    @pl.when(ik == nk - 1)
+    def _finish():
+        d = o_ref.shape[-1]
+        l = acc_scr[d:d + 1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[:d] / l).T.astype(o_ref.dtype)
+
+
+def fwd_nmtu4(q, k, v, *, scale, block_q=1024, block_k=1024,
+              interpret=False):
+    bh, nq, d = q.shape
+    kv = k.shape[1]
+    if kv % block_k:
+        raise ValueError("nmtu4 needs kv % block_k == 0")
+    q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+    ones = jnp.ones((bh, kv, 1), v.dtype)
+    zpad = jnp.zeros((bh, kv, 7), v.dtype)
+    v1 = jnp.concatenate([v, ones, zpad], axis=-1)
+    grid = (bh, _cdiv(nq, block_q), kv // block_k)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_nmtu, unroll=4),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, block_k, d + 8), lambda b, iq, ik: (b, ik, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, nq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((8, block_q), jnp.float32),
+            pltpu.VMEM((d + 8, block_q), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=110 * 2 ** 20),
+        interpret=interpret,
+    )(q, k, v1)
+
+
+VARIANTS["nmtu4"] = fwd_nmtu4

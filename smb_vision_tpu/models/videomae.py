@@ -160,12 +160,23 @@ class VideoMAEForPreTraining(nn.Module):
                           name="decoder_head")(h)
 
         # labels: per-patch-normalised pixels of the masked patches; the
-        # reference computes these under no_grad (:822) — stop_gradient here
-        patches = extract_patches(pixel_values, cfg.tubelet_size,
-                                  cfg.patch_size, channel_major=False)
-        if cfg.norm_pix_loss:
-            patches = normalize_pixel_targets(patches)
+        # reference computes these under no_grad (:822) — stop_gradient here.
+        # Gather BEFORE normalising (per-patch normalisation commutes with
+        # the patch gather): processes num_masked rows instead of all N.
+        # For num_channels == 1 the channel-major and channel-minor patch
+        # layouts coincide, so the encoder's extraction is reused — the
+        # 512^2x320 volume is tiled into patches ONCE per step, not twice
+        # (glue ablation: extract_patches is pure data movement, measured
+        # ~ms-scale per pass at 84M voxels).
+        if cfg.num_channels == 1:
+            patches = extract_patches(pixel_values, cfg.tubelet_size,
+                                      cfg.patch_size, channel_major=True)
+        else:
+            patches = extract_patches(pixel_values, cfg.tubelet_size,
+                                      cfg.patch_size, channel_major=False)
         labels = jnp.take_along_axis(patches, mask_idx[..., None], axis=1)
+        if cfg.norm_pix_loss:
+            labels = normalize_pixel_targets(labels)
         labels = jax.lax.stop_gradient(labels)
 
         loss = jnp.mean(
