@@ -64,10 +64,14 @@ def mim_mask(key: jax.Array, batch: int, *, input_size: int, depth: int,
     token_count, mask_count, scale = mim_mask_counts(
         input_size, depth, mask_patch_size, model_patch_size, mask_ratio)
 
-    # per-row random permutation via uniform + argsort(argsort) ranks
+    # per-row random choice of mask_count coarse tokens: one argsort + a
+    # boolean scatter (bit-identical to the former argsort(argsort) rank
+    # threshold, but TPU sorts are ~2 ms/pass at this shape — half the cost)
     u = jax.random.uniform(key, (batch, token_count))
-    ranks = jnp.argsort(jnp.argsort(u, axis=-1), axis=-1)
-    coarse = (ranks < mask_count).reshape(batch, rd, rs, rs)
+    masked_idx = jnp.argsort(u, axis=-1)[:, :mask_count]
+    coarse = jnp.zeros((batch, token_count), bool).at[
+        jnp.arange(batch)[:, None], masked_idx].set(True)
+    coarse = coarse.reshape(batch, rd, rs, rs)
 
     if scale > 1:
         coarse = jnp.repeat(coarse, scale, axis=1)
