@@ -73,8 +73,9 @@ def main():
         up, o = tx.update(g, o, p)
         return (optax.apply_updates(p, up), o), l
 
+    cp = lambda t: jax.tree_util.tree_map(jnp.copy, t)  # noqa: E731
     run_steps("step_adamw", jax.jit(step_adamw, donate_argnums=(0,)),
-              (params, tx.init(params)))
+              (cp(params), tx.init(params)))
 
     # sgd
     txs = optax.sgd(1e-4)
@@ -87,7 +88,7 @@ def main():
         return (optax.apply_updates(p, up), o), l
 
     run_steps("step_sgd", jax.jit(step_sgd, donate_argnums=(0,)),
-              (params, txs.init(params)))
+              (cp(params), txs.init(params)))
 
     # raw
     @jax.jit
@@ -98,10 +99,11 @@ def main():
         return (newp, 0), l
 
     run_steps("step_raw", jax.jit(step_raw, donate_argnums=(0,)),
-              (params, 0))
+              (cp(params), 0))
 
     # external-grad adamw update (donated)
     opt0 = tx.init(params)
+    params = cp(params)
 
     @jax.jit
     def opt_ext(state, g, seed):
