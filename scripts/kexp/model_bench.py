@@ -13,11 +13,12 @@ from smb_vision_tpu.models.configs import VideoMAEConfig
 from smb_vision_tpu.models.videomae import VideoMAEModel
 
 
-def run(heads, batch=1, iters=4, impl="auto"):
+def run(heads, batch=1, iters=4, impl="auto", quant8=False):
     config = VideoMAEConfig(image_size=512, num_frames=320, patch_size=16,
                             tubelet_size=16, num_channels=1,
                             num_attention_heads=heads,
-                            dtype="bfloat16", attn_impl=impl)
+                            dtype="bfloat16", attn_impl=impl,
+                            quant8=quant8)
     model = VideoMAEModel(config)
     key = jax.random.PRNGKey(0)
     px = jax.random.normal(key, (batch, 320, 1, 512, 512), jnp.bfloat16)
@@ -37,7 +38,8 @@ def run(heads, batch=1, iters=4, impl="auto"):
         float(encode_sum(params, x))
     dt = time.perf_counter() - t0
     vps = iters * batch / dt
-    print(f"heads={heads:2d} (d{768//heads}) batch={batch} {impl:11s}: "
+    q = " w8a8" if quant8 else ""
+    print(f"heads={heads:2d} (d{768//heads}) batch={batch} {impl:13s}{q}: "
           f"{vps:.3f} vol/s  ({dt/iters*1e3:.0f} ms/call)")
     return vps
 
@@ -54,6 +56,13 @@ if __name__ == "__main__":
         for heads in (12, 6):
             for batch in (1, 2, 4):
                 run(heads, batch)
+    if which == "i8pv":
+        # int8 p@v kernel + W8A8 projections, composed, at the reference
+        # d64 architecture (the vs_baseline>=1.0 target config)
+        run(12, 4, impl="pallas_int8pv")
+        run(12, 4, impl="pallas_int8pv", quant8=True)
+        run(12, 8, impl="pallas_int8pv", quant8=True)
+        run(6, 4, impl="pallas_int8pv", quant8=True)
     if which == "grid":
         for heads in (12, 6):
             for impl in ("auto", "pallas_int8"):

@@ -63,6 +63,16 @@ def check_numerics():
     rel = np.abs(out_i - out_x).max() / np.abs(out_x).max()
     print(f"int8 fwd rel err vs xla on TPU: {rel:.5f}")
     assert rel < 2e-2, rel
+
+    # int8 p@v path (per-sub-block p requantization), compiled
+    @jax.jit
+    def i8pv(q, k, v):
+        return attention(q, k, v, impl="pallas_int8pv")
+
+    out_i = np.asarray(i8pv(q, k, v), np.float32)
+    rel = np.abs(out_i - out_x).max() / np.abs(out_x).max()
+    print(f"int8pv fwd rel err vs xla on TPU: {rel:.5f}")
+    assert rel < 3e-2, rel
     print("NUMERICS OK (compiled TPU kernel)")
 
 
@@ -124,6 +134,27 @@ def bench():
     eff_flops = FLOPS_FWD * 3.5  # fwd + bwd(2.5x: 5 matmuls vs 2)
     print(f"fwd+bwd: {t*1e3:7.2f} ms/layer  {eff_flops/t/1e12:6.1f} TFLOP/s"
           f" eff ({eff_flops/t/1e12/197*100:4.1f}% peak)")
+
+    from smb_vision_tpu.ops.attention import _fwd_i8
+
+    for tag, pv in (("int8", False), ("int8pv", True)):
+        @jax.jit
+        def imany(q, k, v, pv=pv):
+            out = q
+            for _ in range(LAYERS):
+                out = _fwd_i8(out, k, v, scale=scale, block_q=4096,
+                              block_k=2048, pv=pv)
+            return jnp.sum(out.astype(jnp.float32))
+
+        def run_i(i, f=imany):
+            if i not in cache:
+                cache[i] = mk(i)
+            q, k, v = cache[i]
+            return f(q, k, v)
+
+        t = timeit(tag, run_i)
+        print(f"{tag}:  {t*1e3:7.2f} ms/layer  {FLOPS_FWD/t/1e12:6.1f} "
+              f"TFLOP/s-equiv ({FLOPS_FWD/t/1e12/197*100:4.1f}% bf16 peak)")
 
 
 if __name__ == "__main__":

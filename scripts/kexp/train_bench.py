@@ -56,13 +56,16 @@ def bench_mim(heads, label, remat=True, batch=1):
           f"({fl/t/1e12:.1f} TFLOP/s) losses {losses}")
 
 
-def bench_vjepa(remat=True, batch=1, teacher_impl=None):
+def bench_vjepa(remat=True, batch=1, teacher_impl=None, pred_heads=12,
+                enc_heads=16):
     from smb_vision_tpu.models.configs import VJEPA2Config
     from smb_vision_tpu.train.vjepa import make_vjepa_workload
     from smb_vision_tpu.utils.profiling import vjepa_flops_per_sample
 
     cfg = VJEPA2Config(crop_size=384, frames_per_clip=256, patch_size=16,
                        tubelet_size=16, in_chans=1,
+                       num_attention_heads=enc_heads,
+                       pred_num_attention_heads=pred_heads,
                        dtype="bfloat16", attn_impl="auto",
                        gradient_checkpointing=remat)
     tx = optax.adamw(1e-4)
@@ -78,7 +81,9 @@ def bench_vjepa(remat=True, batch=1, teacher_impl=None):
     t, losses = _time_steps(step, state, batches, key)
     fl = vjepa_flops_per_sample(cfg) * batch
     ti = f" teacher={teacher_impl}" if teacher_impl else ""
-    print(f"V-JEPA ViT-L 384^2x256 bs{batch}{ti}: {t*1e3:.0f} ms/step, "
+    hd = cfg.hidden_size // enc_heads
+    print(f"V-JEPA ViT-L 384^2x256 bs{batch}{ti} enc_d{hd} "
+          f"pred_d{384 // pred_heads}: {t*1e3:.0f} ms/step, "
           f"MFU {fl/t/PEAK*100:.1f}% ({fl/t/1e12:.1f} TFLOP/s) "
           f"losses {losses}")
 
@@ -98,6 +103,12 @@ if __name__ == "__main__":
     if which == "teacher_i8":
         bench_vjepa(teacher_impl="pallas_int8")
         bench_vjepa(teacher_impl="pallas_int8", batch=2)
+    if which == "pred64":
+        # predictor head_dim 32 -> 64 (same params/FLOPs, 6 heads);
+        # encoder d64 -> d128 (8 heads); and the int8 teacher, composed
+        bench_vjepa(pred_heads=6)
+        bench_vjepa(pred_heads=6, enc_heads=8)
+        bench_vjepa(pred_heads=6, enc_heads=8, teacher_impl="pallas_int8")
     if which == "noremat":
         bench_mim(6, "d128 NO remat", remat=False)
         bench_vjepa(remat=False)

@@ -53,6 +53,11 @@ class InferenceArguments:
     max_samples: Optional[int] = None
     dtype: str = "bfloat16"
     attn_impl: str = "auto"
+    quant8: bool = field(
+        default=False,
+        metadata={"help": "run transformer projections as W8A8 on the "
+                          "int8 MXU (inference-only fast path; pair with "
+                          "--attn_impl pallas_int8pv for int8 attention)"})
     # process-level fan-out (the reference's per-GPU mp.Pool chunking,
     # run_inspect.py:205-235): each process takes items[shard::num_shards];
     # resume-by-uid makes overlapping shards safe
@@ -78,13 +83,14 @@ def main(argv=None):
 
     if args.config_path:
         config = VideoMAEConfig.from_json(args.config_path)
-        config.update({"attn_impl": args.attn_impl, "dtype": args.dtype})
+        config.update({"attn_impl": args.attn_impl, "dtype": args.dtype,
+                       "quant8": args.quant8})
     else:
         config = VideoMAEConfig(
             image_size=args.image_size, num_frames=args.depth,
             num_channels=1, patch_size=args.patch_size,
             tubelet_size=args.patch_size, dtype=args.dtype,
-            attn_impl=args.attn_impl)
+            attn_impl=args.attn_impl, quant8=args.quant8)
 
     if args.data_json:
         items = None

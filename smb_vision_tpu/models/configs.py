@@ -107,6 +107,9 @@ class VideoMAEConfig(BaseConfig):
     # the flash kernel per shard (all-gather-kv CP or ring attention)
     sequence_parallel: bool = False
     sp_variant: str = "gather"      # gather (all-gather kv) | ring
+    # W8A8 transformer projections on the int8 MXU (inference only: the
+    # quantization round is not differentiable)
+    quant8: bool = False
 
     @property
     def grid(self) -> Tuple[int, int, int]:

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from smb_vision_tpu.ops.attention import attention
+from smb_vision_tpu.ops.quant import w8a8_dot
 from smb_vision_tpu.ops.rope3d import apply_rope3d
 
 ACT2FN = {
@@ -34,6 +35,30 @@ ACT2FN = {
 
 def trunc_normal_init(std: float):
     return nn.initializers.truncated_normal(stddev=std, lower=-2.0, upper=2.0)
+
+
+class QuantDense(nn.Module):
+    """Drop-in for nn.Dense that runs x@kernel on the int8 MXU (W8A8
+    dynamic quantization, ops/quant.py). Identical param structure —
+    checkpoints interchange freely with nn.Dense. Inference only: the
+    quantization round is not differentiable."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features), self.param_dtype)
+        y = w8a8_dot(x.astype(self.dtype), kernel)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), self.param_dtype)
+            y = y + bias.astype(y.dtype)
+        return y
 
 
 class Attention(nn.Module):
@@ -58,6 +83,7 @@ class Attention(nn.Module):
     # local shard still runs the flash kernel (all-gather-kv CP or ring)
     sequence_parallel: bool = False
     sp_variant: str = "gather"   # "gather" (all-gather kv) | "ring"
+    quant8: bool = False         # W8A8 projections (inference only)
 
     @nn.compact
     def __call__(self, x, rope: Optional[Tuple[jax.Array, jax.Array]] = None,
@@ -65,7 +91,8 @@ class Attention(nn.Module):
         b, n, _ = x.shape
         head_dim = self.hidden_size // self.num_heads
         kinit = trunc_normal_init(self.initializer_range)
-        dense = lambda name, use_bias: nn.Dense(  # noqa: E731
+        dense_cls = QuantDense if self.quant8 else nn.Dense
+        dense = lambda name, use_bias: dense_cls(  # noqa: E731
             self.hidden_size, use_bias=use_bias, dtype=self.dtype,
             param_dtype=jnp.float32, kernel_init=kinit, name=name)
 
@@ -117,17 +144,19 @@ class Mlp(nn.Module):
     act: str = "gelu"
     dtype: jnp.dtype = jnp.bfloat16
     initializer_range: float = 0.02
+    quant8: bool = False
 
     @nn.compact
     def __call__(self, x):
         kinit = trunc_normal_init(self.initializer_range)
-        x = nn.Dense(self.intermediate_size, dtype=self.dtype,
-                     param_dtype=jnp.float32, kernel_init=kinit,
-                     name="fc1")(x)
+        dense_cls = QuantDense if self.quant8 else nn.Dense
+        x = dense_cls(self.intermediate_size, dtype=self.dtype,
+                      param_dtype=jnp.float32, kernel_init=kinit,
+                      name="fc1")(x)
         x = ACT2FN[self.act](x)
-        x = nn.Dense(self.hidden_size, dtype=self.dtype,
-                     param_dtype=jnp.float32, kernel_init=kinit,
-                     name="fc2")(x)
+        x = dense_cls(self.hidden_size, dtype=self.dtype,
+                      param_dtype=jnp.float32, kernel_init=kinit,
+                      name="fc2")(x)
         return x
 
 
@@ -185,6 +214,7 @@ class Block(nn.Module):
     initializer_range: float = 0.02
     sequence_parallel: bool = False
     sp_variant: str = "gather"
+    quant8: bool = False
 
     @nn.compact
     def __call__(self, x, rope=None, deterministic: bool = True):
@@ -205,7 +235,7 @@ class Block(nn.Module):
                       attn_impl=self.attn_impl,
                       initializer_range=self.initializer_range,
                       sequence_parallel=self.sequence_parallel,
-                      sp_variant=self.sp_variant,
+                      sp_variant=self.sp_variant, quant8=self.quant8,
                       name="attention")(ln("norm1")(x), rope=rope)
         x = x + dp(scaled("layerscale1", h), deterministic)
 
@@ -218,6 +248,7 @@ class Block(nn.Module):
             h = Mlp(self.hidden_size, self.intermediate_size, act=self.act,
                     dtype=self.dtype,
                     initializer_range=self.initializer_range,
+                    quant8=self.quant8,
                     name="mlp")(ln("norm2")(x))
         x = x + dp(scaled("layerscale2", h), deterministic)
         return x
@@ -248,6 +279,7 @@ class Encoder(nn.Module):
     initializer_range: float = 0.02
     sequence_parallel: bool = False
     sp_variant: str = "gather"
+    quant8: bool = False
 
     @nn.compact
     def __call__(self, x, rope=None, deterministic: bool = True):
@@ -273,7 +305,7 @@ class Encoder(nn.Module):
                 dtype=self.dtype, attn_impl=self.attn_impl,
                 initializer_range=self.initializer_range,
                 sequence_parallel=self.sequence_parallel,
-                sp_variant=self.sp_variant,
+                sp_variant=self.sp_variant, quant8=self.quant8,
                 name=f"layer_{i}")(x, rope, deterministic)
             if self.sequence_parallel:
                 x = constrain(x)

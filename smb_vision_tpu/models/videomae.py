@@ -95,7 +95,7 @@ class VideoMAEModel(nn.Module):
             attn_impl=cfg.attn_impl, remat=cfg.gradient_checkpointing,
             initializer_range=cfg.initializer_range,
             sequence_parallel=cfg.sequence_parallel,
-            sp_variant=cfg.sp_variant,
+            sp_variant=cfg.sp_variant, quant8=cfg.quant8,
             name="encoder")(x, deterministic=deterministic)
 
         if not cfg.use_mean_pooling:

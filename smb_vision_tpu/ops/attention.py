@@ -195,16 +195,27 @@ def _fwd(q, k, v, *, scale, block_q, block_k, interpret=False):
 # ---------------------------------------------------------------------------
 # int8-score forward (inference fast path, impl="pallas_int8")
 # ---------------------------------------------------------------------------
-# q@k^T on the MXU's 2x-rate int8 path with per-token (row) symmetric
-# scales; the rank-1 correction sq_i*sk_j is applied to the f32 scores
-# before exp (softmax is not scale-invariant, so it cannot fold away).
+# q@k^T on the MXU's 2x-rate int8 path with per-head symmetric scales;
+# the scalar correction sq*sk is applied to the f32 scores before exp
+# (softmax is not scale-invariant, so it cannot fold away).
 # Accuracy: rel err ~0.5% vs f32 softmax — the same order as the bf16
 # operands themselves (8-bit mantissa). 12.6 vs 13.7 ms/layer at the
 # flagship d64 shape. Forward-only (no VJP): inference embedding path.
+#
+# pv=True additionally runs p@v on the int8 MXU: per-sub-block per-column
+# score max sm requantizes p as p8 = floor(exp2(st - sm + log2 127) + .5)
+# — bounded <=127 by construction, and the 127 folds into the exp shift so
+# the only extra VPU work is the (8:1) max reduction and the int8 cast.
+# The (d+8, bq) int32 sub-result is rescaled by exp2(sm - C) per column;
+# the per-head v scale and the 127s cancel into one scalar at the end:
+# o = acc[:d]/acc[d] * (127 * sv).
 
-def _fwd_i8_kernel(q_ref, k_ref, v1_ref, sq_ref, sk_ref, o_ref,
+LOG127 = math.log2(127.0)
+
+
+def _fwd_i8_kernel(q_ref, k_ref, v1_ref, sq_ref, sk_ref, sv_ref, o_ref,
                    c_scr, acc_scr, *, block_k: int, kv_len: int,
-                   unroll: int):
+                   unroll: int, pv: bool):
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -244,11 +255,23 @@ def _fwd_i8_kernel(q_ref, k_ref, v1_ref, sq_ref, sk_ref, o_ref,
     acc = acc_scr[:]
     for u in range(unroll):
         v_u = v1_ref[0][u * sub:(u + 1) * sub]
-        if ragged:
-            v_u = _zero_pad_rows(v_u, ik * block_k + u * sub, kv_len)
-        pt = jnp.exp2(sts[u] - c).astype(v_u.dtype)
-        acc += jax.lax.dot_general(v_u, pt, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+        if pv:
+            # v_u is pre-quantized int8 (OOB rows already zero on the
+            # host side); requantize p per sub-block against its own max
+            st = sts[u]
+            sm = jnp.max(st, axis=0, keepdims=True)    # (1, bq)
+            p8 = (jnp.exp2(st - sm + LOG127) + 0.5).astype(jnp.int8)
+            mat = jax.lax.dot_general(v_u, p8, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+            # fully-masked sub-block: sm = NEG_INF -> factor 0 kills any
+            # garbage from the NaN-input int8 cast (ints carry no NaN)
+            acc += mat.astype(jnp.float32) * jnp.exp2(sm - c)
+        else:
+            if ragged:
+                v_u = _zero_pad_rows(v_u, ik * block_k + u * sub, kv_len)
+            pt = jnp.exp2(sts[u] - c).astype(v_u.dtype)
+            acc += jax.lax.dot_general(v_u, pt, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
     acc_scr[:] = acc
 
     @pl.when(ik == nk - 1)
@@ -256,10 +279,12 @@ def _fwd_i8_kernel(q_ref, k_ref, v1_ref, sq_ref, sk_ref, o_ref,
         d = o_ref.shape[-1]
         l = acc_scr[d:d + 1]
         l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_scr[:d] / l).T.astype(o_ref.dtype)
+        num = acc_scr[:d] * (127.0 * sv_ref[b]) if pv else acc_scr[:d]
+        o_ref[0] = (num / l).T.astype(o_ref.dtype)
 
 
-def _fwd_i8(q, k, v, *, scale, block_q, block_k, interpret=False):
+def _fwd_i8(q, k, v, *, scale, block_q, block_k, interpret=False,
+            pv=False):
     bh, nq, d = q.shape
     kv = k.shape[1]
     # per-head symmetric scales (LayerNormed q/k have stable row norms,
@@ -274,14 +299,31 @@ def _fwd_i8(q, k, v, *, scale, block_q, block_k, interpret=False):
     k8 = jnp.clip(jnp.round(kf / sk), -127, 127).astype(jnp.int8)
     sq = sq.reshape(bh)
     sk = sk.reshape(bh)
-    ones = jnp.ones((bh, kv, 1), v.dtype)
-    zpad = jnp.zeros((bh, kv, 7), v.dtype)
-    v1 = jnp.concatenate([v, ones, zpad], axis=-1)
+    if pv:
+        vf = v.astype(jnp.float32)
+        sv = jnp.max(jnp.abs(vf), axis=(1, 2), keepdims=True) / 127.0
+        sv = jnp.where(sv == 0, 1.0, sv)
+        v8 = jnp.clip(jnp.round(vf / sv), -127, 127).astype(jnp.int8)
+        sv = sv.reshape(bh)
+        ones = jnp.full((bh, kv, 1), 127, jnp.int8)    # own scale 1/127,
+        zpad = jnp.zeros((bh, kv, 7), jnp.int8)        # cancels in o=n/l
+        v1 = jnp.concatenate([v8, ones, zpad], axis=-1)
+    else:
+        sv = jnp.ones((bh,), jnp.float32)
+        ones = jnp.ones((bh, kv, 1), v.dtype)
+        zpad = jnp.zeros((bh, kv, 7), v.dtype)
+        v1 = jnp.concatenate([v, ones, zpad], axis=-1)
+    if kv % block_k != 0:
+        # zero OOB padding rows on the host side (cheap: fused into the
+        # concatenate); the pv kernel cannot zero int8 rows in-loop
+        # without an extra where-pass
+        pad = _cdiv(kv, block_k) * block_k - kv
+        v1 = jnp.pad(v1, ((0, 0), (0, pad), (0, 0)))
     unroll = 2 if (block_k % 2 == 0 and block_k >= 256) else 1
     grid = (bh, _cdiv(nq, block_q), _cdiv(kv, block_k))
     return pl.pallas_call(
         functools.partial(_fwd_i8_kernel, block_k=block_k, kv_len=kv,
-                          unroll=unroll),
+                          unroll=unroll, pv=pv),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
@@ -289,6 +331,7 @@ def _fwd_i8(q, k, v, *, scale, block_q, block_k, interpret=False):
             pl.BlockSpec((1, block_k, d + 8), lambda b, iq, ik: (b, ik, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),   # sq (bh,) whole
             pl.BlockSpec(memory_space=pltpu.SMEM),   # sk (bh,) whole
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # sv (bh,) whole
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, nq, d), v.dtype),
@@ -300,7 +343,7 @@ def _fwd_i8(q, k, v, *, scale, block_q, block_k, interpret=False):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=110 * 2 ** 20),
         interpret=interpret,
-    )(q8, k8, v1, sq, sk)
+    )(q8, k8, v1, sq, sk, sv)
 
 
 # ---------------------------------------------------------------------------
@@ -550,7 +593,8 @@ def attention(q, k, v, *, scale: Optional[float] = None,
       bias: optional additive (B|1, H|1, Nq, Nk) bias -> routes to XLA impl
       impl: "auto" (pallas on TPU, xla elsewhere) | "pallas" | "xla" |
         "pallas_int8" (int8 q@k^T inference fast path — forward-only,
-        ~8% faster at d64, rel err ~0.5%)
+        rel err ~0.5%) | "pallas_int8pv" (also p@v on the int8 MXU with
+        per-sub-block p requantization — rel err ~1%)
       block_q/block_k: kernel tile sizes (defaults from the v5e sweep,
         BENCHMARKS.md)
     Returns:
@@ -583,9 +627,10 @@ def attention(q, k, v, *, scale: Optional[float] = None,
     bq = _pick_block(nq, block_q, fold_step=1024)
     bk = _pick_block(kv, block_k)
 
-    if impl == "pallas_int8":
+    if impl in ("pallas_int8", "pallas_int8pv"):
         out = _fwd_i8(fold(q), fold(k), fold(v), scale=scale, block_q=bq,
-                      block_k=bk, interpret=interpret)
+                      block_k=bk, interpret=interpret,
+                      pv=impl == "pallas_int8pv")
     else:
         out = _flash(fold(q), fold(k), fold(v), scale, bq, bk, interpret)
     out = out[..., :d].reshape(b, h, nq, d)

@@ -80,6 +80,11 @@ def make_classification_workload(model, config, *, task_type: str,
     which is also the reference-under-accumulation behaviour."""
     from smb_vision_tpu.train.trainer import accumulate_gradients
 
+    if getattr(config, "quant8", False):
+        raise ValueError(
+            "quant8 is an inference-only fast path: the W8A8 rounding has "
+            "zero gradient almost everywhere. Unset config.quant8 for "
+            "fine-tuning.")
     survival = task_type in ("survival", "cox_regression")
     # only the VideoMAE head fuses tabular features (ref :928-937)
     supports_features = config.model_type == "videomae"

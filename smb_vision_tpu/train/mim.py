@@ -23,6 +23,11 @@ def make_mim_workload(config: VideoMAEConfig, *, mask_patch_size: int,
                       mask_ratio: float, tx: optax.GradientTransformation,
                       grad_accum: int = 1, accum_dtype=None):
     """Returns (model, init_fn, step_fn, eval_fn)."""
+    if getattr(config, "quant8", False):
+        raise ValueError(
+            "quant8 is an inference-only fast path: the W8A8 rounding has "
+            "zero gradient almost everywhere, so training with it would "
+            "silently go nowhere. Unset config.quant8 for pretraining.")
     model = VideoMAEForPreTraining(config)
     num_masked = num_masked_tokens(
         config.image_size, config.num_frames, mask_patch_size,

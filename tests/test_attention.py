@@ -92,3 +92,27 @@ def test_int8_forward_unaligned_seq():
                         - ref.astype(jnp.float32)).max()
                 / jnp.abs(ref.astype(jnp.float32)).max())
     assert rel < 2e-2, rel
+
+
+def test_int8pv_forward_matches_xla():
+    """pallas_int8pv: p@v also on the int8 MXU (per-sub-block p
+    requantization against the block's own score max)."""
+    q, k, v = _qkv(jax.random.PRNGKey(7), n=256)
+    ref = xla_attention(q, k, v)
+    out = attention(q, k, v, impl="pallas_int8pv", interpret=True,
+                    block_q=128, block_k=128)
+    rel = float(jnp.abs(out.astype(jnp.float32)
+                        - ref.astype(jnp.float32)).max()
+                / jnp.abs(ref.astype(jnp.float32)).max())
+    assert rel < 3e-2, rel
+
+
+def test_int8pv_forward_unaligned_seq():
+    q, k, v = _qkv(jax.random.PRNGKey(8), n=100)
+    ref = xla_attention(q, k, v)
+    out = attention(q, k, v, impl="pallas_int8pv", interpret=True,
+                    block_q=64, block_k=64)
+    rel = float(jnp.abs(out.astype(jnp.float32)
+                        - ref.astype(jnp.float32)).max()
+                / jnp.abs(ref.astype(jnp.float32)).max())
+    assert rel < 3e-2, rel

@@ -76,6 +76,18 @@ def test_mim_train_resume_and_inference(dataset, tmp_path):
     assert emb.shape == (8, 32)  # 2*2*2 tokens, hidden 32
     assert (emb_out / "metadata.json").exists()
 
+    # --quant8 W8A8 inference path: same checkpoint, embeddings close
+    emb_q = tmp_path / "emb_q"
+    run_inference([
+        "--data_dir", str(root), "--output_dir", str(emb_q),
+        "--model_name_or_path", str(out / "model.safetensors"),
+        "--config_path", str(out / "config.json"),
+        "--dtype", "float32", "--attn_impl", "xla", "--quant8",
+        "--batch_size", "2", "--max_samples", "3",
+    ])
+    q = np.load(emb_q / npys[0].name)
+    assert np.abs(q - emb).max() / max(np.abs(emb).max(), 1e-6) < 0.05
+
 
 def test_classification_cli_metrics(dataset, tmp_path):
     from smb_vision_tpu.cli.run_classification import main as run_cls

@@ -21,6 +21,7 @@ from smb_vision_tpu.models.dinov2 import Dinov2ForImageClassification
 from smb_vision_tpu.models.videomae import (
     VideoMAEForPreTraining,
     VideoMAEForVideoClassification,
+    VideoMAEModel,
 )
 from smb_vision_tpu.models.vjepa import (
     VJEPA2ForVideoClassification,
@@ -214,3 +215,23 @@ def test_dinov2_pos_embed_resize():
     out = resize_position_embeddings_3d(pos, (2, 2, 2), (4, 4, 4))
     assert out.shape == (1, 65, 16)
     np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(pos[:, 0]))
+
+
+def test_videomae_quant8_embed_close_to_f32():
+    """W8A8 projections (config.quant8): the embed path runs its QKV/MLP
+    matmuls on the int8 MXU. Param structure is unchanged (QuantDense
+    mirrors nn.Dense), so the same checkpoint serves both paths; output
+    drift stays within a few bf16-rounding units."""
+    cfg = tiny_videomae()
+    model = VideoMAEModel(cfg)
+    px = jax.random.normal(KEY, (2, 16, 1, 32, 32))
+    params = model.init(KEY, px)
+    ref, _ = model.apply(params, px)
+
+    qmodel = VideoMAEModel(tiny_videomae(quant8=True))
+    out, _ = qmodel.apply(params, px)
+    assert out.shape == ref.shape
+    rel = float(jnp.abs(out - ref).max() / jnp.abs(ref).max())
+    assert rel < 5e-2, rel
+    # and it must not be trivially identical (the int8 path really ran)
+    assert float(jnp.abs(out - ref).max()) > 0
