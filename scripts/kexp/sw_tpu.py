@@ -26,13 +26,11 @@ def main():
     px0 = jnp.zeros((1, 160, 1, 256, 256), jnp.bfloat16)
     params = jax.jit(model.init)(key, px0)
 
-    @jax.jit
-    def encode(params, px):
-        return model.apply(params, px)[0]
-
-    def window_embedder(wins):
+    def window_embedder(p, wins):
+        # params as an argument: captured arrays would be inlined as HLO
+        # constants and the relay rejects ViT-sized programs (HTTP 413)
         px = jnp.transpose(wins, (0, 4, 1, 2, 3))  # (N,C,h,w,d)->(N,d,C,h,w)
-        return encode(params, px.astype(jnp.bfloat16))
+        return model.apply(p, px.astype(jnp.bfloat16))[0]
 
     roi = (256, 256, 160)
     vol = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 320, 320, 224),
@@ -42,7 +40,7 @@ def main():
     emb, starts = sliding_window_embed(vol, roi, window_embedder,
                                        overlap=0.25, sw_batch_size=2,
                                        pool=True, mode="gaussian",
-                                       token_grid=cfg.grid)
+                                       token_grid=cfg.grid, state=params)
     emb = np.asarray(emb, np.float32)
     t_compile = time.perf_counter() - t0
     print(f"windows: {len(starts)}, emb {emb.shape}, compile+run "
@@ -56,7 +54,8 @@ def main():
     t0 = time.perf_counter()
     emb2, _ = sliding_window_embed(vol2, roi, window_embedder, overlap=0.25,
                                    sw_batch_size=2, pool=True,
-                                   mode="gaussian", token_grid=cfg.grid)
+                                   mode="gaussian", token_grid=cfg.grid,
+                                   state=params)
     emb2 = np.asarray(emb2, np.float32)
     dt = time.perf_counter() - t0
     print(f"sweep: {dt*1e3:.0f} ms for {len(starts)} windows "
@@ -66,12 +65,13 @@ def main():
     # mean-pooled == plain token mean)
     embc, startsc = sliding_window_embed(vol2, roi, window_embedder,
                                          overlap=0.25, sw_batch_size=2,
-                                         pool=True, mode="constant")
+                                         pool=True, mode="constant",
+                                         state=params)
     s = startsc[0]
     win = jax.lax.dynamic_slice(vol2, (0, 0, int(s[0]), int(s[1]), int(s[2])),
                                 (1, 1) + roi)
     direct = np.asarray(
-        jnp.mean(window_embedder(win).astype(jnp.float32), axis=1))
+        jnp.mean(window_embedder(params, win).astype(jnp.float32), axis=1))
     got = np.asarray(embc, np.float32)[0, 0]
     rel = np.abs(got - direct[0]).max() / max(np.abs(direct).max(), 1e-6)
     print(f"window-0 vs direct rel err: {rel:.6f}")

@@ -123,8 +123,11 @@ def main(argv=None):
 
         params = load_backbone_into(params, args.model_name_or_path)
 
+    # params must be a jit ARGUMENT, not a closure capture: captured
+    # arrays are inlined into the program as constants (re-serialized per
+    # compile; the remote TPU relay rejects ViT-Base-sized programs)
     @jax.jit
-    def encode(px):
+    def encode(params, px):
         out, _ = model.apply(params, px)
         return out.astype(jnp.float32)
 
@@ -142,10 +145,11 @@ def main(argv=None):
 
         roi = (config.image_size, config.image_size, config.num_frames)
 
-        def window_embedder(wins):
+        def window_embedder(p, wins):
             # (N, C, h, w, d) -> model layout (N, d, C, h, w) -> (N, L, D)
             px = jnp.transpose(wins, (0, 4, 1, 2, 3))
-            return encode(px)
+            out, _ = model.apply(p, px)
+            return out.astype(jnp.float32)
 
         def embed_one(item):
             from smb_vision_tpu.data.nifti import load_nifti
@@ -156,7 +160,7 @@ def main(argv=None):
             v = jnp.asarray(vol)[None, None]          # (1, 1, H, W, D)
             emb, starts = sliding_window_embed(
                 v, roi, window_embedder, overlap=args.sw_overlap,
-                sw_batch_size=args.batch_size)
+                sw_batch_size=args.batch_size, state=params)
             return np.asarray(emb[0]), starts
 
         import numpy as np
@@ -178,7 +182,7 @@ def main(argv=None):
                  "skipped": n_skip}
     else:
         def embed_fn(pixels):
-            return encode(jnp.asarray(pixels))
+            return encode(params, jnp.asarray(pixels))
 
         stats = run_embedding(ds, embed_fn, writer,
                               batch_size=args.batch_size,

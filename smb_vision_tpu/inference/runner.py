@@ -114,17 +114,21 @@ class SmbVisionEncoder(BaseEncoder):
 
             params = load_backbone_into(params, self.checkpoint)
 
+        # params as a jit ARGUMENT — closure-captured arrays are inlined
+        # into the compiled program as constants (re-serialized per
+        # compile; the remote TPU relay rejects ViT-sized programs)
         @jax.jit
-        def encode(px):
-            out, _ = model.apply(params, px)
+        def encode(p, px):
+            out, _ = model.apply(p, px)
             return out.astype(jnp.float32)
 
+        self._params = params
         self._encode = encode
 
     def generate_embedding(self, batch: np.ndarray) -> np.ndarray:
         import jax.numpy as jnp
 
-        return np.asarray(self._encode(jnp.asarray(batch)))
+        return np.asarray(self._encode(self._params, jnp.asarray(batch)))
 
 
 class BaseEncoderRunner:

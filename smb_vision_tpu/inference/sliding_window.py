@@ -20,6 +20,7 @@ importance map, normalised by count map".)
 
 from __future__ import annotations
 
+import functools
 import itertools
 import math
 from typing import Callable, Optional, Sequence, Tuple
@@ -99,26 +100,33 @@ def token_weights(roi_size: Sequence[int], num_tokens: int,
                   mode: str = "constant", sigma_scale: float = 0.125,
                   token_grid: Optional[Sequence[int]] = None) -> jnp.ndarray:
     """Per-token blending weights (L,): the voxel importance map average-
-    pooled over each token's patch. Tokens are assumed to tile the roi on a
-    regular grid (patch embed); the grid is inferred from num_tokens when
-    every axis shares the same patch size, else pass token_grid."""
+    pooled over each token's patch.
+
+    The weight vector follows the MODEL token order — index
+    t*H'*W' + h*W' + w (depth-major, models/configs grid convention) —
+    while roi_size is spatial (H, W, D). token_grid is (T', H', W') as
+    returned by config.grid; when omitted a cubic patch is inferred from
+    num_tokens (only valid when every axis shares one patch size)."""
     if mode == "constant":
         return jnp.ones((num_tokens,), jnp.float32)
     if token_grid is None:
         # infer a cubic patch: p such that prod(roi/p) == num_tokens
         vox_per_token = int(np.prod(roi_size)) / num_tokens
         p = round(vox_per_token ** (1 / 3))
-        grid = [r // p for r in roi_size]
-        if (p <= 0 or any(r % p for r in roi_size)
-                or int(np.prod(grid)) != num_tokens):
+        if p <= 0 or any(r % p for r in roi_size):
             raise ValueError(
                 f"cannot infer a regular token grid for roi {tuple(roi_size)}"
-                f" with {num_tokens} tokens; pass token_grid=(th, tw, td)")
-        token_grid = grid
+                f" with {num_tokens} tokens; pass token_grid=(T', H', W')")
+        token_grid = (roi_size[2] // p, roi_size[0] // p, roi_size[1] // p)
+    tt, th, tw = token_grid
+    if tt * th * tw != num_tokens:
+        raise ValueError(f"token grid {tuple(token_grid)} covers "
+                         f"{tt * th * tw} tokens, not {num_tokens}")
     imap = np.asarray(importance_map(roi_size, mode, sigma_scale))
-    th, tw, td = token_grid
-    ph, pw, pd = (roi_size[0] // th, roi_size[1] // tw, roi_size[2] // td)
-    w = imap.reshape(th, ph, tw, pw, td, pd).mean(axis=(1, 3, 5))
+    ph, pw, pt = (roi_size[0] // th, roi_size[1] // tw, roi_size[2] // tt)
+    # pool (H, W, D) voxels per token, then reorder to depth-major (t, h, w)
+    w = imap.reshape(th, ph, tw, pw, tt, pt).mean(axis=(1, 3, 5))
+    w = w.transpose(2, 0, 1)                     # (T', H', W')
     return jnp.asarray(w.reshape(-1), jnp.float32)
 
 
@@ -127,8 +135,16 @@ def sliding_window_embed(volume: jnp.ndarray, roi_size: Sequence[int],
                          *, overlap: float = 0.25, sw_batch_size: int = 1,
                          mode: str = "constant", sigma_scale: float = 0.125,
                          cval: float = 0.0, pool: bool = False,
-                         token_grid: Optional[Sequence[int]] = None):
+                         token_grid: Optional[Sequence[int]] = None,
+                         state=None):
     """volume: (B, C, H, W, D). embedder: (N, C, *roi) -> (N, L, D).
+
+    state: optional pytree (typically model params) threaded through the
+    internal jit as a real argument — `embedder(state, wins)` is called
+    instead of `embedder(wins)`. Without it, params captured in the
+    embedder closure are inlined into the compiled program as constants
+    (hundreds of MB for ViT-Base, re-serialized per compile; the remote
+    TPU relay rejects such programs outright with HTTP 413).
 
     Returns (embeddings, starts):
       embeddings: (B, num_windows, L, D)   [or (B, num_windows, D) if pool]
@@ -142,13 +158,43 @@ def sliding_window_embed(volume: jnp.ndarray, roi_size: Sequence[int],
     tokens are scaled mean-preservingly (weights normalised to mean 1).
     mode="constant" is exact passthrough."""
     b = volume.shape[0]
-    volume = _pad_to_min(volume, roi_size, cval)
-    spatial = volume.shape[2:]
-    interval = scan_interval(spatial, roi_size, overlap)
-    starts = dense_window_starts(spatial, roi_size, interval)
+    spatial_in = volume.shape[2:]
+    padded = tuple(max(s, r) for s, r in zip(spatial_in, roi_size))
+    interval = scan_interval(padded, roi_size, overlap)
+    starts = dense_window_starts(padded, roi_size, interval)
     n_win = len(starts)
 
-    starts_dev = jnp.asarray(starts)
+    # chunk starts on the HOST (numpy): the whole pipeline below runs as
+    # ONE jit call — eager ops through the TPU relay cost seconds each,
+    # and a host-side loop of jit calls pays dispatch per chunk
+    n_chunks = -(-n_win // sw_batch_size)
+    pad_n = n_chunks * sw_batch_size - n_win
+    starts_np = np.concatenate(
+        [starts, np.tile(starts[-1:], (pad_n, 1))]) if pad_n else starts
+    chunked = jnp.asarray(starts_np.reshape(n_chunks, sw_batch_size, 3))
+
+    # token count without running the model: eval_shape probe
+    probe = jax.ShapeDtypeStruct((sw_batch_size * b, volume.shape[1],
+                                  *roi_size), volume.dtype)
+    if state is None:
+        eshape = jax.eval_shape(embedder, probe)
+    else:
+        eshape = jax.eval_shape(embedder, state, probe)
+    num_tokens = eshape.shape[1]
+    w = token_weights(roi_size, num_tokens, mode, sigma_scale, token_grid)
+
+    run_all = _build_sw_runner(embedder, tuple(roi_size), n_chunks,
+                               sw_batch_size, n_win, mode, pool,
+                               float(cval))
+    return run_all(state, volume, chunked, w), starts
+
+
+@functools.lru_cache(maxsize=32)
+def _build_sw_runner(embedder, roi_size, n_chunks, sw_batch_size, n_win,
+                     mode, pool, cval):
+    """One jitted runner per (embedder, geometry) — cached so repeated
+    volumes (the CLI's per-item loop) hit the jit cache instead of
+    recompiling per call."""
 
     def get_window(vol, s):
         return jax.lax.dynamic_slice(
@@ -156,34 +202,27 @@ def sliding_window_embed(volume: jnp.ndarray, roi_size: Sequence[int],
             (vol.shape[0], vol.shape[1], *roi_size))
 
     @jax.jit
-    def run_batch(vol, batch_starts):
-        wins = jax.vmap(lambda s: get_window(vol, s))(batch_starts)
-        # (nw, B, C, *roi) -> (nw*B, C, *roi)
-        nw = wins.shape[0]
-        flat = wins.reshape((nw * vol.shape[0],) + wins.shape[2:])
-        emb = embedder(flat)                      # (nw*B, L, D)
-        return emb.reshape(nw, vol.shape[0], *emb.shape[1:])
+    def run_all(state, vol, chunked_starts, w):
+        vol = _pad_to_min(vol, roi_size, cval)
 
-    outs = []
-    for i in range(0, n_win, sw_batch_size):
-        chunk = starts_dev[i:i + sw_batch_size]
-        if chunk.shape[0] < sw_batch_size:  # pad batch to static size
-            pad = sw_batch_size - chunk.shape[0]
-            chunk = jnp.concatenate([chunk, jnp.tile(chunk[-1:], (pad, 1))])
-            out = run_batch(volume, chunk)[:sw_batch_size - pad]
-        else:
-            out = run_batch(volume, chunk)
-        outs.append(out)
-    emb = jnp.concatenate(outs, axis=0)           # (n_win, B, L, D)
-    emb = jnp.swapaxes(emb, 0, 1)                 # (B, n_win, L, D)
-    if mode == "constant":
-        return (emb.mean(axis=2) if pool else emb), starts
-    w = token_weights(roi_size, emb.shape[2], mode, sigma_scale, token_grid)
-    if pool:
-        emb = jnp.einsum("bwld,l->bwd", emb, w / jnp.sum(w))
-    else:
-        emb = emb * (w / jnp.mean(w))[None, None, :, None]
-    return emb, starts
+        def body(batch_starts):
+            wins = jax.vmap(lambda s: get_window(vol, s))(batch_starts)
+            # (nw, B, C, *roi) -> (nw*B, C, *roi)
+            nw = wins.shape[0]
+            flat = wins.reshape((nw * vol.shape[0],) + wins.shape[2:])
+            emb = embedder(flat) if state is None else embedder(state, flat)
+            return emb.reshape(nw, vol.shape[0], *emb.shape[1:])
+
+        emb = jax.lax.map(body, chunked_starts)   # (nc, nw, B, L, D)
+        emb = emb.reshape(n_chunks * sw_batch_size, *emb.shape[2:])[:n_win]
+        emb = jnp.swapaxes(emb, 0, 1)             # (B, n_win, L, D)
+        if mode == "constant":
+            return emb.mean(axis=2) if pool else emb
+        if pool:
+            return jnp.einsum("bwld,l->bwd", emb, w / jnp.sum(w))
+        return emb * (w / jnp.mean(w))[None, None, :, None]
+
+    return run_all
 
 
 def sliding_window_inference(volume: jnp.ndarray, roi_size: Sequence[int],
@@ -192,11 +231,14 @@ def sliding_window_inference(volume: jnp.ndarray, roi_size: Sequence[int],
                              sw_batch_size: int = 1,
                              mode: str = "constant",
                              sigma_scale: float = 0.125,
-                             cval: float = 0.0) -> jnp.ndarray:
+                             cval: float = 0.0,
+                             state=None) -> jnp.ndarray:
     """Dense voxel-space variant: predictor maps (N, C, *roi) ->
     (N, C', *roi); overlapping windows are blended with the importance map
     and normalised by the accumulated count map, then cropped back to the
-    input spatial size."""
+    input spatial size. `state` as in sliding_window_embed: an optional
+    pytree passed through the jit so model params are real arguments
+    (predictor(state, win)) rather than baked-in constants."""
     b, _c = volume.shape[:2]
     orig_spatial = volume.shape[2:]
     volume = _pad_to_min(volume, roi_size, cval)
@@ -205,17 +247,18 @@ def sliding_window_inference(volume: jnp.ndarray, roi_size: Sequence[int],
     starts = dense_window_starts(spatial, roi_size, interval)
     imap = importance_map(roi_size, mode, sigma_scale)
 
-    probe = predictor(jnp.zeros((1, volume.shape[1], *roi_size),
-                                volume.dtype))
+    zwin = jnp.zeros((1, volume.shape[1], *roi_size), volume.dtype)
+    probe = predictor(zwin) if state is None else predictor(state, zwin)
     c_out = probe.shape[1]
     out = jnp.zeros((b, c_out, *spatial), jnp.float32)
     cnt = jnp.zeros((1, 1, *spatial), jnp.float32)
 
     @jax.jit
-    def accumulate(out, cnt, vol, s):
+    def accumulate(st, out, cnt, vol, s):
         win = jax.lax.dynamic_slice(
             vol, (0, 0, s[0], s[1], s[2]), (b, vol.shape[1], *roi_size))
-        pred = predictor(win).astype(jnp.float32) * imap
+        p = predictor(win) if st is None else predictor(st, win)
+        pred = p.astype(jnp.float32) * imap
         out = jax.lax.dynamic_update_slice(
             out, jax.lax.dynamic_slice(
                 out, (0, 0, s[0], s[1], s[2]),
@@ -230,7 +273,7 @@ def sliding_window_inference(volume: jnp.ndarray, roi_size: Sequence[int],
 
     starts_dev = jnp.asarray(starts)
     for i in range(len(starts)):
-        out, cnt = accumulate(out, cnt, volume, starts_dev[i])
+        out, cnt = accumulate(state, out, cnt, volume, starts_dev[i])
     out = out / (cnt + 1e-8)
 
     # crop padding back off

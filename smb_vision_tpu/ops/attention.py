@@ -284,7 +284,7 @@ def _fwd_i8_kernel(q_ref, k_ref, v1_ref, sq_ref, sk_ref, sv_ref, o_ref,
 
 
 def _fwd_i8(q, k, v, *, scale, block_q, block_k, interpret=False,
-            pv=False):
+            pv=False, unroll=None):
     bh, nq, d = q.shape
     kv = k.shape[1]
     # per-head symmetric scales (LayerNormed q/k have stable row norms,
@@ -319,7 +319,15 @@ def _fwd_i8(q, k, v, *, scale, block_q, block_k, interpret=False,
         # without an extra where-pass
         pad = _cdiv(kv, block_k) * block_k - kv
         v1 = jnp.pad(v1, ((0, 0), (0, pad), (0, 0)))
-    unroll = 2 if (block_k % 2 == 0 and block_k >= 256) else 1
+    if unroll is None:
+        # same-session sweep at the d64 flagship shape (i8_sweep.py):
+        # u4 10.71 vs u2 12.16 ms/layer at (bq 4096, bk 2048)
+        if block_k % 4 == 0 and block_k >= 1024:
+            unroll = 4
+        elif block_k % 2 == 0 and block_k >= 256:
+            unroll = 2
+        else:
+            unroll = 1
     grid = (bh, _cdiv(nq, block_q), _cdiv(kv, block_k))
     return pl.pallas_call(
         functools.partial(_fwd_i8_kernel, block_k=block_k, kv_len=kv,

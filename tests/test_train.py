@@ -443,3 +443,27 @@ def test_accumulate_gradients_presplit_matches(rng):
     np.testing.assert_allclose(float(l_a), float(l_b), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g_a["w"]), np.asarray(g_b["w"]),
                                rtol=1e-6)
+
+
+def test_token_weights_depth_major_order_asymmetric():
+    """token_grid is (T', H', W') (config.grid convention) and the weight
+    vector follows the MODEL token order t*H'*W' + h*W' + w, with roi_size
+    spatial (H, W, D). Round-2c: a non-cubic grid previously crashed (and
+    a cubic one would silently pool in the wrong axis order)."""
+    from smb_vision_tpu.inference.sliding_window import (
+        importance_map,
+        token_weights,
+    )
+
+    roi = (8, 8, 4)                      # (H, W, D)
+    grid = (2, 4, 4)                     # (T', H', W') -> patch 2^3
+    w = np.asarray(token_weights(roi, 32, "gaussian", token_grid=grid))
+    imap = np.asarray(importance_map(roi, "gaussian"))
+    ref = np.zeros(grid)
+    for t in range(2):
+        for h in range(4):
+            for ww in range(4):
+                ref[t, h, ww] = imap[2 * h:2 * h + 2,
+                                     2 * ww:2 * ww + 2,
+                                     2 * t:2 * t + 2].mean()
+    np.testing.assert_allclose(w, ref.reshape(-1), rtol=1e-6)
