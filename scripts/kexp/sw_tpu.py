@@ -48,9 +48,11 @@ def main():
     assert emb.shape == (1, len(starts), cfg.hidden_size)
     assert np.isfinite(emb).all()
 
-    # timed second volume (distinct input; per-window scalar readbacks
-    # happen inside via np.asarray)
+    # timed second volume (distinct input). The eager random_normal is
+    # itself a multi-second relay op and block_until_ready does NOT await
+    # it — force materialization with a scalar readback BEFORE timing.
     vol2 = jax.random.normal(jax.random.PRNGKey(2), vol.shape, jnp.bfloat16)
+    float(jnp.sum(vol2.astype(jnp.float32)))
     t0 = time.perf_counter()
     emb2, _ = sliding_window_embed(vol2, roi, window_embedder, overlap=0.25,
                                    sw_batch_size=2, pool=True,
@@ -60,6 +62,18 @@ def main():
     dt = time.perf_counter() - t0
     print(f"sweep: {dt*1e3:.0f} ms for {len(starts)} windows "
           f"({dt/len(starts)*1e3:.0f} ms/window)")
+
+    # third volume: warm path again (isolates one-time eager-op cost)
+    vol3 = jax.random.normal(jax.random.PRNGKey(3), vol.shape, jnp.bfloat16)
+    float(jnp.sum(vol3.astype(jnp.float32)))
+    t0 = time.perf_counter()
+    emb3, _ = sliding_window_embed(vol3, roi, window_embedder, overlap=0.25,
+                                   sw_batch_size=2, pool=True,
+                                   mode="gaussian", token_grid=cfg.grid,
+                                   state=params)
+    emb3 = np.asarray(emb3, np.float32)
+    dt = time.perf_counter() - t0
+    print(f"sweep2: {dt*1e3:.0f} ms ({dt/len(starts)*1e3:.0f} ms/window)")
 
     # cross-check one window vs a direct encoder call (constant mode,
     # mean-pooled == plain token mean)

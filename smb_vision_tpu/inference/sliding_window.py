@@ -173,15 +173,24 @@ def sliding_window_embed(volume: jnp.ndarray, roi_size: Sequence[int],
         [starts, np.tile(starts[-1:], (pad_n, 1))]) if pad_n else starts
     chunked = jnp.asarray(starts_np.reshape(n_chunks, sw_batch_size, 3))
 
-    # token count without running the model: eval_shape probe
-    probe = jax.ShapeDtypeStruct((sw_batch_size * b, volume.shape[1],
-                                  *roi_size), volume.dtype)
-    if state is None:
-        eshape = jax.eval_shape(embedder, probe)
+    # per-token weights: only the gaussian branch needs them. Token count
+    # comes from token_grid when given; the eval_shape fallback re-traces
+    # the whole model (seconds of host time per call), so avoid it when
+    # possible.
+    if mode == "constant":
+        w = jnp.zeros((0,), jnp.float32)              # unused in run_all
     else:
-        eshape = jax.eval_shape(embedder, state, probe)
-    num_tokens = eshape.shape[1]
-    w = token_weights(roi_size, num_tokens, mode, sigma_scale, token_grid)
+        if token_grid is not None:
+            num_tokens = int(np.prod(token_grid))
+        else:
+            probe = jax.ShapeDtypeStruct(
+                (sw_batch_size * b, volume.shape[1], *roi_size),
+                volume.dtype)
+            eshape = (jax.eval_shape(embedder, probe) if state is None
+                      else jax.eval_shape(embedder, state, probe))
+            num_tokens = eshape.shape[1]
+        w = token_weights(roi_size, num_tokens, mode, sigma_scale,
+                          token_grid)
 
     run_all = _build_sw_runner(embedder, tuple(roi_size), n_chunks,
                                sw_batch_size, n_win, mode, pool,
