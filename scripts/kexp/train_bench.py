@@ -57,7 +57,8 @@ def bench_mim(heads, label, remat=True, batch=1):
 
 
 def bench_vjepa(remat=True, batch=1, teacher_impl=None, pred_heads=12,
-                enc_heads=16):
+                enc_heads=16, grad_accum=1, accum_dtype=None,
+                opt="adamw"):
     from smb_vision_tpu.models.configs import VJEPA2Config
     from smb_vision_tpu.train.vjepa import make_vjepa_workload
     from smb_vision_tpu.utils.profiling import vjepa_flops_per_sample
@@ -68,19 +69,29 @@ def bench_vjepa(remat=True, batch=1, teacher_impl=None, pred_heads=12,
                        pred_num_attention_heads=pred_heads,
                        dtype="bfloat16", attn_impl="auto",
                        gradient_checkpointing=remat)
-    tx = optax.adamw(1e-4)
+    if opt == "adamw8bit":
+        from smb_vision_tpu.train.quantized import adamw8bit
+        tx = adamw8bit(1e-4)
+    else:
+        tx = optax.adamw(1e-4)
     model, init_fn, step_fn, _ = make_vjepa_workload(
-        cfg, tx=tx, teacher_attn_impl=teacher_impl)
+        cfg, tx=tx, teacher_attn_impl=teacher_impl,
+        grad_accum=grad_accum, accum_dtype=accum_dtype)
     key = jax.random.PRNGKey(0)
     state = init_fn(key)
     step = jax.jit(step_fn, donate_argnums=(0,))
+    gbatch = batch * grad_accum
     batches = [{"pixel_values": jax.random.normal(
-        jax.random.PRNGKey(20 + i), (batch, 256, 1, 384, 384),
+        jax.random.PRNGKey(20 + i), (gbatch, 256, 1, 384, 384),
         jnp.bfloat16)} for i in range(4)]
     jax.block_until_ready(batches)
     t, losses = _time_steps(step, state, batches, key)
-    fl = vjepa_flops_per_sample(cfg) * batch
+    fl = vjepa_flops_per_sample(cfg) * batch * grad_accum
     ti = f" teacher={teacher_impl}" if teacher_impl else ""
+    if grad_accum > 1:
+        ti += f" ga{grad_accum}/{accum_dtype or 'f32'}"
+    if opt != "adamw":
+        ti += f" {opt}"
     hd = cfg.hidden_size // enc_heads
     print(f"V-JEPA ViT-L 384^2x256 bs{batch}{ti} enc_d{hd} "
           f"pred_d{384 // pred_heads}: {t*1e3:.0f} ms/step, "
@@ -103,6 +114,12 @@ if __name__ == "__main__":
     if which == "teacher_i8":
         bench_vjepa(teacher_impl="pallas_int8")
         bench_vjepa(teacher_impl="pallas_int8", batch=2)
+    if which == "ga":
+        # the 16 GB known limit: micro-bs 1 x grad-accum 2 OOMs with the
+        # f32 scan-carried accumulator; bf16 accumulation alone is still
+        # 0.5 GB over — 8-bit Adam moments (-2 GB) clear it
+        bench_vjepa(grad_accum=2, accum_dtype="bfloat16", opt="adamw8bit")
+        bench_vjepa(grad_accum=4, accum_dtype="bfloat16", opt="adamw8bit")
     if which == "pred64":
         # predictor head_dim 32 -> 64 (same params/FLOPs, 6 heads);
         # encoder d64 -> d128 (8 heads); and the int8 teacher, composed
