@@ -99,6 +99,45 @@ def bench_vjepa(remat=True, batch=1, teacher_impl=None, pred_heads=12,
           f"losses {losses}")
 
 
+def bench_cls(batch=8, heads=12, remat=True):
+    """Fine-tune step at the reference recipe geometry (224^2x160, 1,960
+    tokens — run_cls.sh): VideoMAE cls head, CE loss, AdamW."""
+    from smb_vision_tpu.models.configs import VideoMAEConfig
+    from smb_vision_tpu.models.videomae import VideoMAEForVideoClassification
+    from smb_vision_tpu.train.classification import (
+        make_classification_workload,
+    )
+    from smb_vision_tpu.utils.profiling import encoder_flops_per_sample
+
+    cfg = VideoMAEConfig(image_size=224, num_frames=160, patch_size=16,
+                         tubelet_size=16, num_channels=1,
+                         num_attention_heads=heads, num_labels=4,
+                         problem_type="single_label_classification",
+                         dtype="bfloat16", attn_impl="auto",
+                         gradient_checkpointing=remat)
+    model = VideoMAEForVideoClassification(cfg)
+    tx = optax.adamw(1e-4)
+    init_fn, step_fn, _ = make_classification_workload(
+        model, cfg, task_type="classification", tx=tx)
+    key = jax.random.PRNGKey(0)
+
+    def mk(i):
+        return {"pixel_values": jax.random.normal(
+                    jax.random.PRNGKey(30 + i),
+                    (batch, 160, 1, 224, 224), jnp.bfloat16),
+                "labels": jnp.arange(batch, dtype=jnp.int32) % 4}
+
+    state = init_fn(key, mk(0))
+    step = jax.jit(step_fn, donate_argnums=(0,))
+    batches = [mk(i) for i in range(4)]
+    jax.block_until_ready(batches)
+    t, losses = _time_steps(step, state, batches, key)
+    fl = encoder_flops_per_sample(cfg) * 3 * batch   # fwd+bwd
+    print(f"CLS 224^2x160 d{768//heads} bs{batch}: {t*1e3:.0f} ms/step, "
+          f"MFU {fl/t/PEAK*100:.1f}% ({fl/t/1e12:.1f} TFLOP/s) "
+          f"losses {losses}")
+
+
 if __name__ == "__main__":
     print("device:", jax.devices()[0].device_kind)
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
@@ -126,6 +165,9 @@ if __name__ == "__main__":
         bench_vjepa(pred_heads=6)
         bench_vjepa(pred_heads=6, enc_heads=8)
         bench_vjepa(pred_heads=6, enc_heads=8, teacher_impl="pallas_int8")
+    if which == "cls":
+        bench_cls(batch=8)
+        bench_cls(batch=8, heads=6)
     if which == "noremat":
         bench_mim(6, "d128 NO remat", remat=False)
         bench_vjepa(remat=False)

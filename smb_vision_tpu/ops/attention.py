@@ -142,7 +142,8 @@ def _fwd_kernel(q_ref, k_ref, v1_ref, o_ref, lse_ref, c_scr, acc_scr,
             lse_ref[0] = row[:, None]
 
 
-def _fwd(q, k, v, *, scale, block_q, block_k, interpret=False):
+def _fwd(q, k, v, *, scale, block_q, block_k, interpret=False,
+         unroll=None):
     """q, k, v: (bh, n, d) bf16. Returns (out (bh, nq, d), lse2 (bh, nq))
     with lse2 in log2 units of the pre-scaled scores."""
     bh, nq, d = q.shape
@@ -152,7 +153,15 @@ def _fwd(q, k, v, *, scale, block_q, block_k, interpret=False):
     ones = jnp.ones((bh, kv, 1), v.dtype)
     zpad = jnp.zeros((bh, kv, 7), v.dtype)
     v1 = jnp.concatenate([v, ones, zpad], axis=-1)
-    unroll = 2 if (block_k % 2 == 0 and block_k >= 256) else 1
+    if unroll is None:
+        # same-session sweep at the d64 flagship shape (bf16_sweep.py):
+        # u4 13.76 vs u2 14.19 ms/layer at (bq 4096, bk 2048)
+        if block_k % 4 == 0 and block_k >= 1024:
+            unroll = 4
+        elif block_k % 2 == 0 and block_k >= 256:
+            unroll = 2
+        else:
+            unroll = 1
     folded = _lse_foldable(nq, block_q)
 
     grid = (bh, _cdiv(nq, block_q), _cdiv(kv, block_k))
