@@ -58,6 +58,17 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _pick_unroll(block_k: int) -> int:
+    """Sub-block unroll default: u4 beat u2 in same-session A/B sweeps at
+    the d64 flagship shape (bf16 13.76 vs 14.19 ms/layer, int8 10.71 vs
+    12.16 — scripts/kexp/{bf16,i8}_sweep.py)."""
+    if block_k % 4 == 0 and block_k >= 1024:
+        return 4
+    if block_k % 2 == 0 and block_k >= 256:
+        return 2
+    return 1
+
+
 def _lse_foldable(nq: int, block_q: int) -> bool:
     """Folded (bh, nq/128, 128) lse layout legality: Mosaic wants the
     block's sublane dim (block_q/128) divisible by 8 or equal to the
@@ -154,14 +165,7 @@ def _fwd(q, k, v, *, scale, block_q, block_k, interpret=False,
     zpad = jnp.zeros((bh, kv, 7), v.dtype)
     v1 = jnp.concatenate([v, ones, zpad], axis=-1)
     if unroll is None:
-        # same-session sweep at the d64 flagship shape (bf16_sweep.py):
-        # u4 13.76 vs u2 14.19 ms/layer at (bq 4096, bk 2048)
-        if block_k % 4 == 0 and block_k >= 1024:
-            unroll = 4
-        elif block_k % 2 == 0 and block_k >= 256:
-            unroll = 2
-        else:
-            unroll = 1
+        unroll = _pick_unroll(block_k)
     folded = _lse_foldable(nq, block_q)
 
     grid = (bh, _cdiv(nq, block_q), _cdiv(kv, block_k))
@@ -329,14 +333,7 @@ def _fwd_i8(q, k, v, *, scale, block_q, block_k, interpret=False,
         pad = _cdiv(kv, block_k) * block_k - kv
         v1 = jnp.pad(v1, ((0, 0), (0, pad), (0, 0)))
     if unroll is None:
-        # same-session sweep at the d64 flagship shape (i8_sweep.py):
-        # u4 10.71 vs u2 12.16 ms/layer at (bq 4096, bk 2048)
-        if block_k % 4 == 0 and block_k >= 1024:
-            unroll = 4
-        elif block_k % 2 == 0 and block_k >= 256:
-            unroll = 2
-        else:
-            unroll = 1
+        unroll = _pick_unroll(block_k)
     grid = (bh, _cdiv(nq, block_q), _cdiv(kv, block_k))
     return pl.pallas_call(
         functools.partial(_fwd_i8_kernel, block_k=block_k, kv_len=kv,
@@ -375,7 +372,8 @@ def _fwd_i8(q, k, v, *, scale, block_q, block_k, interpret=False,
 # Scores are recomputed from the pre-scaled qs; p = exp2(s' - lse2).
 
 def _bwd_dq_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-                   acc_scr, *, scale: float, block_k: int, kv_len: int):
+                   acc_scr, *, scale: float, block_k: int, kv_len: int,
+                   unroll: int):
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -384,28 +382,37 @@ def _bwd_dq_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     qs = qs_ref[0]                                      # (bq, d) pre-scaled
-    k = k_ref[0]
-    v = v_ref[0]
-    if kv_len % block_k != 0:
-        k = _zero_pad_rows(k, ik * block_k, kv_len)
-        v = _zero_pad_rows(v, ik * block_k, kv_len)
-    s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (bq, bk)
-    if kv_len % block_k != 0:
-        kv_ids = ik * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, dimension=1)
-        s = jnp.where(kv_ids < kv_len, s, NEG_INF)
-
     lse = lse_ref[0]                                    # (bq, 1) log2 units
-    p = jnp.exp2(s - lse)                               # (bq, bk)
     do = do_ref[0]                                      # (bq, d)
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # (bq, bk)
     delta = delta_ref[0]                                # (bq, 1)
-    ds = (p * (dp - delta)).astype(qs.dtype)            # (bq, bk) bf16
-    # dq^T += k^T ds^T: contraction over bk (full), output (d, bq)
-    acc_scr[:] += jax.lax.dot_general(k, ds, (((0,), (1,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+    sub = block_k // unroll
+    ragged = kv_len % block_k != 0
+
+    # sub-block unroll: independent (s, exp, dp, ds, acc) chains per
+    # kv sub-block let Mosaic overlap MXU and VPU work (same trick as
+    # the fwd kernels)
+    acc = acc_scr[:]
+    for u in range(unroll):
+        base = ik * block_k + u * sub
+        k_u = k_ref[0][u * sub:(u + 1) * sub]           # (sub, d)
+        v_u = v_ref[0][u * sub:(u + 1) * sub]
+        if ragged:
+            k_u = _zero_pad_rows(k_u, base, kv_len)
+            v_u = _zero_pad_rows(v_u, base, kv_len)
+        s = jax.lax.dot_general(qs, k_u, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if ragged:
+            kv_ids = base + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, dimension=1)
+            s = jnp.where(kv_ids < kv_len, s, NEG_INF)
+        p = jnp.exp2(s - lse)                           # (bq, sub)
+        dp = jax.lax.dot_general(do, v_u, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta)).astype(qs.dtype)        # (bq, sub) bf16
+        # dq^T += k^T ds^T: contraction over sub (full), output (d, bq)
+        acc += jax.lax.dot_general(k_u, ds, (((0,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    acc_scr[:] = acc
 
     @pl.when(ik == nk - 1)
     def _finish():
@@ -414,7 +421,8 @@ def _bwd_dq_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 
 def _bwd_dkv_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, dk_scr, dv_scr,
-                    *, block_q: int, block_k: int, q_len: int, kv_len: int):
+                    *, block_q: int, block_k: int, q_len: int, kv_len: int,
+                    dkv_unroll: int):
     iq = pl.program_id(2)
     nq = pl.num_programs(2)
     ik = pl.program_id(1)
@@ -424,38 +432,50 @@ def _bwd_dkv_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    qs = qs_ref[0]                                      # (bq, d)
     k = k_ref[0]                                        # (bk, d)
-    do = do_ref[0]                                      # (bq, d)
-    bq = qs.shape[0]
-    lse = lse_ref[0].reshape(bq, 1)                     # (bq, 1)
-    delta = delta_ref[0]                                # (bq, 1)
-    if q_len % block_q != 0:
-        qs = _zero_pad_rows(qs, iq * block_q, q_len)
-        do = _zero_pad_rows(do, iq * block_q, q_len)
-        lse = _zero_pad_rows(lse, iq * block_q, q_len)
-        delta = _zero_pad_rows(delta, iq * block_q, q_len)
-    s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    if kv_len % block_k != 0:
-        kv_ids = ik * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, dimension=1)
-        s = jnp.where(kv_ids < kv_len, s, NEG_INF)
+    bq = qs_ref.shape[1]
+    sub = bq // dkv_unroll
+    ragged_q = q_len % block_q != 0
+    ragged_k = kv_len % block_k != 0
 
-    p = jnp.exp2(s - lse)                               # (bq, bk)
-    if q_len % block_q != 0:
-        p = _zero_pad_rows(p, iq * block_q, q_len)
-    p16 = p.astype(qs.dtype)
+    # sub-block unroll along bq: independent (s, exp, dp, ds, dv/dk-acc)
+    # chains per q sub-block (same MXU/VPU-overlap trick as the fwd)
+    dv_acc = dv_scr[:]
+    dk_acc = dk_scr[:]
+    for u in range(dkv_unroll):
+        base = iq * block_q + u * sub
+        qs = qs_ref[0][u * sub:(u + 1) * sub]           # (sub, d)
+        do = do_ref[0][u * sub:(u + 1) * sub]
+        lse = lse_ref[0].reshape(bq, 1)[u * sub:(u + 1) * sub]
+        delta = delta_ref[0][u * sub:(u + 1) * sub]
+        if ragged_q:
+            qs = _zero_pad_rows(qs, base, q_len)
+            do = _zero_pad_rows(do, base, q_len)
+            lse = _zero_pad_rows(lse, base, q_len)
+            delta = _zero_pad_rows(delta, base, q_len)
+        s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if ragged_k:
+            kv_ids = ik * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, dimension=1)
+            s = jnp.where(kv_ids < kv_len, s, NEG_INF)
 
-    # dv^T += do^T p: contraction over bq (full), output (d, bk)
-    dv_scr[:] += jax.lax.dot_general(do, p16, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-    # ds = p * (dP - delta);  dk^T += qs^T ds (scale folded into qs)
-    dp = jax.lax.dot_general(do, v_ref[0], (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    ds = (p * (dp - delta)).astype(qs.dtype)
-    dk_scr[:] += jax.lax.dot_general(qs, ds, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
+        p = jnp.exp2(s - lse)                           # (sub, bk)
+        if ragged_q:
+            p = _zero_pad_rows(p, base, q_len)
+        p16 = p.astype(qs.dtype)
+
+        # dv^T += do^T p: contraction over sub (full), output (d, bk)
+        dv_acc += jax.lax.dot_general(do, p16, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        # ds = p * (dP - delta);  dk^T += qs^T ds (scale folded into qs)
+        dp = jax.lax.dot_general(do, v_ref[0], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta)).astype(qs.dtype)
+        dk_acc += jax.lax.dot_general(qs, ds, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    dv_scr[:] = dv_acc
+    dk_scr[:] = dk_acc
 
     @pl.when(iq == nq - 1)
     def _finish():
@@ -483,7 +503,7 @@ def _bwd(scale, block_q, block_k, interpret, res, g):
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, block_k=block_k,
-                          kv_len=kv),
+                          kv_len=kv, unroll=_pick_unroll(block_k)),
         grid=(bh, _cdiv(nq, block_q), _cdiv(kv, block_k)),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
@@ -504,6 +524,7 @@ def _bwd(scale, block_q, block_k, interpret, res, g):
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, block_q=block_q,
+                          dkv_unroll=_pick_unroll(block_q),
                           block_k=block_k, q_len=nq, kv_len=kv),
         grid=(bh, _cdiv(kv, block_k), _cdiv(nq, block_q)),
         in_specs=[
