@@ -24,16 +24,18 @@ BENCHMARKS.md):
   transpose per q block at the end.
 - **MXU-fused denominator**: v1 = [v | 1 | 0-pad], so row d of the
   accumulator collects sum(p) on the MXU — no VPU reduction pass.
-- **2-block unroll ("u2")**: two kv half-blocks per grid step give the
-  scheduler independent MXU/VPU work to overlap.
+- **Sub-block unroll ("u4")**: independent kv sub-block chains per grid
+  step give the scheduler independent MXU/VPU work to overlap
+  (_pick_unroll; u4 beat u2 by 3-12% in same-session A/B sweeps).
 - exp2 with the scale folded into q (saves a full N^2 VPU multiply).
 
-Measured: 13.7 ms/layer-equiv (ViT-Base d64, 20480 tokens) = 94 TFLOP/s
-= 48% of v5e peak, vs 21.1 ms (31%) for the round-1 online-softmax kernel
-and 175 ms for the official jax flash kernel at the same shape.
+Measured: 13.6-13.9 ms/layer-equiv (ViT-Base d64, 20480 tokens) = ~94
+TFLOP/s = 48% of v5e peak, vs 21.1 ms (31%) for the round-1
+online-softmax kernel and 175 ms for the official jax flash kernel at
+the same shape; fwd+bwd 30.7 ms/layer = 147 TFLOP/s effective.
 
-The backward applies the same transposed-output trick to dq, dk and dv
-(all have width-d outputs in the naive layout).
+The backward applies the same transposed-output trick and sub-block
+unroll to dq, dk and dv (all have width-d outputs in the naive layout).
 
 Layout: q, k, v are (batch*heads, seq, head_dim).
 """
