@@ -116,3 +116,27 @@ def test_int8pv_forward_unaligned_seq():
                         - ref.astype(jnp.float32)).max()
                 / jnp.abs(ref.astype(jnp.float32)).max())
     assert rel < 3e-2, rel
+
+
+def test_grads_match_xla_u4_unroll(monkeypatch):
+    """The u4 sub-block unroll paths (fwd + both bwd passes) are the
+    compiled default for block>=1024; force them at test-size blocks so
+    interpret mode covers the unrolled code, including ragged tails."""
+    import smb_vision_tpu.ops.attention as A
+
+    monkeypatch.setattr(A, "_pick_unroll",
+                        lambda blk: 4 if blk % 4 == 0 else 1)
+    q, k, v = _qkv(jax.random.PRNGKey(9), n=100)  # ragged vs block 64
+
+    def loss_ref(q, k, v):
+        return jnp.sum(xla_attention(q, k, v) ** 2)
+
+    def loss_pal(q, k, v):
+        return jnp.sum(attention(q, k, v, impl="pallas", interpret=True,
+                                 block_q=64, block_k=64) ** 2)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    gp = jax.grad(loss_pal, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)
