@@ -57,9 +57,15 @@ def main():
         print(f"bq={bq:5d} bk={bk:5d} u={unroll}: {t*1e3:6.2f} ms/layer "
               f"{FLOPS/t/1e12:6.1f} TFLOP/s-equiv")
 
-    for bq, bk, u in [(4096, 2048, 2), (4096, 2048, 4), (4096, 4096, 2),
-                      (4096, 4096, 4), (4096, 1024, 2), (2048, 2048, 2),
-                      (4096, 2048, 1), (4096, 4096, 8)]:
+    import sys as _s
+    if len(_s.argv) > 1 and _s.argv[1] == "bq":
+        combos = [(4096, 2048, 4), (8192, 2048, 4), (8192, 4096, 4),
+                  (20480, 2048, 4)]
+    else:
+        combos = [(4096, 2048, 2), (4096, 2048, 4), (4096, 4096, 2),
+                  (4096, 4096, 4), (4096, 1024, 2), (2048, 2048, 2),
+                  (4096, 2048, 1), (4096, 4096, 8)]
+    for bq, bk, u in combos:
         bench(bq, bk, u)
 
 
