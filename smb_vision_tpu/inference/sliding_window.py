@@ -248,46 +248,74 @@ def sliding_window_inference(volume: jnp.ndarray, roi_size: Sequence[int],
     input spatial size. `state` as in sliding_window_embed: an optional
     pytree passed through the jit so model params are real arguments
     (predictor(state, win)) rather than baked-in constants."""
-    b, _c = volume.shape[:2]
+    b, c_in = volume.shape[:2]
     orig_spatial = volume.shape[2:]
-    volume = _pad_to_min(volume, roi_size, cval)
-    spatial = volume.shape[2:]
-    interval = scan_interval(spatial, roi_size, overlap)
-    starts = dense_window_starts(spatial, roi_size, interval)
+    padded = tuple(max(s, r) for s, r in zip(orig_spatial, roi_size))
+    interval = scan_interval(padded, roi_size, overlap)
+    starts = dense_window_starts(padded, roi_size, interval)
+    n_win = len(starts)
+
+    # output channel count without running the model (an eager probe call
+    # would be a full device computation)
+    zwin = jax.ShapeDtypeStruct((sw_batch_size * b, c_in, *roi_size),
+                                volume.dtype)
+    eshape = (jax.eval_shape(predictor, zwin) if state is None
+              else jax.eval_shape(predictor, state, zwin))
+    c_out = eshape.shape[1]
+
+    n_chunks = -(-n_win // sw_batch_size)
+    pad_n = n_chunks * sw_batch_size - n_win
+    # padded entries repeat the last start but are masked out of the
+    # accumulation (double-counting a window would bias the weighted
+    # average wherever windows overlap)
+    starts_np = np.concatenate(
+        [starts, np.tile(starts[-1:], (pad_n, 1))]) if pad_n else starts
+    chunked = jnp.asarray(starts_np.reshape(n_chunks, sw_batch_size, 3))
+    valid_np = (np.arange(n_chunks * sw_batch_size) < n_win).astype(
+        np.float32).reshape(n_chunks, sw_batch_size)
+    valid = jnp.asarray(valid_np)
     imap = importance_map(roi_size, mode, sigma_scale)
 
-    zwin = jnp.zeros((1, volume.shape[1], *roi_size), volume.dtype)
-    probe = predictor(zwin) if state is None else predictor(state, zwin)
-    c_out = probe.shape[1]
-    out = jnp.zeros((b, c_out, *spatial), jnp.float32)
-    cnt = jnp.zeros((1, 1, *spatial), jnp.float32)
-
     @jax.jit
-    def accumulate(st, out, cnt, vol, s):
-        win = jax.lax.dynamic_slice(
-            vol, (0, 0, s[0], s[1], s[2]), (b, vol.shape[1], *roi_size))
-        p = predictor(win) if st is None else predictor(st, win)
-        pred = p.astype(jnp.float32) * imap
-        out = jax.lax.dynamic_update_slice(
-            out, jax.lax.dynamic_slice(
-                out, (0, 0, s[0], s[1], s[2]),
-                (b, c_out, *roi_size)) + pred,
-            (0, 0, s[0], s[1], s[2]))
-        cnt = jax.lax.dynamic_update_slice(
-            cnt, jax.lax.dynamic_slice(
-                cnt, (0, 0, s[0], s[1], s[2]), (1, 1, *roi_size))
-            + imap[None, None],
-            (0, 0, s[0], s[1], s[2]))
-        return out, cnt
+    def run(st, vol, chunked_starts, valid, imap):
+        vol = _pad_to_min(vol, roi_size, cval)
+        spatial = vol.shape[2:]
+        out0 = jnp.zeros((b, c_out, *spatial), jnp.float32)
+        cnt0 = jnp.zeros((1, 1, *spatial), jnp.float32)
 
-    starts_dev = jnp.asarray(starts)
-    for i in range(len(starts)):
-        out, cnt = accumulate(state, out, cnt, volume, starts_dev[i])
-    out = out / (cnt + 1e-8)
+        def body(carry, xs):
+            batch_starts, vmask = xs
+            out, cnt = carry
+            wins = jax.vmap(lambda s: jax.lax.dynamic_slice(
+                vol, (0, 0, s[0], s[1], s[2]),
+                (b, c_in, *roi_size)))(batch_starts)     # (nw, b, C, *roi)
+            flat = wins.reshape((sw_batch_size * b, c_in) + tuple(roi_size))
+            p = predictor(flat) if st is None else predictor(st, flat)
+            p = p.reshape(sw_batch_size, b, c_out, *roi_size)
+            p = p.astype(jnp.float32) * imap
+            # scatter each window's contribution sequentially (windows in
+            # a chunk may overlap, so the updates cannot be merged)
+            for w in range(sw_batch_size):
+                s = batch_starts[w]
+                out = jax.lax.dynamic_update_slice(
+                    out, jax.lax.dynamic_slice(
+                        out, (0, 0, s[0], s[1], s[2]),
+                        (b, c_out, *roi_size)) + p[w] * vmask[w],
+                    (0, 0, s[0], s[1], s[2]))
+                cnt = jax.lax.dynamic_update_slice(
+                    cnt, jax.lax.dynamic_slice(
+                        cnt, (0, 0, s[0], s[1], s[2]), (1, 1, *roi_size))
+                    + imap[None, None] * vmask[w],
+                    (0, 0, s[0], s[1], s[2]))
+            return (out, cnt), None
 
-    # crop padding back off
-    crops = []
-    for cur, orig in zip(spatial, orig_spatial):
-        start = (cur - orig) // 2
-        crops.append(slice(start, start + orig))
-    return out[(slice(None), slice(None), *crops)]
+        (out, cnt), _ = jax.lax.scan(body, (out0, cnt0),
+                                     (chunked_starts, valid))
+        out = out / (cnt + 1e-8)
+        crops = []
+        for cur, orig in zip(spatial, orig_spatial):
+            start = (cur - orig) // 2
+            crops.append(slice(start, start + orig))
+        return out[(slice(None), slice(None), *crops)]
+
+    return run(state, volume, chunked, valid, imap)

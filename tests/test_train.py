@@ -146,6 +146,13 @@ def test_sliding_window_embed_and_inference(rng):
                                      overlap=0.25, mode="gaussian")
     np.testing.assert_allclose(np.asarray(out_g), np.asarray(vol), atol=1e-4)
 
+    # batched windows with a ragged final chunk: the padded repeats must
+    # be masked out of the accumulation or overlapping regions bias
+    out_r = sliding_window_inference(vol, (8, 8, 8), lambda x: x,
+                                     overlap=0.25, sw_batch_size=4,
+                                     mode="gaussian")
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(vol), atol=1e-4)
+
 
 def test_embedding_writer_resume(tmp_path, rng):
     from smb_vision_tpu.inference.embed import EmbeddingWriter
