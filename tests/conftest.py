@@ -27,6 +27,23 @@ jax.config.update("jax_default_matmul_precision", "highest")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The native CT loader (.so) is gitignored — build it on demand so a fresh
+# checkout runs the native tests instead of silently skipping them.
+_so = os.path.join(os.path.dirname(__file__), "..", "smb_vision_tpu",
+                   "data", "_native", "libctloader.so")
+if not os.path.exists(_so):
+    try:
+        import subprocess
+        import sys as _sys
+
+        subprocess.run(
+            [_sys.executable,
+             os.path.join(os.path.dirname(__file__), "..", "scripts",
+                          "build_native.py")],
+            check=True, capture_output=True, timeout=120)
+    except Exception:  # noqa: BLE001 — tests then skip via native_available
+        pass
+
 
 @pytest.fixture(scope="session")
 def rng():
