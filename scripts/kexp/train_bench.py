@@ -29,7 +29,7 @@ def _time_steps(step, state, batches, key):
     return min(times), losses
 
 
-def bench_mim(heads, label, remat=True, batch=1):
+def bench_mim(heads, label, remat=True, batch=1, dec_heads=6):
     from smb_vision_tpu.models.configs import VideoMAEConfig
     from smb_vision_tpu.train.mim import make_mim_workload
     from smb_vision_tpu.utils.profiling import mim_flops_per_sample
@@ -37,6 +37,7 @@ def bench_mim(heads, label, remat=True, batch=1):
     cfg = VideoMAEConfig(image_size=512, num_frames=320, patch_size=16,
                          tubelet_size=16, num_channels=1,
                          num_attention_heads=heads, norm_pix_loss=True,
+                         decoder_num_attention_heads=dec_heads,
                          dtype="bfloat16", attn_impl="auto",
                          gradient_checkpointing=remat)
     tx = optax.adamw(1e-4)
@@ -165,6 +166,11 @@ if __name__ == "__main__":
         bench_vjepa(pred_heads=6)
         bench_vjepa(pred_heads=6, enc_heads=8)
         bench_vjepa(pred_heads=6, enc_heads=8, teacher_impl="pallas_int8")
+    if which == "tpucfg":
+        # the all-d128 recommended configs (README): refresh with the
+        # 2c kernels
+        bench_mim(6, "d128 enc+dec (6+3 heads)", dec_heads=3)
+        bench_vjepa(pred_heads=3, enc_heads=8)
     if which == "cls":
         bench_cls(batch=8)
         bench_cls(batch=8, heads=6)
