@@ -33,6 +33,7 @@ class DataTrainingArguments:
     max_train_samples: Optional[int] = None
     max_eval_samples: Optional[int] = None
     cache_data_dir: Optional[str] = None
+    cache_dtype: str = "float32"
     num_workers: int = 8
 
 
@@ -143,9 +144,11 @@ def main(argv=None):
 
     train_ds = CTDataset(data_args.train_data_path, split="train",
                          pipeline=pipe, cache_dir=data_args.cache_data_dir,
+                         cache_dtype=data_args.cache_dtype,
                          max_samples=data_args.max_train_samples)
     eval_ds = (CTDataset(data_args.val_data_path, split="validation",
                          pipeline=pipe, cache_dir=data_args.cache_data_dir,
+                         cache_dtype=data_args.cache_dtype,
                          max_samples=data_args.max_eval_samples)
                if data_args.val_data_path else None)
 

@@ -49,6 +49,7 @@ class InferenceArguments:
     sw_overlap: float = 0.25
     resume: bool = True
     cache_data_dir: Optional[str] = None
+    cache_dtype: str = "float32"
     num_workers: int = 8
     max_samples: Optional[int] = None
     dtype: str = "bfloat16"
@@ -106,6 +107,7 @@ def main(argv=None):
         target_size=(config.image_size, config.image_size,
                      config.num_frames))
     ds = CTDataset(pipeline=pipe, cache_dir=args.cache_data_dir,
+                   cache_dtype=args.cache_dtype,
                    max_samples=args.max_samples, **dataset_kwargs)
     if args.num_shards > 1:
         ds.items = ds.items[args.shard_index::args.num_shards]

@@ -40,6 +40,12 @@ class DataTrainingArguments:
     max_eval_samples: Optional[int] = None
     cache_data_dir: Optional[str] = field(
         default=None, metadata={"help": "preprocessed-volume cache dir"})
+    cache_dtype: str = field(
+        default="float32",
+        metadata={"help": "on-disk dtype for cached "
+                          "volumes; float16 halves "
+                          "disk/IO bytes (~1e-4 "
+                          "rounding on [0,1] values)"})
     num_workers: int = 8
 
 
@@ -122,11 +128,13 @@ def main(argv=None):
                      config.num_frames))
     train_ds = CTDataset(data_args.json_path, split=data_args.train_split,
                          pipeline=pipe, cache_dir=data_args.cache_data_dir,
+                         cache_dtype=data_args.cache_dtype,
                          max_samples=data_args.max_train_samples)
     try:
         eval_ds = CTDataset(data_args.json_path,
                             split=data_args.validation_split, pipeline=pipe,
                             cache_dir=data_args.cache_data_dir,
+                            cache_dtype=data_args.cache_dtype,
                             max_samples=data_args.max_eval_samples)
     except (ValueError, FileNotFoundError):
         eval_ds = None

@@ -25,6 +25,7 @@ class DataTrainingArguments:
     validation_split: str = "validation"
     max_train_samples: Optional[int] = None
     cache_data_dir: Optional[str] = None
+    cache_dtype: str = "float32"
     num_workers: int = 8
     num_mask_blocks: int = 3
     inv_block: bool = False
@@ -105,12 +106,14 @@ def main(argv=None):
                      config.frames_per_clip))
     train_ds = CTDataset(data_args.data_path, split=data_args.train_split,
                          pipeline=pipe, cache_dir=data_args.cache_data_dir,
+                         cache_dtype=data_args.cache_dtype,
                          max_samples=data_args.max_train_samples)
     try:
         eval_ds = CTDataset(data_args.data_path,
                             split=data_args.validation_split,
                             pipeline=pipe,
-                            cache_dir=data_args.cache_data_dir)
+                            cache_dir=data_args.cache_data_dir,
+                            cache_dtype=data_args.cache_dtype)
     except (ValueError, FileNotFoundError):
         eval_ds = None
 

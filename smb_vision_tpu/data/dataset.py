@@ -50,11 +50,16 @@ class CTDataset:
                  pipeline="smb-vision", cache_dir: Optional[str] = None,
                  items: Optional[List[Dict]] = None,
                  image_key: str = "image", max_samples: Optional[int] = None,
-                 backend: str = "auto", ram_cache: bool = False):
+                 backend: str = "auto", ram_cache: bool = False,
+                 cache_dtype: str = "float32"):
         """backend: "native" (C++ loader, GIL-free), "python", or "auto"
         (native when built, else python). ram_cache additionally memoises
         preprocessed volumes in memory (the reference's CacheDataset mode,
-        mim.py:210-236) — use when the dataset fits in host RAM."""
+        mim.py:210-236) — use when the dataset fits in host RAM.
+        cache_dtype: on-disk dtype for cached volumes; "float16" halves
+        disk/IO/transfer bytes at ~1e-4 absolute rounding on the
+        HU-windowed [0,1] values (volumes are returned as float32 either
+        way). Participates in the cache key."""
         if items is None:
             items = load_data(data_path, split=split)
         if max_samples:
@@ -67,10 +72,14 @@ class CTDataset:
             self.cache_dir.mkdir(parents=True, exist_ok=True)
         from smb_vision_tpu.data.preprocess import PREPROCESS_VERSION
 
+        self.cache_dtype = np.dtype(cache_dtype)
         # version participates in the key: numerics changes (e.g. the
-        # anti-aliasing fix) must invalidate previously cached volumes
+        # anti-aliasing fix) must invalidate previously cached volumes;
+        # so does the cache dtype (float16 files are not float32 files)
+        dt_tag = "" if self.cache_dtype == np.float32 else str(
+            self.cache_dtype)
         self._pipe_hash = hashlib.md5(
-            (repr(self.pipeline) + PREPROCESS_VERSION).encode()
+            (repr(self.pipeline) + PREPROCESS_VERSION + dt_tag).encode()
         ).hexdigest()[:12]
         if backend == "auto":
             from smb_vision_tpu.data.native import native_available
@@ -107,7 +116,7 @@ class CTDataset:
         cache = self._cache_path(item)
         if cache is not None and cache.is_file():
             try:
-                return np.load(cache)
+                return np.load(cache).astype(np.float32, copy=False)
             except (ValueError, EOFError, OSError):
                 # corrupt cache: delete and recompute (ref load.py:107-112)
                 try:
@@ -120,13 +129,17 @@ class CTDataset:
             fd, tmp = tempfile.mkstemp(dir=self.cache_dir, suffix=".tmp")
             try:
                 with os.fdopen(fd, "wb") as f:
-                    np.save(f, vol)
+                    np.save(f, vol.astype(self.cache_dtype, copy=False))
                 os.replace(tmp, cache)
             except OSError:
                 try:
                     os.unlink(tmp)
                 except OSError:
                     pass
+        if vol.dtype != self.cache_dtype:
+            # first-epoch values must match what later epochs reload from
+            # the cache, or the same sample drifts across epochs
+            vol = vol.astype(self.cache_dtype).astype(np.float32)
         return vol
 
     def __getitem__(self, idx: int) -> Dict:

@@ -94,6 +94,31 @@ def test_ctdataset_cache_and_corruption(tmp_path, rng):
     np.testing.assert_array_equal(ds[0]["image"], first["image"])
 
 
+def test_ctdataset_float16_cache(tmp_path, rng):
+    """cache_dtype='float16' halves the on-disk cache; values stay within
+    f16 rounding of the f32 pipeline, are identical between the first
+    (compute) epoch and later (reload) epochs, and the dtype participates
+    in the cache key (no stale-file reuse after switching)."""
+    vol = _vol(rng)
+    save_nifti(tmp_path / "a.nii.gz", vol, np.diag([1., 1., 1., 1.]))
+    items = [{"image": str(tmp_path / "a.nii.gz")}]
+    cfg = PreprocessConfig((1.0, 1.0, 1.0), (32, 32, 24))
+    cd = tmp_path / "cache"
+    ds32 = CTDataset(items=items, pipeline=cfg, cache_dir=cd)
+    ds16 = CTDataset(items=items, pipeline=cfg, cache_dir=cd,
+                     cache_dtype="float16")
+    a32 = ds32[0]["image"]
+    a16_first = ds16[0]["image"]            # compute epoch
+    a16_again = ds16[0]["image"]            # cache-hit epoch
+    assert a16_first.dtype == np.float32
+    np.testing.assert_array_equal(a16_first, a16_again)
+    assert np.abs(a16_first - a32).max() < 1e-3
+    assert float(np.abs(a16_first - a32).max()) > 0  # f16 really applied
+    files = sorted(cd.glob("*.npy"), key=lambda p: p.stat().st_size)
+    assert len(files) == 2                  # distinct keys per dtype
+    assert files[0].stat().st_size < 0.6 * files[1].stat().st_size
+
+
 def test_load_data_formats(tmp_path):
     rows = [{"image": "a.nii", "label": 0, "split": "train"},
             {"image": "b.nii", "label": 1, "split": "validation"}]
