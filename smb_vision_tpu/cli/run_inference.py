@@ -53,6 +53,12 @@ class InferenceArguments:
     num_workers: int = 8
     max_samples: Optional[int] = None
     dtype: str = "bfloat16"
+    input_dtype: str = field(
+        default="float32",
+        metadata={"help": "dtype pixels are shipped to the device in; "
+                          "bfloat16 halves host->device bytes (the model "
+                          "computes in bf16 anyway; embeddings move by "
+                          "~1e-3 — keep float32 for strict parity)"})
     attn_impl: str = "auto"
     quant8: bool = field(
         default=False,
@@ -183,7 +189,15 @@ def main(argv=None):
         stats = {"embedded": n_ok, "failed": len(errors),
                  "skipped": n_skip}
     else:
+        in_dt = jnp.dtype(args.input_dtype)
+
         def embed_fn(pixels):
+            # cast on the HOST before device_put: the transfer is the
+            # bottleneck on bandwidth-constrained hosts, not the cast
+            import numpy as np
+
+            if in_dt != jnp.float32:
+                pixels = np.asarray(pixels).astype(in_dt)
             return encode(params, jnp.asarray(pixels))
 
         stats = run_embedding(ds, embed_fn, writer,

@@ -76,13 +76,15 @@ def test_mim_train_resume_and_inference(dataset, tmp_path):
     assert emb.shape == (8, 32)  # 2*2*2 tokens, hidden 32
     assert (emb_out / "metadata.json").exists()
 
-    # --quant8 W8A8 inference path: same checkpoint, embeddings close
+    # --quant8 W8A8 path + bf16 input shipping: same checkpoint,
+    # embeddings close
     emb_q = tmp_path / "emb_q"
     run_inference([
         "--data_dir", str(root), "--output_dir", str(emb_q),
         "--model_name_or_path", str(out / "model.safetensors"),
         "--config_path", str(out / "config.json"),
         "--dtype", "float32", "--attn_impl", "xla", "--quant8",
+        "--input_dtype", "bfloat16",
         "--batch_size", "2", "--max_samples", "3",
     ])
     q = np.load(emb_q / npys[0].name)
