@@ -15,8 +15,8 @@ structural context (BENCHMARKS.md): one v5e has 197 TFLOP/s bf16 peak vs
 A100's 312, so vs_baseline = 1.0 would require ~100% MFU here; this repo's
 per-peak efficiency (63% MFU at d64 incl. the int8-score path, >80% at
 the d128 TPU-native config) exceeds the 50% the divisor grants the A100,
-and the d128 config MEASURES above the divisor (8.044 vol/s = 1.006x,
-BENCHMARKS.md) — this script stays pinned to the reference d64
+and the d128 config measures AT the divisor (7.81-8.04 vol/s = 0.98-1.01x
+over three runs, BENCHMARKS.md) — this script stays pinned to the reference d64
 architecture per the round-1 review. On the BASELINE.md target hardware
 (v5p, 459 TFLOP/s) the same kernels project to vs_baseline > 1.4.
 """
