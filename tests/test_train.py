@@ -474,3 +474,30 @@ def test_token_weights_depth_major_order_asymmetric():
                                      2 * ww:2 * ww + 2,
                                      2 * t:2 * t + 2].mean()
     np.testing.assert_allclose(w, ref.reshape(-1), rtol=1e-6)
+
+
+def test_quant8_rejected_in_training_workloads():
+    """config.quant8 is inference-only (rounding has zero gradient a.e.);
+    the workload factories must refuse it loudly."""
+    import optax
+    import pytest
+
+    from smb_vision_tpu.models.configs import VideoMAEConfig
+    from smb_vision_tpu.models.videomae import VideoMAEForVideoClassification
+    from smb_vision_tpu.train.classification import (
+        make_classification_workload,
+    )
+    from smb_vision_tpu.train.mim import make_mim_workload
+
+    cfg = VideoMAEConfig(image_size=32, num_frames=16, patch_size=8,
+                         tubelet_size=8, num_channels=1, hidden_size=64,
+                         num_hidden_layers=1, num_attention_heads=4,
+                         intermediate_size=128, quant8=True,
+                         dtype="float32", attn_impl="xla")
+    with pytest.raises(ValueError, match="inference-only"):
+        make_mim_workload(cfg, mask_patch_size=8, mask_ratio=0.5,
+                          tx=optax.sgd(1e-3))
+    model = VideoMAEForVideoClassification(cfg)
+    with pytest.raises(ValueError, match="inference-only"):
+        make_classification_workload(model, cfg, task_type="classification",
+                                     tx=optax.sgd(1e-3))
