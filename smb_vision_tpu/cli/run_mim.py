@@ -139,6 +139,27 @@ def main(argv=None):
     except (ValueError, FileNotFoundError):
         eval_ds = None
 
+    if eval_ds is None and data_args.train_val_split and len(train_ds) > 1:
+        # auto-split train when the spec has no validation split — the fix
+        # SURVEY §2 item 5 demands (the reference declared this arg and
+        # never read it, /root/reference/src/run_mim.py DataTrainingArguments)
+        import random
+
+        items = list(train_ds.items)
+        random.Random(training_args.seed).shuffle(items)
+        n_val = min(max(1, round(len(items) * data_args.train_val_split)),
+                    len(items) - 1)
+        val_items = items[:n_val]
+        if data_args.max_eval_samples:
+            val_items = val_items[:data_args.max_eval_samples]
+        eval_ds = CTDataset(items=val_items, pipeline=pipe,
+                            cache_dir=data_args.cache_data_dir,
+                            cache_dtype=data_args.cache_dtype)
+        train_ds.items = items[n_val:]
+        logger.info("no '%s' split: auto-split %d/%d train/val "
+                    "(train_val_split=%.2f)", data_args.validation_split,
+                    len(train_ds), len(eval_ds), data_args.train_val_split)
+
     if jax.process_count() > 1:
         # multi-host data sharding (the reference's partition_dataset over
         # world size, mim.py:190-204)
@@ -185,7 +206,8 @@ def main(argv=None):
 
     from smb_vision_tpu.parallel.mesh import create_mesh
 
-    mesh = create_mesh(model=training_args.model_parallel)
+    mesh = create_mesh(model=training_args.model_parallel,
+                       dcn=training_args.dcn_slices)
     key = jax.random.PRNGKey(training_args.seed)
     with jax.set_mesh(mesh):
         state = init_fn(key)

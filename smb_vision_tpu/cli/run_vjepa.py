@@ -164,9 +164,30 @@ def main(argv=None):
 
     from smb_vision_tpu.parallel.mesh import create_mesh
 
-    mesh = create_mesh(model=training_args.model_parallel)
+    mesh = create_mesh(model=training_args.model_parallel,
+                       dcn=training_args.dcn_slices)
     with jax.set_mesh(mesh):
         state = init_fn(jax.random.PRNGKey(training_args.seed))
+    if model_args.model_name_or_path:
+        # continued pretraining: graft matching weights (full V-JEPA state
+        # or an encoder-only export) into the fresh init; the EMA teacher
+        # restarts as a copy of the loaded online weights (the deepcopy
+        # semantics of reference run_vjepa.py:104)
+        import jax.numpy as jnp
+
+        from smb_vision_tpu.utils.serialization import load_params_into
+
+        state["params"], loaded, skipped = load_params_into(
+            state["params"], model_args.model_name_or_path)
+        if not loaded:
+            raise ValueError(
+                f"no tensor in {model_args.model_name_or_path} matches the "
+                "V-JEPA parameter tree (checked flat names + shapes) — "
+                "wrong checkpoint for this architecture?")
+        state["teacher"] = jax.tree_util.tree_map(jnp.copy, state["params"])
+        logger.info("initialised %d tensors from %s (%d checkpoint tensors "
+                    "unused)", len(loaded), model_args.model_name_or_path,
+                    len(skipped))
     trainer = Trainer(args=training_args, state=state, step_fn=step_fn,
                       train_loader=train_loader, eval_loader=eval_loader,
                       eval_fn=eval_fn, mesh=mesh)

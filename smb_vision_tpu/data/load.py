@@ -13,7 +13,8 @@ def load_data(file_path: Union[str, Path],
               split: Optional[str] = None) -> List[Dict]:
     file_path = Path(file_path)
     if not file_path.exists():
-        raise FileNotFoundError(f"File not found: {file_path}")
+        raise FileNotFoundError(
+            f"dataset spec does not exist: {file_path}")
 
     suffix = file_path.suffix.lower()
     if suffix == ".json":
@@ -22,8 +23,8 @@ def load_data(file_path: Union[str, Path],
         if split and isinstance(data, dict):
             if split not in data:
                 raise ValueError(
-                    f"Split '{split}' not found in data. Available splits: "
-                    f"{list(data.keys())}")
+                    f"no split named '{split}' in {file_path.name}; "
+                    f"the file defines: {sorted(data.keys())}")
             return data[split]
         return data if isinstance(data, list) else list(data.values())
 
@@ -37,8 +38,8 @@ def load_data(file_path: Union[str, Path],
         df = pd.read_parquet(file_path)
     else:
         raise ValueError(
-            f"Unsupported file format: {suffix}. Supported formats: "
-            ".json, .csv, .parquet, .xlsx")
+            f"cannot read a '{suffix}' dataset spec — use one of "
+            ".json / .csv / .parquet / .xlsx")
     if split and "split" in df.columns:
         df = df[df["split"] == split]
     return df.to_dict("records")

@@ -23,6 +23,7 @@ from __future__ import annotations
 import functools
 import itertools
 import math
+import weakref
 from typing import Callable, Optional, Sequence, Tuple
 
 import jax
@@ -198,12 +199,34 @@ def sliding_window_embed(volume: jnp.ndarray, roi_size: Sequence[int],
     return run_all(state, volume, chunked, w), starts
 
 
-@functools.lru_cache(maxsize=32)
+# one jitted runner per (embedder, geometry): the outer map holds the
+# embedder WEAKLY, so a short-lived closure's jitted executables (and any
+# params it captured) are freed with it instead of pinning up to 32 entries
+# the way a plain lru_cache would; the inner per-embedder dict is keyed on
+# geometry. Callers that want cache hits across volumes must pass a
+# LONG-LIVED embedder callable (as cli/run_inference.py does) — a fresh
+# lambda per call compiles fresh every time.
+_SW_RUNNERS = weakref.WeakKeyDictionary()
+
+
 def _build_sw_runner(embedder, roi_size, n_chunks, sw_batch_size, n_win,
                      mode, pool, cval):
-    """One jitted runner per (embedder, geometry) — cached so repeated
-    volumes (the CLI's per-item loop) hit the jit cache instead of
-    recompiling per call."""
+    geo = (roi_size, n_chunks, sw_batch_size, n_win, mode, pool, cval)
+    try:
+        per_embedder = _SW_RUNNERS.setdefault(embedder, {})
+    except TypeError:          # non-weakrefable callable: no caching
+        per_embedder = None
+    if per_embedder is not None and geo in per_embedder:
+        return per_embedder[geo]
+    run_all = _make_sw_runner(embedder, roi_size, n_chunks, sw_batch_size,
+                              n_win, mode, pool, cval)
+    if per_embedder is not None:
+        per_embedder[geo] = run_all
+    return run_all
+
+
+def _make_sw_runner(embedder, roi_size, n_chunks, sw_batch_size, n_win,
+                    mode, pool, cval):
 
     def get_window(vol, s):
         return jax.lax.dynamic_slice(

@@ -646,6 +646,12 @@ def attention(q, k, v, *, scale: Optional[float] = None,
     if impl == "auto":
         on_tpu = jax.devices()[0].platform == "tpu"
         impl = "pallas" if (on_tpu and bias is None) else "xla"
+    if impl not in ("xla", "pallas", "pallas_int8", "pallas_int8pv"):
+        # a typo like "pallas_int8_pv" must not silently run a different
+        # precision path in a benchmark or inference run
+        raise ValueError(
+            f"unknown attention impl {impl!r}; valid: 'auto', 'xla', "
+            "'pallas', 'pallas_int8', 'pallas_int8pv'")
 
     if impl == "xla":
         return xla_attention(q, k, v, scale=scale, bias=bias)

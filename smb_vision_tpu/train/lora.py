@@ -113,6 +113,13 @@ def make_lora_classification_workload(model, config, *, task_type: str, tx,
     State: {'params' (frozen base), 'lora', 'lora_meta', ...}."""
     import optax
 
+    if getattr(config, "quant8", False):
+        raise ValueError(
+            "quant8 is an inference-only fast path: the W8A8 rounding has "
+            "zero gradient almost everywhere, so LoRA adapters behind "
+            "QuantDense would silently stop learning. Unset config.quant8 "
+            "for fine-tuning.")
+
     from smb_vision_tpu.train.losses import cox_loss
     from smb_vision_tpu.train.trainer import accumulate_gradients, train_state
 
@@ -170,12 +177,15 @@ def make_lora_classification_workload(model, config, *, task_type: str, tx,
                          step=state["step"] + 1)
         return new_state, {"loss": loss}
 
+    # jitted ONCE at factory time: building jax.jit(lambda ...) inside
+    # eval_fn would retrace (multi-minute TPU compile) on every eval batch
+    _eval_loss = jax.jit(
+        lambda p, l, b: loss_of(p, l, b, deterministic=True))
+
     def eval_fn(state, batch):
         import numpy as np
 
-        loss, out = jax.jit(
-            lambda p, l, b: loss_of(p, l, b, deterministic=True))(
-                state["params"], state["lora"], batch)
+        loss, out = _eval_loss(state["params"], state["lora"], batch)
         labels = ({"duration": np.asarray(batch["duration"]),
                    "event": np.asarray(batch["event"])} if survival
                   else np.asarray(batch["labels"]))

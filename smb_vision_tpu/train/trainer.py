@@ -49,6 +49,12 @@ class TrainingArguments:
     # float32 (exact) | bfloat16 (halves carried state; lets ViT-L V-JEPA
     # grad-accum fit the 16 GB v5e)
     grad_accum_dtype: str = "float32"
+    # host-side dtype for float batch arrays shipped to the device:
+    # bfloat16 halves host->HBM transfer bytes (the model's first matmul
+    # casts to the compute dtype anyway, so the cost is one extra rounding
+    # of the [0,1]-windowed inputs). Matters on bandwidth-constrained
+    # hosts; see run_inference --input_dtype for the inference analog.
+    input_dtype: str = "float32"
     learning_rate: float = 5e-5
     weight_decay: float = 0.01
     warmup_ratio: float = 0.0
@@ -286,10 +292,22 @@ class Trainer:
         def batch_sharding_fn(batch):
             return accum_sh if ACCUM_SPLIT_KEY in batch else self.batch_sh
 
+        in_dt = jnp.dtype(args.input_dtype)
+
+        def cast_inputs(batch):
+            # cast float arrays on the HOST before device_put — on
+            # bandwidth-constrained hosts the transfer, not the cast, is
+            # the bottleneck; integer labels/durations ship unchanged
+            if in_dt == jnp.float32:
+                return batch
+            return {k: (np.asarray(v).astype(in_dt)
+                        if np.asarray(v).dtype == np.float32 else v)
+                    for k, v in batch.items()}
+
         while step < total:
             self.train_loader.set_epoch(epoch)
             from smb_vision_tpu.data.dataset import prefetch_to_device
-            data_iter = map(presplit, self.train_loader)
+            data_iter = map(presplit, map(cast_inputs, self.train_loader))
             for batch in prefetch_to_device(data_iter,
                                             sharding_fn=batch_sharding_fn):
                 if step >= total:

@@ -61,11 +61,12 @@ def make_vjepa_workload(config: VJEPA2Config, *,
         teacher = jax.tree_util.tree_map(jnp.copy, params)
         return train_state(params, tx.init(params), teacher=teacher)
 
-    def loss_for(params, teacher, px, key):
+    def loss_for(params, teacher, px, key, deterministic=False):
         mask_key, dp_key = jax.random.split(key)
         tb = gen_mask(mask_key, px.shape[0])
-        out = model.apply(params, px, target_bool=tb, deterministic=False,
-                          rngs={"droppath": dp_key})
+        rngs = None if deterministic else {"droppath": dp_key}
+        out = model.apply(params, px, target_bool=tb,
+                          deterministic=deterministic, rngs=rngs)
         tgt = tmodel.apply(teacher, px, target_bool=tb, skip_predictor=True)[
             "last_hidden_state"]
         return vjepa_loss(out["predictor_output"],
@@ -91,8 +92,12 @@ def make_vjepa_workload(config: VJEPA2Config, *,
 
     @jax.jit
     def eval_fn(state, batch):
+        # deterministic=True disables DropPath — eval loss is the model's
+        # eval-mode loss, not a stochastic-depth sample (the mask key stays
+        # fixed so the eval task itself is reproducible)
         loss = loss_for(state["params"], state["teacher"],
-                        batch["pixel_values"], jax.random.PRNGKey(0))
+                        batch["pixel_values"], jax.random.PRNGKey(0),
+                        deterministic=True)
         return {"loss": loss}
 
     return model, init_fn, step_fn, eval_fn

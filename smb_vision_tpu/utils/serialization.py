@@ -44,3 +44,36 @@ def load_params_safetensors(path):
     from safetensors.numpy import load_file
 
     return unflatten_params(load_file(str(path)))
+
+
+def load_params_into(params, path, sep: str = "."):
+    """Graft a flat safetensors checkpoint into an existing params tree.
+
+    Leaves whose flat key AND shape match are replaced by the checkpoint
+    value (cast to the existing leaf's dtype); everything else keeps its
+    initialisation. Supports continued pretraining from a partial
+    checkpoint — e.g. loading an encoder-only export into a V-JEPA state
+    whose predictor stays freshly initialised.
+
+    Returns (new_params, loaded_keys, skipped_ckpt_keys) where
+    skipped_ckpt_keys are checkpoint entries with no matching leaf (or a
+    shape mismatch) in `params`.
+    """
+    from safetensors.numpy import load_file
+
+    import jax.numpy as jnp
+
+    ckpt = load_file(str(path))
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    loaded, out = [], []
+    for p, leaf in flat:
+        key = sep.join(str(getattr(q, "key", getattr(q, "idx", q)))
+                       for q in p)
+        val = ckpt.get(key)
+        if val is not None and tuple(val.shape) == tuple(leaf.shape):
+            out.append(jnp.asarray(val, dtype=leaf.dtype))
+            loaded.append(key)
+        else:
+            out.append(leaf)
+    skipped = sorted(set(ckpt) - set(loaded))
+    return (jax.tree_util.tree_unflatten(treedef, out), loaded, skipped)

