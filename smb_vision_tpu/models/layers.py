@@ -125,6 +125,7 @@ class Attention(nn.Module):
                     "apply/jit in `with jax.set_mesh(mesh):`")
             if self.sp_variant == "ring":
                 out = ring_attention(q, k, v, mesh=mesh, axis=MODEL_AXIS,
+                                     impl=self.attn_impl,
                                      batch_axis=DATA_AXIS)
             else:
                 out = context_parallel_attention(

@@ -486,7 +486,7 @@ def _bwd_dkv_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_scr[:].T.astype(dv_ref.dtype)
 
 
-def _bwd(scale, block_q, block_k, interpret, res, g):
+def _bwd(scale, block_q, block_k, interpret, res, g, g_lse=None):
     q, k, v, out, lse = res
     bh, nq, d = q.shape
     kv = k.shape[1]
@@ -500,6 +500,14 @@ def _bwd(scale, block_q, block_k, interpret, res, g):
         lse = lse.reshape(bh, nq)[..., None]
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1, keepdims=True)
+    if g_lse is not None:
+        # joint VJP of (out, lse2): d lse_nat/ds_j = p_j, so the lse
+        # cotangent folds into the delta term — ds = p*(dp - delta +
+        # g_lse_nat) = p*(dp - (delta - g_lse_nat)) — and the kernels run
+        # unchanged. lse2 is in log2 units (lse2 = LOG2E * lse_nat), hence
+        # the LOG2E factor on its cotangent.
+        g_lse = g_lse.reshape(bh, nq)[..., None]
+        delta = delta - g_lse.astype(jnp.float32) * LOG2E
     q_aux_spec = lambda b, iq, ik: (b, iq, 0)  # noqa: E731
     aux_block = (1, block_q, 1)
 
@@ -576,6 +584,32 @@ def _flash_bwd(scale, block_q, block_k, interpret, res, g):
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_lse(q, k, v, scale, block_q, block_k, interpret):
+    """Flash attention returning (out, lse2). lse2 is the logsumexp of the
+    scores in log2 units of the PRE-SCALED scores: softmax weights satisfy
+    p = exp2(s * scale * LOG2E - lse2). Differentiable through BOTH
+    outputs — the lse2 cotangent folds into the backward's delta term
+    (see _bwd) — which is what the ring-attention merge needs."""
+    return _fwd(q, k, v, scale=scale, block_q=block_q, block_k=block_k,
+                interpret=interpret)
+
+
+def _flash_lse_fwd(q, k, v, scale, block_q, block_k, interpret):
+    out, lse = _fwd(q, k, v, scale=scale, block_q=block_q, block_k=block_k,
+                    interpret=interpret)
+    return (out, lse), (q, k, v, out, lse)
+
+
+def _flash_lse_bwd(scale, block_q, block_k, interpret, res, g):
+    g_out, g_lse = g
+    return _bwd(scale, block_q, block_k, interpret, res, g_out,
+                g_lse=g_lse)
+
+
+_flash_lse.defvjp(_flash_lse_fwd, _flash_lse_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -681,3 +715,58 @@ def attention(q, k, v, *, scale: Optional[float] = None,
         out = _flash(fold(q), fold(k), fold(v), scale, bq, bk, interpret)
     out = out[..., :d].reshape(b, h, nq, d)
     return jnp.swapaxes(out, 1, 2)
+
+
+def attention_with_lse(q, k, v, *, scale: Optional[float] = None,
+                       impl: str = "auto", block_q: int = 4096,
+                       block_k: int = 2048, interpret: bool = False):
+    """Attention that also returns the row logsumexp, for partial-softmax
+    merging (ring attention / flash-decoding style combines).
+
+    Args/layout as `attention`: q (B, Nq, H, D); k, v (B, Nk, H, D).
+    Returns (out, lse2):
+      out:  (B, Nq, H, D)
+      lse2: (B, H, Nq) f32 logsumexp in LOG2 units of the pre-scaled
+            scores — softmax weights satisfy p = exp2(s*scale*LOG2E - lse2).
+            Two partials (o_a, lse2_a), (o_b, lse2_b) over disjoint kv
+            blocks merge exactly with w_x = exp2(lse2_x - m) / sum.
+
+    Differentiable through BOTH outputs on every path: the pallas VJP
+    folds the lse2 cotangent into the backward's delta term (ds = p*(dp -
+    (delta - g_lse2*LOG2E))), so ring attention trains without bespoke
+    backward kernels. impl 'pallas_int8*' is coerced to 'pallas' — the
+    int8-score kernel does not expose lse.
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    if impl == "auto":
+        impl = ("pallas" if jax.devices()[0].platform == "tpu" else "xla")
+    if impl in ("pallas_int8", "pallas_int8pv"):
+        impl = "pallas"
+    if impl == "xla":
+        s2 = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * (scale * LOG2E)
+        m = jnp.max(s2, axis=-1, keepdims=True)
+        p = jnp.exp2(s2 - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        out = jnp.einsum("bhqk,bkhd->bqhd", (p / l).astype(v.dtype), v)
+        return out, (m + jnp.log2(l))[..., 0]
+    if impl != "pallas":
+        raise ValueError(
+            f"unknown attention impl {impl!r}; valid here: 'auto', 'xla', "
+            "'pallas' (int8 spellings coerce to 'pallas')")
+
+    b, nq, h, d = q.shape
+    kv = k.shape[1]
+    d_pad = d if d % 8 == 0 else -(-d // 8) * 8
+
+    def fold(x):
+        x = jnp.swapaxes(x, 1, 2).reshape(b * h, x.shape[1], d)
+        return _pad_lanes(x, d_pad)
+
+    bq = _pick_block(nq, block_q, fold_step=1024)
+    bk = _pick_block(kv, block_k)
+    out, lse = _flash_lse(fold(q), fold(k), fold(v), scale, bq, bk,
+                          interpret)
+    out = out[..., :d].reshape(b, h, nq, d)
+    return jnp.swapaxes(out, 1, 2), lse.reshape(b, h, nq)

@@ -8,10 +8,12 @@ holds q for its shard, k/v are all-gathered over ICI (N*D at ViT scale is
 tens of MB — cheap relative to N^2 compute), and the Pallas flash kernel
 runs on the local q shard. Outputs stay sequence-sharded.
 
-This is the non-causal equivalent of ring attention's first step; a
-streaming ring (kv ppermute with online softmax merge) drops the memory
-from O(N) gathered kv to O(N/devices) and is the planned follow-up for
-configs where gathered kv no longer fits.
+Two variants:
+- `context_parallel_attention`: kv all-gathered over ICI (N*D at ViT
+  scale is tens of MB — cheap relative to N^2 compute), one kernel call.
+- `ring_attention`: kv blocks rotate via ppermute, the flash kernel runs
+  per block and partials merge by logsumexp — O(N/devices) kv memory for
+  configs where the gathered kv no longer fits.
 """
 
 from __future__ import annotations
@@ -36,7 +38,7 @@ def shard_map(f, **kw):
         return _shard_map(f, check_rep=False, **kw)
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from smb_vision_tpu.ops.attention import attention
+from smb_vision_tpu.ops.attention import attention, attention_with_lse
 
 
 def context_parallel_attention(q, k, v, *, mesh: Mesh, axis: str = "model",
@@ -62,62 +64,59 @@ def context_parallel_attention(q, k, v, *, mesh: Mesh, axis: str = "model",
 
 
 def ring_attention(q, k, v, *, mesh: Mesh, axis: str = "model",
-                   scale: Optional[float] = None,
-                   batch_axis: Optional[str] = None):
-    """Ring attention: kv shards rotate around the ring via ppermute while
-    each device accumulates its q-shard's online softmax. Memory stays
-    O(N/devices) per device; compute overlaps communication step-to-step.
+                   scale: Optional[float] = None, impl: str = "auto",
+                   batch_axis: Optional[str] = None,
+                   interpret: bool = False):
+    """Ring attention with true O(N/devices) memory: kv shards rotate
+    around the ring via ppermute and every block runs the Pallas flash
+    kernel (`attention_with_lse`, impl='auto' on TPU), so no step ever
+    materialises a score tensor or a gathered kv — the largest live
+    arrays are one kv block and the f32 (B, N/dev, H, D) accumulator.
 
-    Numerically merges per-shard (out, lse) pairs with the standard
-    log-sum-exp combine. Uses the XLA attention for per-block compute with
-    explicit lse (the Pallas kernel's lse output is reused when available).
-    """
-    import math
+    Per-block normalised partials (o_i, lse2_i) merge with the exact
+    log-sum-exp combine (weights exp2(lse2_i - total), log2 units —
+    matching the kernel's lse output). The ring loop is unrolled over the
+    static ring size: XLA overlaps each step's ppermute with the previous
+    block's compute, and reverse-mode AD works through the unrolled merges
+    because the flash VJP is differentiable through BOTH outputs (the lse2
+    cotangent folds into the backward's delta term, ops/attention._bwd).
+    Backward memory holds each step's kv block + (out, lse) partial —
+    O(N) total like the gather variant, never O(N^2).
 
-    if scale is None:
-        scale = 1.0 / math.sqrt(q.shape[-1])
+    Use `context_parallel_attention` when the gathered kv fits (one
+    all-gather beats n_dev-1 ppermute latencies); use the ring when it
+    does not (full-res 20480-token configs at model>=2)."""
     n_dev = mesh.shape[axis]
 
     def local(q_shard, k_shard, v_shard):
-        def block_attn(qs, ks, vs):
-            """Per-block *normalised* attention + its logsumexp:
-            o = softmax(s) v over this kv block, lse = logsumexp(s)."""
-            s = jnp.einsum("bqhd,bkhd->bhqk", qs, ks,
-                           preferred_element_type=jnp.float32) * scale
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            l = jnp.sum(p, axis=-1, keepdims=True)
-            out = jnp.einsum("bhqk,bkhd->bqhd", (p / l).astype(vs.dtype), vs)
-            lse = (m + jnp.log(l))[..., 0]            # (B, H, Q)
-            return out.astype(jnp.float32), lse
+        def block(ks, vs):
+            out, lse2 = attention_with_lse(q_shard, ks, vs, scale=scale,
+                                           impl=impl, interpret=interpret)
+            return out.astype(jnp.float32), lse2
 
         def merge(a, b):
-            """Combine two normalised partials: softmax weights are
-            w_x = exp(lse_x - lse_total)."""
+            """Combine two normalised partials over disjoint kv blocks:
+            softmax weights are w_x = exp2(lse2_x - lse2_total)."""
             out_a, lse_a = a
             out_b, lse_b = b
             m = jnp.maximum(lse_a, lse_b)
-            wa = jnp.exp(lse_a - m)
-            wb = jnp.exp(lse_b - m)
+            wa = jnp.exp2(lse_a - m)
+            wb = jnp.exp2(lse_b - m)
             denom = wa + wb
             # weights are (B, H, Q) -> broadcast over (B, Q, H, D)
             bw = lambda w: jnp.swapaxes(  # noqa: E731
                 (w / denom)[..., None], 1, 2)
             out = out_a * bw(wa) + out_b * bw(wb)
-            return out, m + jnp.log(denom)
+            return out, m + jnp.log2(denom)
 
-        acc = block_attn(q_shard, k_shard, v_shard)
-
-        def step(_, carry):
-            acc, (ks, vs) = carry
-            perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+        acc = block(k_shard, v_shard)
+        ks, vs = k_shard, v_shard
+        perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+        for _ in range(n_dev - 1):
             ks = jax.lax.ppermute(ks, axis, perm)
             vs = jax.lax.ppermute(vs, axis, perm)
-            return merge(acc, block_attn(q_shard, ks, vs)), (ks, vs)
-
-        (out, _), _ = jax.lax.fori_loop(
-            0, n_dev - 1, step, (acc, (k_shard, v_shard)))
-        return out.astype(q_shard.dtype)
+            acc = merge(acc, block(ks, vs))
+        return acc[0].astype(q_shard.dtype)
 
     spec = P(batch_axis, axis, None, None)
     return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),

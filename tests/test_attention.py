@@ -150,3 +150,47 @@ def test_unknown_impl_raises():
     q = jnp.zeros((1, 8, 1, 8))
     with pytest.raises(ValueError, match="unknown attention impl"):
         attention(q, q, q, impl="pallas_int8_pv")
+
+
+def test_attention_with_lse_partials_merge_to_dense():
+    """(out, lse2) over disjoint kv blocks must merge exactly to the dense
+    softmax — the invariant ring attention is built on."""
+    from smb_vision_tpu.ops.attention import attention_with_lse
+
+    q, k, v = _qkv(jax.random.PRNGKey(3))
+    o1, l1 = attention_with_lse(q, k[:, :96], v[:, :96], impl="pallas",
+                                interpret=True, block_q=64, block_k=32)
+    o2, l2 = attention_with_lse(q, k[:, 96:], v[:, 96:], impl="pallas",
+                                interpret=True, block_q=64, block_k=32)
+    m = jnp.maximum(l1, l2)
+    w1, w2 = jnp.exp2(l1 - m), jnp.exp2(l2 - m)
+    den = w1 + w2
+    bw = lambda w: jnp.swapaxes((w / den)[..., None], 1, 2)  # noqa: E731
+    merged = o1.astype(jnp.float32) * bw(w1) + o2.astype(jnp.float32) * bw(w2)
+    ref = xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(ref),
+                               atol=2e-6, rtol=2e-6)
+
+
+def test_attention_with_lse_grads_through_both_outputs():
+    """The lse2 cotangent folds into the backward's delta term — grads of a
+    loss touching BOTH outputs must match the XLA reference."""
+    from smb_vision_tpu.ops.attention import attention_with_lse
+
+    q, k, v = _qkv(jax.random.PRNGKey(4))
+
+    def loss(impl):
+        def f(q, k, v):
+            out, lse = attention_with_lse(
+                q, k, v, impl=impl, interpret=impl == "pallas",
+                block_q=64, block_k=32)
+            # weight the lse term so its cotangent is non-trivial
+            return (jnp.sum(out.astype(jnp.float32) ** 2)
+                    + jnp.sum(jnp.sin(lse) * lse))
+        return f
+
+    g_pl = jax.grad(loss("pallas"), argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss("xla"), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_pl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5,
+                                   rtol=2e-5)
