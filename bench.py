@@ -29,7 +29,7 @@ import time
 A100_EST_VOL_PER_S = 8.0
 
 
-def main():
+def measure(attn_impl: str) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -39,7 +39,7 @@ def main():
     config = VideoMAEConfig(image_size=512, num_frames=320, patch_size=16,
                             tubelet_size=16, num_channels=1,
                             num_attention_heads=12,
-                            dtype="bfloat16", attn_impl="pallas_int8")
+                            dtype="bfloat16", attn_impl=attn_impl)
     model = VideoMAEModel(config)
     key = jax.random.PRNGKey(0)
     batch = 4
@@ -66,14 +66,24 @@ def main():
     for x in inputs:
         float(encode_sum(params, x))
     dt = time.perf_counter() - t0
-    vol_per_s = n_iters * batch / dt
+    return n_iters * batch / dt
+
+
+def main():
+    # both precisions, same session, same protocol: the headline rides
+    # the int8-score path; the bf16 control is precision-matched to the
+    # A100 flash-attn-2 divisor and reported alongside (round-2 advisor).
+    vol_bf16 = measure("pallas")
+    vol_i8 = measure("pallas_int8")
 
     print(json.dumps({
         "metric": "volumes/sec/chip (512x512x320 ViT-Base-d64 embed, "
                   "bf16 + int8-score attention, bs4)",
-        "value": round(vol_per_s, 3),
+        "value": round(vol_i8, 3),
         "unit": "volumes/s",
-        "vs_baseline": round(vol_per_s / A100_EST_VOL_PER_S, 3),
+        "vs_baseline": round(vol_i8 / A100_EST_VOL_PER_S, 3),
+        "bf16_value": round(vol_bf16, 3),
+        "bf16_vs_baseline": round(vol_bf16 / A100_EST_VOL_PER_S, 3),
     }))
 
 

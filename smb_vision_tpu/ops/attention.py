@@ -60,10 +60,17 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _pick_unroll(block_k: int) -> int:
+def _pick_unroll(block_k: int, i8: bool = False) -> int:
     """Sub-block unroll default: u4 beat u2 in same-session A/B sweeps at
     the d64 flagship shape (bf16 13.76 vs 14.19 ms/layer, int8 10.71 vs
-    12.16 — scripts/kexp/{bf16,i8}_sweep.py)."""
+    12.16 — scripts/kexp/{bf16,i8}_sweep.py). The int8 forward goes one
+    deeper: u8 beat u4 10.33 vs 11.33 ms/layer (and bq5120/bk2048/u8 hit
+    10.16) in the round-3 sweep through the shipped kernel
+    (scripts/kexp/i8v3.py) — more independent qk/exp/pv chains for Mosaic
+    to overlap; explicit round-robin interleave and cheap-exp variants
+    both LOST (scripts/kexp/i8v2.py), so deeper unroll is the lever."""
+    if i8 and block_k % 8 == 0 and block_k >= 2048:
+        return 8
     if block_k % 4 == 0 and block_k >= 1024:
         return 4
     if block_k % 2 == 0 and block_k >= 256:
@@ -214,8 +221,9 @@ def _fwd(q, k, v, *, scale, block_q, block_k, interpret=False,
 # the scalar correction sq*sk is applied to the f32 scores before exp
 # (softmax is not scale-invariant, so it cannot fold away).
 # Accuracy: rel err ~0.5% vs f32 softmax — the same order as the bf16
-# operands themselves (8-bit mantissa). 12.6 vs 13.7 ms/layer at the
-# flagship d64 shape. Forward-only (no VJP): inference embedding path.
+# operands themselves (8-bit mantissa). 10.16 vs 13.5 ms/layer at the
+# flagship d64 shape (bq5120/bk2048/u8, round-3 sweep i8v3.py).
+# Forward-only (no VJP): inference embedding path.
 #
 # pv=True additionally runs p@v on the int8 MXU: per-sub-block per-column
 # score max sm requantizes p as p8 = floor(exp2(st - sm + log2 127) + .5)
@@ -335,7 +343,7 @@ def _fwd_i8(q, k, v, *, scale, block_q, block_k, interpret=False,
         pad = _cdiv(kv, block_k) * block_k - kv
         v1 = jnp.pad(v1, ((0, 0), (0, pad), (0, 0)))
     if unroll is None:
-        unroll = _pick_unroll(block_k)
+        unroll = _pick_unroll(block_k, i8=True)
     grid = (bh, _cdiv(nq, block_q), _cdiv(kv, block_k))
     return pl.pallas_call(
         functools.partial(_fwd_i8_kernel, block_k=block_k, kv_len=kv,
@@ -657,7 +665,7 @@ def _pick_block(n: int, cap: int, fold_step: int = 128) -> int:
 def attention(q, k, v, *, scale: Optional[float] = None,
               bias: Optional[jax.Array] = None,
               impl: str = "auto",
-              block_q: int = 4096, block_k: int = 2048,
+              block_q: Optional[int] = None, block_k: int = 2048,
               interpret: bool = False) -> jax.Array:
     """Multi-head attention.
 
@@ -669,13 +677,16 @@ def attention(q, k, v, *, scale: Optional[float] = None,
         "pallas_int8" (int8 q@k^T inference fast path — forward-only,
         rel err ~0.5%) | "pallas_int8pv" (also p@v on the int8 MXU with
         per-sub-block p requantization — rel err ~1%)
-      block_q/block_k: kernel tile sizes (defaults from the v5e sweep,
-        BENCHMARKS.md)
+      block_q/block_k: kernel tile sizes (block_q=None picks the measured
+        per-impl default: 5120 for the int8 forward, 4096 otherwise —
+        v5e sweeps, BENCHMARKS.md)
     Returns:
       (B, Nq, H, D)
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
+    if block_q is None:
+        block_q = 5120 if impl in ("pallas_int8", "pallas_int8pv") else 4096
 
     if impl == "auto":
         on_tpu = jax.devices()[0].platform == "tpu"

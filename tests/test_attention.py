@@ -118,6 +118,30 @@ def test_int8pv_forward_unaligned_seq():
     assert rel < 3e-2, rel
 
 
+def test_int8_u8_unroll_matches_xla():
+    """u8 is the compiled int8 default for block_k>=2048 (round-3 sweep:
+    10.33 vs 11.33 ms/layer, scripts/kexp/i8v3.py); force it at test-size
+    blocks so interpret mode covers the 8-deep unrolled chain, aligned
+    and ragged."""
+    from smb_vision_tpu.ops.attention import _fwd_i8
+
+    for n in (256, 200):                       # 200 ragged vs block 64
+        q, k, v = _qkv(jax.random.PRNGKey(11), n=n)
+        ref = xla_attention(q, k, v)
+
+        def fold(x):
+            return jnp.swapaxes(x, 1, 2).reshape(-1, x.shape[1], x.shape[-1])
+
+        out = _fwd_i8(fold(q), fold(k), fold(v), scale=48 ** -0.5,
+                      block_q=64, block_k=64, unroll=8, interpret=True)
+        out = jnp.swapaxes(out.reshape(ref.shape[0], -1, n, ref.shape[-1]),
+                           1, 2)
+        rel = float(jnp.abs(out.astype(jnp.float32)
+                            - ref.astype(jnp.float32)).max()
+                    / jnp.abs(ref.astype(jnp.float32)).max())
+        assert rel < 2e-2, (n, rel)
+
+
 def test_grads_match_xla_u4_unroll(monkeypatch):
     """The u4 sub-block unroll paths (fwd + both bwd passes) are the
     compiled default for block>=1024; force them at test-size blocks so
