@@ -19,19 +19,37 @@ import numpy as np
 def make_volume(rng: np.random.Generator, size: int, depth: int
                 ) -> np.ndarray:
     """A CT-ish volume in HU: air background, soft-tissue ellipsoid body,
-    a few random dense 'lesions'."""
+    a few random dense 'lesions'.
+
+    Computed in z-chunks of f32: full-volume float64 meshgrids are
+    pathologically slow on small single-core hosts (multi-GB working
+    sets), while slice-sized f32 ops run at normal speed.
+    """
     h = w = size
-    vol = np.full((h, w, depth), -1000.0, np.float32)
-    yy, xx, zz = np.meshgrid(np.linspace(-1, 1, h), np.linspace(-1, 1, w),
-                             np.linspace(-1, 1, depth), indexing="ij")
-    body = (xx / 0.8) ** 2 + (yy / 0.7) ** 2 + (zz / 0.95) ** 2 < 1.0
-    vol[body] = rng.normal(40, 20, body.sum()).astype(np.float32)
-    for _ in range(rng.integers(2, 6)):
-        c = rng.uniform(-0.5, 0.5, 3)
-        r = rng.uniform(0.05, 0.2)
-        lesion = ((xx - c[0]) ** 2 + (yy - c[1]) ** 2
-                  + (zz - c[2]) ** 2) < r ** 2
-        vol[lesion & body] = rng.normal(300, 60, (lesion & body).sum())
+    yy = np.linspace(-1, 1, h, dtype=np.float32)[:, None, None]
+    xx = np.linspace(-1, 1, w, dtype=np.float32)[None, :, None]
+    zline = np.linspace(-1, 1, depth, dtype=np.float32)
+    plane = (yy / 0.7) ** 2 + (xx / 0.8) ** 2          # (h, w, 1)
+    lesions = [(rng.uniform(-0.5, 0.5, 3).astype(np.float32),
+                np.float32(rng.uniform(0.05, 0.2)))
+               for _ in range(rng.integers(2, 6))]
+    vol = np.empty((h, w, depth), np.float32)
+    step = max(1, (1 << 24) // (h * w))                # ~16M voxel chunks
+    for z0 in range(0, depth, step):
+        zz = zline[z0:z0 + step][None, None, :]        # (1, 1, cz)
+        cz = zz.shape[-1]
+        body = plane + (zz / 0.95) ** 2 < 1.0          # (h, w, cz)
+        chunk = np.full((h, w, cz), -1000.0, np.float32)
+        n = int(body.sum())
+        chunk[body] = rng.standard_normal(n, dtype=np.float32) * 20 + 40
+        for c, r in lesions:
+            lesion = body & ((xx - c[0]) ** 2 + (yy - c[1]) ** 2
+                             + (zz - c[2]) ** 2 < r * r)
+            n = int(lesion.sum())
+            if n:
+                chunk[lesion] = (rng.standard_normal(n, dtype=np.float32)
+                                 * 60 + 300)
+        vol[:, :, z0:z0 + step] = chunk
     return vol
 
 

@@ -63,8 +63,13 @@ class InferenceArguments:
     quant8: bool = field(
         default=False,
         metadata={"help": "run transformer projections as W8A8 on the "
-                          "int8 MXU (inference-only fast path; pair with "
-                          "--attn_impl pallas_int8pv for int8 attention)"})
+                          "int8 MXU. MEASURED NET-NEUTRAL for speed "
+                          "through XLA (the dynamic per-tensor quantize "
+                          "pass eats the 1.37x int8 matmul rate, "
+                          "BENCHMARKS.md) while adding ~1%% activation "
+                          "rounding error — leave off unless you are "
+                          "benchmarking the path itself; the shipped fast "
+                          "path is --attn_impl pallas_int8"})
     # process-level fan-out (the reference's per-GPU mp.Pool chunking,
     # run_inspect.py:205-235): each process takes items[shard::num_shards];
     # resume-by-uid makes overlapping shards safe
