@@ -220,7 +220,7 @@ def _fwd(q, k, v, *, scale, block_q, block_k, interpret=False,
 # q@k^T on the MXU's 2x-rate int8 path with per-head symmetric scales;
 # the scalar correction sq*sk is applied to the f32 scores before exp
 # (softmax is not scale-invariant, so it cannot fold away).
-# Accuracy: rel err ~0.5% vs f32 softmax — the same order as the bf16
+# Accuracy: rel err ~0.5-0.9% vs f32 softmax — the same order as the bf16
 # operands themselves (8-bit mantissa). 10.16 vs 13.5 ms/layer at the
 # flagship d64 shape (bq5120/bk2048/u8, round-3 sweep i8v3.py).
 # Forward-only (no VJP): inference embedding path.
@@ -675,7 +675,7 @@ def attention(q, k, v, *, scale: Optional[float] = None,
       bias: optional additive (B|1, H|1, Nq, Nk) bias -> routes to XLA impl
       impl: "auto" (pallas on TPU, xla elsewhere) | "pallas" | "xla" |
         "pallas_int8" (int8 q@k^T inference fast path — forward-only,
-        rel err ~0.5%) | "pallas_int8pv" (also p@v on the int8 MXU with
+        rel err ~0.5-0.9%) | "pallas_int8pv" (also p@v on the int8 MXU with
         per-sub-block p requantization — rel err ~1%)
       block_q/block_k: kernel tile sizes (block_q=None picks the measured
         per-impl default: 5120 for the int8 forward, 4096 otherwise —
