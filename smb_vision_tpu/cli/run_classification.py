@@ -142,13 +142,16 @@ def main(argv=None):
                      model_args.depth),
         layout=CT_PIPELINES[pipeline_key].layout)
 
+    out_dt = training_args.input_dtype    # no host f16->f32->bf16 trip
     train_ds = CTDataset(data_args.train_data_path, split="train",
                          pipeline=pipe, cache_dir=data_args.cache_data_dir,
                          cache_dtype=data_args.cache_dtype,
+                         out_dtype=out_dt,
                          max_samples=data_args.max_train_samples)
     eval_ds = (CTDataset(data_args.val_data_path, split="validation",
                          pipeline=pipe, cache_dir=data_args.cache_data_dir,
                          cache_dtype=data_args.cache_dtype,
+                         out_dtype=out_dt,
                          max_samples=data_args.max_eval_samples)
                if data_args.val_data_path else None)
 

@@ -126,15 +126,21 @@ def main(argv=None):
         target_spacing=CT_PIPELINES["mim"].target_spacing,
         target_size=(config.image_size, config.image_size,
                      config.num_frames))
+    # carry half-precision straight from the cache to device_put: with
+    # input_dtype != float32 the f16 cache would otherwise round-trip
+    # through f32 on the host (three full-volume array ops per step)
+    out_dt = training_args.input_dtype
     train_ds = CTDataset(data_args.json_path, split=data_args.train_split,
                          pipeline=pipe, cache_dir=data_args.cache_data_dir,
                          cache_dtype=data_args.cache_dtype,
+                         out_dtype=out_dt,
                          max_samples=data_args.max_train_samples)
     try:
         eval_ds = CTDataset(data_args.json_path,
                             split=data_args.validation_split, pipeline=pipe,
                             cache_dir=data_args.cache_data_dir,
                             cache_dtype=data_args.cache_dtype,
+                            out_dtype=out_dt,
                             max_samples=data_args.max_eval_samples)
     except (ValueError, FileNotFoundError):
         eval_ds = None
@@ -154,7 +160,8 @@ def main(argv=None):
             val_items = val_items[:data_args.max_eval_samples]
         eval_ds = CTDataset(items=val_items, pipeline=pipe,
                             cache_dir=data_args.cache_data_dir,
-                            cache_dtype=data_args.cache_dtype)
+                            cache_dtype=data_args.cache_dtype,
+                            out_dtype=out_dt)
         train_ds.items = items[n_val:]
         logger.info("no '%s' split: auto-split %d/%d train/val "
                     "(train_val_split=%.2f)", data_args.validation_split,

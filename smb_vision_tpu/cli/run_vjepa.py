@@ -104,16 +104,19 @@ def main(argv=None):
         target_spacing=CT_PIPELINES["vjepa"].target_spacing,
         target_size=(config.crop_size, config.crop_size,
                      config.frames_per_clip))
+    out_dt = training_args.input_dtype    # no host f16->f32->bf16 trip
     train_ds = CTDataset(data_args.data_path, split=data_args.train_split,
                          pipeline=pipe, cache_dir=data_args.cache_data_dir,
                          cache_dtype=data_args.cache_dtype,
+                         out_dtype=out_dt,
                          max_samples=data_args.max_train_samples)
     try:
         eval_ds = CTDataset(data_args.data_path,
                             split=data_args.validation_split,
                             pipeline=pipe,
                             cache_dir=data_args.cache_data_dir,
-                            cache_dtype=data_args.cache_dtype)
+                            cache_dtype=data_args.cache_dtype,
+                            out_dtype=out_dt)
     except (ValueError, FileNotFoundError):
         eval_ds = None
 

@@ -40,6 +40,17 @@ def _pipeline_cfg(p) -> PreprocessConfig:
     return CT_PIPELINES[p] if isinstance(p, str) else p
 
 
+def _float_dtype(name) -> np.dtype:
+    """np.dtype for a float name, accepting "bfloat16" (ml_dtypes-backed,
+    which numpy's dtype constructor does not resolve by string)."""
+    try:
+        return np.dtype(name)
+    except TypeError:
+        import ml_dtypes
+
+        return np.dtype(getattr(ml_dtypes, str(name)))
+
+
 class CTDataset:
     """Map-style dataset of preprocessed CT volumes (+ passthrough labels).
 
@@ -51,15 +62,21 @@ class CTDataset:
                  items: Optional[List[Dict]] = None,
                  image_key: str = "image", max_samples: Optional[int] = None,
                  backend: str = "auto", ram_cache: bool = False,
-                 cache_dtype: str = "float32"):
+                 cache_dtype: str = "float32",
+                 out_dtype: str = "float32"):
         """backend: "native" (C++ loader, GIL-free), "python", or "auto"
         (native when built, else python). ram_cache additionally memoises
         preprocessed volumes in memory (the reference's CacheDataset mode,
         mim.py:210-236) — use when the dataset fits in host RAM.
         cache_dtype: on-disk dtype for cached volumes; "float16" halves
         disk/IO/transfer bytes at ~1e-4 absolute rounding on the
-        HU-windowed [0,1] values (volumes are returned as float32 either
-        way). Participates in the cache key."""
+        HU-windowed [0,1] values. Participates in the cache key.
+        out_dtype: dtype of returned volumes ("float32" default;
+        "float16"/"bfloat16" carry a half-precision cache straight
+        through to device_put with at most one host cast — on
+        CPU/bandwidth-constrained hosts the f16->f32->bf16 round trip
+        was the steady-state bottleneck, three full-volume array ops
+        per step)."""
         if items is None:
             items = load_data(data_path, split=split)
         if max_samples:
@@ -73,6 +90,7 @@ class CTDataset:
         from smb_vision_tpu.data.preprocess import PREPROCESS_VERSION
 
         self.cache_dtype = np.dtype(cache_dtype)
+        self.out_dtype = _float_dtype(out_dtype)
         # version participates in the key: numerics changes (e.g. the
         # anti-aliasing fix) must invalidate previously cached volumes;
         # so does the cache dtype (float16 files are not float32 files)
@@ -116,7 +134,7 @@ class CTDataset:
         cache = self._cache_path(item)
         if cache is not None and cache.is_file():
             try:
-                return np.load(cache).astype(np.float32, copy=False)
+                return np.load(cache).astype(self.out_dtype, copy=False)
             except (ValueError, EOFError, OSError):
                 # corrupt cache: delete and recompute (ref load.py:107-112)
                 try:
@@ -139,8 +157,8 @@ class CTDataset:
         if vol.dtype != self.cache_dtype:
             # first-epoch values must match what later epochs reload from
             # the cache, or the same sample drifts across epochs
-            vol = vol.astype(self.cache_dtype).astype(np.float32)
-        return vol
+            vol = vol.astype(self.cache_dtype)
+        return vol.astype(self.out_dtype, copy=False)
 
     def __getitem__(self, idx: int) -> Dict:
         item = dict(self.items[idx])

@@ -61,6 +61,9 @@ def normalize_pixel_targets(patches: jnp.ndarray,
     group — the reference normalises over the (ts*ps*ps) axis with channels
     separate, then flattens. For num_channels==1 (CT) normalising over the
     full patch vector is identical."""
+    # stats in f32 regardless of the shipped pixel dtype (bf16/f16 input
+    # shipping must not perturb the regression target)
+    patches = patches.astype(jnp.float32)
     mean = jnp.mean(patches, axis=-1, keepdims=True)
     n = patches.shape[-1]
     var = jnp.sum((patches - mean) ** 2, axis=-1, keepdims=True) / (n - 1)

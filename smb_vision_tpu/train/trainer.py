@@ -293,15 +293,21 @@ class Trainer:
             return accum_sh if ACCUM_SPLIT_KEY in batch else self.batch_sh
 
         in_dt = jnp.dtype(args.input_dtype)
+        # pixel-family dtypes to re-cast to in_dt; f64 label/duration
+        # columns ship unchanged (Cox durations must not round)
+        _px_dts = {np.dtype(np.float32), np.dtype(np.float16),
+                   jnp.dtype(jnp.bfloat16)}
 
         def cast_inputs(batch):
             # cast float arrays on the HOST before device_put — on
             # bandwidth-constrained hosts the transfer, not the cast, is
-            # the bottleneck; integer labels/durations ship unchanged
+            # the bottleneck; best is no cast at all (CTDataset
+            # out_dtype == input_dtype), which this passes through
             if in_dt == jnp.float32:
                 return batch
             return {k: (np.asarray(v).astype(in_dt)
-                        if np.asarray(v).dtype == np.float32 else v)
+                        if (np.asarray(v).dtype in _px_dts
+                            and np.asarray(v).dtype != in_dt) else v)
                     for k, v in batch.items()}
 
         while step < total:

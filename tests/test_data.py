@@ -119,6 +119,35 @@ def test_ctdataset_float16_cache(tmp_path, rng):
     assert files[0].stat().st_size < 0.6 * files[1].stat().st_size
 
 
+def test_ctdataset_out_dtype_carries_half_precision(tmp_path, rng):
+    """out_dtype='float16'/'bfloat16' ships the cache dtype straight
+    through (no f32 round trip): dtype as requested, values bit-equal to
+    casting the f32 path, identical between compute and reload epochs."""
+    import ml_dtypes
+
+    vol = _vol(rng)
+    save_nifti(tmp_path / "a.nii.gz", vol, np.diag([1., 1., 1., 1.]))
+    items = [{"image": str(tmp_path / "a.nii.gz")}]
+    cfg = PreprocessConfig((1.0, 1.0, 1.0), (32, 32, 24))
+    cd = tmp_path / "cache"
+    ref = CTDataset(items=items, pipeline=cfg, cache_dir=cd,
+                    cache_dtype="float16")[0]["image"]     # f32 out path
+    for name, dt in (("float16", np.float16),
+                     ("bfloat16", ml_dtypes.bfloat16)):
+        ds = CTDataset(items=items, pipeline=cfg, cache_dir=cd,
+                       cache_dtype="float16", out_dtype=name)
+        first = ds[0]["image"]               # compute or cache-hit epoch
+        again = ds[0]["image"]               # definitely cache-hit
+        assert first.dtype == np.dtype(dt)
+        np.testing.assert_array_equal(first, again)
+        # same underlying cached f16 values as the f32-out dataset
+        np.testing.assert_array_equal(
+            first.astype(np.float32),
+            ref.astype(np.float16).astype(np.float32)
+            if name == "float16" else
+            ref.astype(ml_dtypes.bfloat16).astype(np.float32))
+
+
 def test_load_data_formats(tmp_path):
     rows = [{"image": "a.nii", "label": 0, "split": "train"},
             {"image": "b.nii", "label": 1, "split": "validation"}]

@@ -575,6 +575,31 @@ def test_trainer_ships_input_dtype_batches(tmp_path):
     assert seen["x"] == jnp.bfloat16
     assert seen["labels"] == jnp.int32
 
+    # half-precision sources also re-cast to input_dtype (the CTDataset
+    # out_dtype path delivers f16 straight from an f16 cache), and f64
+    # label columns (Cox durations) ship unchanged
+    batches16 = [{"x": np.ones((8, 4), np.float16) * i,
+                  "duration": np.arange(8, dtype=np.float64)}
+                 for i in range(3)]
+    state2 = {"params": {"w": jnp.zeros(())}, "opt_state": (),
+              "step": jnp.asarray(0)}
+    args2 = TrainingArguments(output_dir=str(tmp_path / "half"),
+                              num_train_steps=3, input_dtype="bfloat16",
+                              logging_steps=1, save_steps=100)
+    def step_fn16(state, batch, key):
+        seen["x"] = batch["x"].dtype
+        seen["duration"] = batch["duration"].dtype
+        return state, {"loss": jnp.mean(batch["x"])}
+
+    tr2 = Trainer(args=args2, state=state2, step_fn=step_fn16,
+                  train_loader=ListLoader(batches16))
+    seen.clear()
+    tr2.train()
+    assert seen["x"] == jnp.bfloat16
+    # f64 host column: not bf16-rounded by cast_inputs (device_put narrows
+    # to f32 under default x64-off config)
+    assert seen["duration"] == jnp.float32
+
 
 def test_load_params_into_partial_checkpoint(tmp_path):
     """load_params_into grafts name+shape matches and leaves the rest at
