@@ -60,16 +60,19 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _pick_unroll(block_k: int, i8: bool = False) -> int:
+def _pick_unroll(block_k: int, i8: bool = False, fwd: bool = False) -> int:
     """Sub-block unroll default: u4 beat u2 in same-session A/B sweeps at
     the d64 flagship shape (bf16 13.76 vs 14.19 ms/layer, int8 10.71 vs
-    12.16 — scripts/kexp/{bf16,i8}_sweep.py). The int8 forward goes one
-    deeper: u8 beat u4 10.33 vs 11.33 ms/layer (and bq5120/bk2048/u8 hit
-    10.16) in the round-3 sweep through the shipped kernel
-    (scripts/kexp/i8v3.py) — more independent qk/exp/pv chains for Mosaic
-    to overlap; explicit round-robin interleave and cheap-exp variants
+    12.16 — scripts/kexp/{bf16,i8}_sweep.py). The FORWARD kernels go one
+    deeper: u8 beat u4 in the round-3 sweeps through the shipped kernels
+    (int8 10.33 vs 11.33 ms/layer, bq5120 10.16 — scripts/kexp/i8v3.py;
+    bf16 fwd 13.48 vs 15.74 — scripts/kexp/bf16_u8.py) — more independent
+    qk/exp/pv chains for Mosaic to overlap. The BACKWARD passes stay u4:
+    fwd+bwd with u8 everywhere measured flat (30.85 vs 30.86), i.e. the
+    bwd loses what the fwd gains — its dp/ds chains already saturate the
+    scheduler. Explicit round-robin interleave and cheap-exp variants
     both LOST (scripts/kexp/i8v2.py), so deeper unroll is the lever."""
-    if i8 and block_k % 8 == 0 and block_k >= 2048:
+    if (i8 or fwd) and block_k % 8 == 0 and block_k >= 2048:
         return 8
     if block_k % 4 == 0 and block_k >= 1024:
         return 4
@@ -174,7 +177,7 @@ def _fwd(q, k, v, *, scale, block_q, block_k, interpret=False,
     zpad = jnp.zeros((bh, kv, 7), v.dtype)
     v1 = jnp.concatenate([v, ones, zpad], axis=-1)
     if unroll is None:
-        unroll = _pick_unroll(block_k)
+        unroll = _pick_unroll(block_k, fwd=True)
     folded = _lse_foldable(nq, block_q)
 
     grid = (bh, _cdiv(nq, block_q), _cdiv(kv, block_k))

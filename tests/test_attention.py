@@ -142,6 +142,30 @@ def test_int8_u8_unroll_matches_xla():
         assert rel < 2e-2, (n, rel)
 
 
+def test_bf16_fwd_u8_unroll_matches_xla():
+    """u8 is the compiled bf16 FORWARD default for block_k>=2048 (13.48 vs
+    15.74 ms/layer same-session, scripts/kexp/bf16_u8.py; bwd stays u4);
+    force it at test-size blocks so interpret mode covers the 8-deep
+    unrolled chain, aligned and ragged."""
+    from smb_vision_tpu.ops.attention import _fwd
+
+    for n in (256, 200):                       # 200 ragged vs block 64
+        q, k, v = _qkv(jax.random.PRNGKey(12), n=n)
+        ref = xla_attention(q, k, v)
+
+        def fold(x):
+            return jnp.swapaxes(x, 1, 2).reshape(-1, x.shape[1], x.shape[-1])
+
+        out, _ = _fwd(fold(q), fold(k), fold(v), scale=48 ** -0.5,
+                      block_q=64, block_k=64, unroll=8, interpret=True)
+        out = jnp.swapaxes(out.reshape(ref.shape[0], -1, n, ref.shape[-1]),
+                           1, 2)
+        rel = float(jnp.abs(out.astype(jnp.float32)
+                            - ref.astype(jnp.float32)).max()
+                    / jnp.abs(ref.astype(jnp.float32)).max())
+        assert rel < 1e-2, (n, rel)
+
+
 def test_grads_match_xla_u4_unroll(monkeypatch):
     """The u4 sub-block unroll paths (fwd + both bwd passes) are the
     compiled default for block>=1024; force them at test-size blocks so
@@ -149,7 +173,7 @@ def test_grads_match_xla_u4_unroll(monkeypatch):
     import smb_vision_tpu.ops.attention as A
 
     monkeypatch.setattr(A, "_pick_unroll",
-                        lambda blk: 4 if blk % 4 == 0 else 1)
+                        lambda blk, **kw: 4 if blk % 4 == 0 else 1)
     q, k, v = _qkv(jax.random.PRNGKey(9), n=100)  # ragged vs block 64
 
     def loss_ref(q, k, v):
