@@ -119,6 +119,10 @@ def main(argv=None):
                      config.num_frames))
     ds = CTDataset(pipeline=pipe, cache_dir=args.cache_data_dir,
                    cache_dtype=args.cache_dtype,
+                   # half-precision input shipping skips the host
+                   # f16->f32->cast round trip (volumes leave the cache
+                   # already in input_dtype; embed_fn's cast is a no-op)
+                   out_dtype=args.input_dtype,
                    max_samples=args.max_samples, **dataset_kwargs)
     if args.num_shards > 1:
         ds.items = ds.items[args.shard_index::args.num_shards]
@@ -201,8 +205,9 @@ def main(argv=None):
             # bottleneck on bandwidth-constrained hosts, not the cast
             import numpy as np
 
-            if in_dt != jnp.float32:
-                pixels = np.asarray(pixels).astype(in_dt)
+            pixels = np.asarray(pixels)
+            if in_dt != jnp.float32 and pixels.dtype != in_dt:
+                pixels = pixels.astype(in_dt)
             return encode(params, jnp.asarray(pixels))
 
         stats = run_embedding(ds, embed_fn, writer,

@@ -47,6 +47,13 @@ class DataTrainingArguments:
                           "disk/IO bytes (~1e-4 "
                           "rounding on [0,1] values)"})
     num_workers: int = 8
+    device_cache: bool = field(
+        default=False,
+        metadata={"help": "pin volumes in DEVICE memory after first "
+                          "load; later epochs assemble batches on "
+                          "device (zero host pixel bytes/step). For "
+                          "datasets that fit HBM next to the model "
+                          "state; requires grad-accum 1"})
 
 
 @dataclass
@@ -176,11 +183,20 @@ def main(argv=None):
             train_ds.items, jax.process_count(), jax.process_index())
 
     n_data = jax.device_count() // max(training_args.model_parallel, 1)
-    train_loader = BatchLoader(
-        train_ds, training_args.per_device_train_batch_size
-        * n_data * training_args.gradient_accumulation_steps,
-        shuffle=True, seed=training_args.seed,
-        num_workers=data_args.num_workers)
+    if data_args.device_cache:
+        from smb_vision_tpu.data.dataset import DeviceCachedBatchLoader
+
+        train_loader = DeviceCachedBatchLoader(
+            train_ds, training_args.per_device_train_batch_size
+            * n_data * training_args.gradient_accumulation_steps,
+            shuffle=True, seed=training_args.seed,
+            input_dtype=training_args.input_dtype)
+    else:
+        train_loader = BatchLoader(
+            train_ds, training_args.per_device_train_batch_size
+            * n_data * training_args.gradient_accumulation_steps,
+            shuffle=True, seed=training_args.seed,
+            num_workers=data_args.num_workers)
     eval_loader = (BatchLoader(eval_ds,
                                training_args.per_device_eval_batch_size
                                * n_data, shuffle=False,

@@ -27,6 +27,7 @@ class DataTrainingArguments:
     cache_data_dir: Optional[str] = None
     cache_dtype: str = "float32"
     num_workers: int = 8
+    device_cache: bool = False    # pin volumes in HBM across epochs
     num_mask_blocks: int = 3
     inv_block: bool = False
 
@@ -129,11 +130,20 @@ def main(argv=None):
             train_ds.items, jax.process_count(), jax.process_index())
 
     n_data = jax.device_count() // max(training_args.model_parallel, 1)
-    train_loader = BatchLoader(
-        train_ds, training_args.per_device_train_batch_size
-        * n_data * training_args.gradient_accumulation_steps,
-        shuffle=True, seed=training_args.seed,
-        num_workers=data_args.num_workers)
+    if data_args.device_cache:
+        from smb_vision_tpu.data.dataset import DeviceCachedBatchLoader
+
+        train_loader = DeviceCachedBatchLoader(
+            train_ds, training_args.per_device_train_batch_size
+            * n_data * training_args.gradient_accumulation_steps,
+            shuffle=True, seed=training_args.seed,
+            input_dtype=training_args.input_dtype)
+    else:
+        train_loader = BatchLoader(
+            train_ds, training_args.per_device_train_batch_size
+            * n_data * training_args.gradient_accumulation_steps,
+            shuffle=True, seed=training_args.seed,
+            num_workers=data_args.num_workers)
     eval_loader = (BatchLoader(eval_ds,
                                training_args.per_device_eval_batch_size
                                * n_data,

@@ -277,6 +277,20 @@ class Trainer:
             from smb_vision_tpu.parallel.mesh import DATA_AXIS
             accum_sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
 
+        # device-cached loader: volumes live in HBM across epochs; the
+        # host-side cast/pre-split must not pull them back
+        dev_cached = hasattr(self.train_loader, "attach_sharding")
+        if dev_cached:
+            if accum > 1:
+                raise ValueError(
+                    "device-cached loading is incompatible with host-side "
+                    "grad-accum pre-splitting; use "
+                    "gradient_accumulation_steps=1 or the host BatchLoader")
+            self.train_loader.attach_sharding(self.batch_sh)
+
+        def _on_device(batch):
+            return any(isinstance(v, jax.Array) for v in batch.values())
+
         def presplit(batch):
             if accum <= 1:
                 return batch
@@ -303,7 +317,7 @@ class Trainer:
             # bandwidth-constrained hosts the transfer, not the cast, is
             # the bottleneck; best is no cast at all (CTDataset
             # out_dtype == input_dtype), which this passes through
-            if in_dt == jnp.float32:
+            if in_dt == jnp.float32 or _on_device(batch):
                 return batch
             return {k: (np.asarray(v).astype(in_dt)
                         if (np.asarray(v).dtype in _px_dts

@@ -194,6 +194,46 @@ def test_batchloader_shuffle_and_errors(tmp_path, rng):
         list(bad_loader)
 
 
+def test_device_cached_loader_zero_host_loads_after_epoch0(tmp_path, rng):
+    """DeviceCachedBatchLoader pins pixels in device memory on first load:
+    epoch >= 1 performs ZERO dataset reads, yields jax Arrays, and matches
+    the host BatchLoader's batches value-for-value (same shuffle seed)."""
+    import jax
+
+    from smb_vision_tpu.data.dataset import DeviceCachedBatchLoader
+
+    for i in range(4):
+        save_nifti(tmp_path / f"v{i}.nii.gz", _vol(rng, (16, 16, 12)))
+    items = [{"image": str(tmp_path / f"v{i}.nii.gz")} for i in range(4)]
+    cfg = PreprocessConfig((1.0, 1.0, 1.0), (16, 16, 12))
+    ds = CTDataset(items=items, pipeline=cfg)
+    calls = []
+    orig = CTDataset.__getitem__
+    ds.__class__ = type("SpyDS", (CTDataset,), {
+        "__getitem__": lambda self, i: (calls.append(i), orig(self, i))[1]})
+
+    dev = DeviceCachedBatchLoader(ds, 2, shuffle=True, seed=7)
+    host = BatchLoader(ds, 2, shuffle=True, seed=7, num_workers=2)
+    for epoch in range(2):
+        dev.set_epoch(epoch)
+        host.set_epoch(epoch)
+        calls.clear()
+        got = list(dev)
+        if epoch >= 1:
+            assert calls == []              # all from device cache
+        want = list(host)
+        assert len(got) == len(want) == 2
+        for g, w in zip(got, want):
+            assert isinstance(g["pixel_values"], jax.Array)
+            np.testing.assert_allclose(
+                np.asarray(g["pixel_values"], dtype=np.float32),
+                w["pixel_values"].astype(np.float32), atol=1e-6)
+
+    # label-carrying collates are rejected (pixel-only cache)
+    with pytest.raises(ValueError, match="pixel-only"):
+        DeviceCachedBatchLoader(ds, 2, collate=lambda ex: {})
+
+
 def test_orientation_permuted_affine(rng):
     # axes permuted: voxel axis 0 points along world S, axis 2 along world R
     data = rng.normal(size=(5, 7, 9)).astype(np.float32)

@@ -601,6 +601,63 @@ def test_trainer_ships_input_dtype_batches(tmp_path):
     assert seen["duration"] == jnp.float32
 
 
+def test_trainer_device_cached_loader(tmp_path):
+    """Trainer accepts a device-cached loader: host cast is skipped for
+    device batches, epochs >= 1 train without touching the dataset, and
+    host grad-accum pre-splitting is rejected."""
+    import pytest
+
+    from smb_vision_tpu.data.dataset import (
+        CTDataset,
+        DeviceCachedBatchLoader,
+    )
+    from smb_vision_tpu.data.nifti import save_nifti
+    from smb_vision_tpu.data.preprocess import PreprocessConfig
+    from smb_vision_tpu.train.trainer import Trainer, TrainingArguments
+
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        save_nifti(tmp_path / f"v{i}.nii.gz",
+                   rng.normal(size=(12, 12, 8)).astype(np.float32) * 500)
+    items = [{"image": str(tmp_path / f"v{i}.nii.gz")} for i in range(8)]
+    ds = CTDataset(items=items,
+                   pipeline=PreprocessConfig((1., 1., 1.), (12, 12, 8)))
+    loader = DeviceCachedBatchLoader(ds, 8, shuffle=True,
+                                     input_dtype="bfloat16")
+    loads = []
+    orig = CTDataset.load_volume
+    ds.__class__ = type("SpyDS", (CTDataset,), {
+        "load_volume": lambda s, it: (loads.append(1), orig(s, it))[1]})
+
+    seen = {}
+
+    def step_fn(state, batch, key):
+        seen["dtype"] = batch["pixel_values"].dtype
+        loss = jnp.mean(batch["pixel_values"].astype(jnp.float32) ** 2)
+        return {**state, "step": state["step"] + 1}, {"loss": loss}
+
+    args = TrainingArguments(output_dir=str(tmp_path / "out"),
+                             num_train_steps=3, input_dtype="bfloat16",
+                             logging_steps=1, save_steps=100,
+                             per_device_train_batch_size=1)
+    tr = Trainer(args=args, state={"params": {}, "opt_state": (),
+                                   "step": jnp.asarray(0)},
+                 step_fn=step_fn, train_loader=loader)
+    tr.train()                      # 3 steps = 3 epochs of 1 batch
+    assert seen["dtype"] == jnp.bfloat16
+    assert len(loads) == 8          # each volume host-loaded exactly once
+
+    args2 = TrainingArguments(output_dir=str(tmp_path / "out2"),
+                              num_train_steps=2,
+                              gradient_accumulation_steps=2,
+                              save_steps=100)
+    tr2 = Trainer(args=args2, state={"params": {}, "opt_state": (),
+                                     "step": jnp.asarray(0)},
+                  step_fn=step_fn, train_loader=loader)
+    with pytest.raises(ValueError, match="device-cached"):
+        tr2.train()
+
+
 def test_load_params_into_partial_checkpoint(tmp_path):
     """load_params_into grafts name+shape matches and leaves the rest at
     init (continued pretraining from an encoder-only export)."""
