@@ -65,11 +65,11 @@ def unstack_layer_params(stacked: Any, num_layers: int,
     }
 
 
-def pipeline_apply(layer_fn: Callable[[Any, jax.Array], jax.Array],
+def pipeline_apply(layer_fn: Callable[..., jax.Array],
                    stacked_params: Any, x: jax.Array, *, mesh: Mesh,
                    axis: str = "pipe", num_microbatches: int,
                    batch_axis: Optional[str] = None,
-                   remat: bool = False) -> jax.Array:
+                   remat: bool = False, extra: Any = None) -> jax.Array:
     """Run L = leading-axis-of(stacked_params) layers over x through an
     S-stage GPipe pipeline, S = mesh.shape[axis].
 
@@ -79,6 +79,10 @@ def pipeline_apply(layer_fn: Callable[[Any, jax.Array], jax.Array],
     over `batch_axis` (pipe composes with data parallelism on a
     ("data", "pipe") mesh). Returns layer-L output, (B, ...), replicated
     over the pipe axis.
+
+    extra: optional pytree of layer-invariant operands (e.g. the shared
+    RoPE cos/sin tables) shipped replicated to every stage; when given,
+    layer_fn is called as layer_fn(params_i, x, extra).
     """
     S = mesh.shape[axis]
     leaves = jax.tree_util.tree_leaves(stacked_params)
@@ -94,17 +98,22 @@ def pipeline_apply(layer_fn: Callable[[Any, jax.Array], jax.Array],
     x_mb = x.reshape((M, B // M) + x.shape[1:])
     mb_sds = jax.ShapeDtypeStruct(x_mb.shape[1:], x.dtype)
 
-    def stage(local_layers, act):
+    def stage(local_layers, act, ex):
         def one(carry, p):
-            return layer_fn(p, carry), None
+            if extra is None:
+                return layer_fn(p, carry), None
+            return layer_fn(p, carry, ex), None
         out, _ = jax.lax.scan(one, act, local_layers)
         return out
 
+    extra_sds = jax.tree_util.tree_map(
+        lambda leaf: jax.ShapeDtypeStruct(jnp.shape(leaf),
+                                          jnp.result_type(leaf)), extra)
     out_sds = jax.eval_shape(
         stage, jax.tree_util.tree_map(
             lambda leaf: jax.ShapeDtypeStruct((L // S,) + leaf.shape[1:],
                                               leaf.dtype), stacked_params),
-        mb_sds)
+        mb_sds, extra_sds)
     if out_sds.shape != mb_sds.shape or out_sds.dtype != mb_sds.dtype:
         raise ValueError(
             f"layer_fn must preserve shape/dtype: {mb_sds.shape}/"
@@ -114,7 +123,7 @@ def pipeline_apply(layer_fn: Callable[[Any, jax.Array], jax.Array],
     perm = [(i, (i + 1) % S) for i in range(S)]
     T = M + S - 1
 
-    def per_device(local_layers, x_loc):
+    def per_device(local_layers, x_loc, ex):
         s = jax.lax.axis_index(axis)
         mb_shape = x_loc.shape[1:]
         # slot M is the bubble scratch row: writes of not-yet-valid
@@ -127,7 +136,7 @@ def pipeline_apply(layer_fn: Callable[[Any, jax.Array], jax.Array],
             inject = jax.lax.dynamic_index_in_dim(
                 x_loc, jnp.minimum(t, M - 1), axis=0, keepdims=False)
             act = jnp.where(s == 0, inject, act)
-            y = stage_fn(local_layers, act)
+            y = stage_fn(local_layers, act, ex)
             widx = jnp.where(t - (S - 1) >= 0, t - (S - 1), M)
             out = jax.lax.dynamic_update_index_in_dim(out, y, widx, 0)
             if S > 1:
@@ -144,5 +153,5 @@ def pipeline_apply(layer_fn: Callable[[Any, jax.Array], jax.Array],
 
     mb_spec = P(None, batch_axis)
     return shard_map(
-        per_device, mesh=mesh, in_specs=(P(axis), mb_spec),
-        out_specs=mb_spec)(stacked_params, x_mb).reshape(x.shape)
+        per_device, mesh=mesh, in_specs=(P(axis), mb_spec, P()),
+        out_specs=mb_spec)(stacked_params, x_mb, extra).reshape(x.shape)
