@@ -75,6 +75,19 @@ class InferenceArguments:
     # resume-by-uid makes overlapping shards safe
     num_shards: int = 1
     shard_index: int = 0
+    pipeline_parallel: int = field(
+        default=1,
+        metadata={"help": "split the encoder's layer stack over this many "
+                          "pipeline stages (GPipe over a mesh 'pipe' axis); "
+                          "remaining devices form the data axis. For models "
+                          "whose weights/activations exceed one chip's HBM. "
+                          "num_hidden_layers must divide by it"})
+    pipeline_microbatches: int = field(
+        default=0,
+        metadata={"help": "microbatches streamed through the pipeline per "
+                          "batch (0 = auto: batch_size / data-axis size). "
+                          "Bubble fraction is (stages-1)/(microbatches+"
+                          "stages-1) - larger batches pipeline better"})
 
 
 def main(argv=None):
@@ -143,10 +156,45 @@ def main(argv=None):
     # params must be a jit ARGUMENT, not a closure capture: captured
     # arrays are inlined into the program as constants (re-serialized per
     # compile; the remote TPU relay rejects ViT-Base-sized programs)
-    @jax.jit
-    def encode(params, px):
-        out, _ = model.apply(params, px)
-        return out.astype(jnp.float32)
+    if args.pipeline_parallel > 1:
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from smb_vision_tpu.models.pipelined import videomae_pipeline_encode
+
+        if args.sliding_window:
+            raise SystemExit("--pipeline_parallel does not compose with "
+                             "--sliding_window yet; drop one")
+        S = args.pipeline_parallel
+        devs = np.array(jax.devices())
+        if len(devs) % S:
+            raise SystemExit(f"{len(devs)} devices do not divide into "
+                             f"{S} pipeline stages")
+        if config.num_hidden_layers % S:
+            raise SystemExit(f"{config.num_hidden_layers} layers do not "
+                             f"divide into {S} pipeline stages")
+        # data axis: the largest batch divisor that fits the devices left
+        # after the pipe axis (spare devices stay idle rather than forcing
+        # a batch constraint)
+        n_data = max(d for d in range(1, len(devs) // S + 1)
+                     if args.batch_size % d == 0)
+        mesh = Mesh(devs[:n_data * S].reshape(n_data, S), ("data", "pipe"))
+        M = args.pipeline_microbatches or max(args.batch_size // n_data, 1)
+        logger.info("pipeline: %d stages x data %d, %d microbatches "
+                    "(bubble %.0f%%)", S, n_data, M,
+                    100 * (S - 1) / (M + S - 1))
+
+        @jax.jit
+        def encode(params, px):
+            return videomae_pipeline_encode(
+                config, params, px, mesh=mesh, num_microbatches=M,
+                batch_axis="data" if n_data > 1 else None,
+            ).astype(jnp.float32)
+    else:
+        @jax.jit
+        def encode(params, px):
+            out, _ = model.apply(params, px)
+            return out.astype(jnp.float32)
 
     writer = EmbeddingWriter(args.output_dir, fmt=args.format,
                              model_id=args.model_id)
@@ -199,6 +247,9 @@ def main(argv=None):
                  "skipped": n_skip}
     else:
         in_dt = jnp.dtype(args.input_dtype)
+        # the pipeline needs batch % microbatches == 0: pad a ragged final
+        # batch with copies of its last row and slice the result back
+        pad_to = args.batch_size if args.pipeline_parallel > 1 else 0
 
         def embed_fn(pixels):
             # cast on the HOST before device_put: the transfer is the
@@ -208,6 +259,12 @@ def main(argv=None):
             pixels = np.asarray(pixels)
             if in_dt != jnp.float32 and pixels.dtype != in_dt:
                 pixels = pixels.astype(in_dt)
+            n = pixels.shape[0]
+            if pad_to and n < pad_to:
+                pixels = np.concatenate(
+                    [pixels, np.repeat(pixels[-1:], pad_to - n, axis=0)])
+                return np.asarray(encode(params,
+                                         jnp.asarray(pixels)))[:n]
             return encode(params, jnp.asarray(pixels))
 
         stats = run_embedding(ds, embed_fn, writer,

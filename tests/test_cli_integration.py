@@ -312,3 +312,35 @@ def test_lora_cli_eval(dataset, tmp_path):
                for line in (out / "metrics.jsonl").read_text().splitlines()]
     assert any("eval_accuracy" in m for m in metrics)
     assert (out / "lora.safetensors").exists()
+
+
+def test_inference_pipeline_parallel_matches_plain(dataset, tmp_path):
+    """--pipeline_parallel splits the encoder stack over a pipe mesh axis;
+    embeddings must match the plain single-program path (same PRNG init).
+    batch 2 over 3 volumes also exercises the ragged-final-batch padding."""
+    from smb_vision_tpu.cli.run_inference import main as run_inference
+
+    from smb_vision_tpu.models.configs import VideoMAEConfig
+
+    root, _ = dataset
+    cfg = VideoMAEConfig(
+        image_size=32, num_frames=32, patch_size=16, tubelet_size=16,
+        num_channels=1, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        dtype="float32", attn_impl="xla")
+    cfg_path = tmp_path / "config.json"
+    cfg.save_json(str(cfg_path))
+    common = [
+        "--data_dir", str(root), "--config_path", str(cfg_path),
+        "--dtype", "float32", "--attn_impl", "xla",
+        "--batch_size", "2", "--max_samples", "3",
+    ]
+    plain, piped = tmp_path / "plain", tmp_path / "piped"
+    run_inference(common + ["--output_dir", str(plain)])
+    run_inference(common + ["--output_dir", str(piped),
+                            "--pipeline_parallel", "2"])
+    npys = sorted(plain.glob("*.npy"))
+    assert len(npys) == 3
+    for f in npys:
+        a, b = np.load(f), np.load(piped / f.name)
+        np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-5)
