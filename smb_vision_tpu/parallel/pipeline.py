@@ -1,8 +1,8 @@
 """Pipeline parallelism (GPipe schedule) over a mesh "pipe" axis.
 
 The reference scales depth-wise only through ZeRO sharding (DeepSpeed
-stage-3, reference ds_config.json) — every GPU still executes every
-layer. On TPU slices the natural depth-wise scaling is a collective-
+stage-3, reference ds_configs/ds_z3_config.json) — every GPU still
+executes every layer. On TPU slices the natural depth-wise scaling is a collective-
 permute pipeline (the "pipelining" recipe of the scaling book): the
 layer stack is split into S contiguous stages, one per device along a
 "pipe" mesh axis, and microbatches stream through the ring — each tick

@@ -76,3 +76,21 @@ def test_pipelined_encoder_guards(eight_devices):
     with pytest.raises(ValueError, match="sequence_parallel"):
         pipelined_encoder(enc_sp, params, x, mesh=mesh,
                           num_microbatches=2)
+
+
+def test_pipelined_encoder_layerscale_swiglu(eight_devices):
+    """DINOv2-style blocks (LayerScale + SwiGLU) through the pipeline:
+    the stacked layout must carry every per-layer param kind."""
+    from smb_vision_tpu.models.layers import Encoder
+
+    enc = Encoder(num_layers=4, hidden_size=32, num_heads=4,
+                  intermediate_size=48, layerscale_value=1e-5,
+                  use_swiglu=True, dtype=jnp.float32, attn_impl="xla")
+    x = jax.random.normal(KEY, (2, 8, 32))
+    params = enc.init(KEY, x)
+    ref = enc.apply(params, x)
+    mesh = Mesh(np.array(eight_devices[:4]), ("pipe",))
+    out = jax.jit(lambda p, h: pipelined_encoder(
+        enc, p["params"], h, mesh=mesh, num_microbatches=2))(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
