@@ -113,9 +113,13 @@ class CTDataset:
     def _cache_path(self, item: Dict) -> Optional[Path]:
         if self.cache_dir is None:
             return None
+        # key on the IMAGE PATH only (plus the pipeline hash): the cached
+        # pixels do not depend on labels/splits/metadata, so a training
+        # item and an inference item naming the same volume share one
+        # entry instead of preprocessing it twice
         key = hashlib.md5(
-            (json.dumps(item, sort_keys=True, default=str)
-             + self._pipe_hash).encode()).hexdigest()
+            (str(item[self.image_key]) + self._pipe_hash).encode()
+        ).hexdigest()
         return self.cache_dir / f"{key}.npy"
 
     def _compute(self, item: Dict) -> np.ndarray:

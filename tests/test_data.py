@@ -94,6 +94,26 @@ def test_ctdataset_cache_and_corruption(tmp_path, rng):
     np.testing.assert_array_equal(ds[0]["image"], first["image"])
 
 
+def test_cache_key_ignores_metadata(tmp_path, rng):
+    """The cached pixels depend only on (image path, pipeline): a training
+    item (labels, split fields) and a bare inference item naming the same
+    volume must share ONE cache entry (round-3 fix: the key previously
+    hashed the whole item dict, so run_inference re-preprocessed every
+    volume run_mim had already cached)."""
+    vol = _vol(rng)
+    save_nifti(tmp_path / "a.nii.gz", vol, np.diag([1., 1., 1., 1.]))
+    img = str(tmp_path / "a.nii.gz")
+    cfg = PreprocessConfig((1.0, 1.0, 1.0), (32, 32, 24))
+    train_ds = CTDataset(items=[{"image": img, "label": 1, "os": 3.5,
+                                 "split": "train"}],
+                         pipeline=cfg, cache_dir=tmp_path / "cache")
+    first = train_ds[0]["image"]
+    infer_ds = CTDataset(items=[{"image": img}], pipeline=cfg,
+                         cache_dir=tmp_path / "cache")
+    np.testing.assert_array_equal(infer_ds[0]["image"], first)
+    assert len(list((tmp_path / "cache").glob("*.npy"))) == 1
+
+
 def test_ctdataset_float16_cache(tmp_path, rng):
     """cache_dtype='float16' halves the on-disk cache; values stay within
     f16 rounding of the f32 pipeline, are identical between the first
