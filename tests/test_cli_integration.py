@@ -135,6 +135,35 @@ def test_vjepa_cli_smoke(dataset, tmp_path):
     assert all(np.isfinite(m["loss"]) for m in metrics if "loss" in m)
 
 
+def test_vjepa_cli_device_cache(dataset, tmp_path):
+    """--device_cache wiring from the CLI: volumes pin in device memory,
+    two epochs run, losses finite (trainer-level pinning behavior is
+    covered in test_train/test_data; this asserts the CLI plumbs the
+    flag and input_dtype through)."""
+    from smb_vision_tpu.cli.run_vjepa import main as run_vjepa
+
+    _, ds_json = dataset
+    out = tmp_path / "vjepa_dc"
+    run_vjepa([
+        "--data_path", ds_json, "--output_dir", str(out),
+        "--image_size", "32", "--depth", "32", "--patch_size", "16",
+        "--hidden_size", "32", "--num_hidden_layers", "1",
+        "--num_attention_heads", "2",
+        "--pred_hidden_size", "16", "--pred_num_hidden_layers", "1",
+        "--pred_num_attention_heads", "2",
+        "--dtype", "float32", "--attn_impl", "xla",
+        "--device_cache", "--input_dtype", "bfloat16",
+        "--per_device_train_batch_size", "1", "--num_train_epochs", "2",
+        "--logging_steps", "1", "--save_steps", "100",
+        "--cache_data_dir", str(tmp_path / "cache_dc"),
+    ])
+    metrics = [json.loads(line)
+               for line in (out / "metrics.jsonl").read_text().splitlines()]
+    # global batch = 1 x 8 devices -> one full batch per epoch of 10 items
+    losses = [m["loss"] for m in metrics if "loss" in m]
+    assert len(losses) == 2 and all(np.isfinite(v) for v in losses)
+
+
 def test_export_hf_script_vjepa2(tmp_path):
     """scripts/export_hf.py: saved checkpoint -> HF-loadable state dict ->
     convert back reproduces the pytree."""
