@@ -95,6 +95,11 @@ def pipeline_apply(layer_fn: Callable[..., jax.Array],
     B = x.shape[0]
     if not (1 <= M <= B and B % M == 0):
         raise ValueError(f"batch {B} not divisible into {M} microbatches")
+    if batch_axis is not None and (B // M) % mesh.shape[batch_axis]:
+        raise ValueError(
+            f"microbatch rows {B // M} do not shard over "
+            f"{batch_axis}={mesh.shape[batch_axis]}; pick num_microbatches "
+            f"so batch/num_microbatches divides the {batch_axis} axis")
     x_mb = x.reshape((M, B // M) + x.shape[1:])
     mb_sds = jax.ShapeDtypeStruct(x_mb.shape[1:], x.dtype)
 
