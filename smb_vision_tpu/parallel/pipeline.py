@@ -2,8 +2,8 @@
 
 The reference scales depth-wise only through ZeRO sharding (DeepSpeed
 stage-3, reference ds_configs/ds_z3_config.json) — every GPU still
-executes every layer. On TPU slices the natural depth-wise scaling is a collective-
-permute pipeline (the "pipelining" recipe of the scaling book): the
+executes every layer. On TPU slices the natural depth-wise scaling is
+a collective-permute pipeline (the scaling book's pipelining recipe): the
 layer stack is split into S contiguous stages, one per device along a
 "pipe" mesh axis, and microbatches stream through the ring — each tick
 every stage applies its layers to its current microbatch while ICI
