@@ -29,10 +29,12 @@ BENCHMARKS.md):
   (_pick_unroll; u4 beat u2 by 3-12% in same-session A/B sweeps).
 - exp2 with the scale folded into q (saves a full N^2 VPU multiply).
 
-Measured: 13.6-13.9 ms/layer-equiv (ViT-Base d64, 20480 tokens) = ~94
-TFLOP/s = 48% of v5e peak, vs 21.1 ms (31%) for the round-1
-online-softmax kernel and 175 ms for the official jax flash kernel at
-the same shape; fwd+bwd 30.7 ms/layer = 147 TFLOP/s effective.
+Measured: fwd 13.48 ms/layer-equiv with the round-3 u8 unroll (u4
+13.6-15.7 same-session; ViT-Base d64, 20480 tokens) = ~96 TFLOP/s = 48%
+of v5e peak, vs 21.1 ms (31%) for the round-1 online-softmax kernel and
+175 ms for the official jax flash kernel at the same shape; int8-score
+fwd 10.16 ms (u8 + bq5120); fwd+bwd 30.7 ms/layer = 147 TFLOP/s
+effective (bwd stays u4 — u8 is flat-to-negative there).
 
 The backward applies the same transposed-output trick and sub-block
 unroll to dq, dk and dv (all have width-d outputs in the naive layout).
