@@ -1,0 +1,207 @@
+"""Embedding server — the online serving surface of the encoder stack.
+
+The reference ships batch fan-out only (run_inspect.py shards a manifest
+over processes); production deployments also need an online endpoint that
+keeps the compiled program and params resident on the chip and answers
+per-volume requests. This is that endpoint, stdlib-only (http.server):
+
+    python -m smb_vision_tpu.cli.serve \
+        --model_name_or_path out/mim/model.safetensors \
+        --config_path out/mim/config.json --port 8000
+
+    GET  /healthz                -> {"status": "ok", model, device, ...}
+    POST /embed                  body: {"image": "/path.nii.gz"} or
+                                 {"images": [...paths]}
+                                 optional: {"pool": "mean"|"none"}
+      -> {"embeddings": [[...]], "shape": ...}   (pool=mean: one vector
+         per volume; pool=none: full token grids — large)
+
+TPU-shaped design choices:
+- ONE compiled program at a fixed batch size: requests are padded to
+  `--batch_size` and chunked, so no request shape ever triggers a
+  recompile (first compile happens at startup via `--warmup`).
+- preprocessing (NIfTI decode + resample, the native C++ path when
+  built) runs in the request thread; device dispatch is serialized by a
+  lock — the chip executes one program at a time anyway, and the lock
+  keeps host->device transfers ordered behind it.
+- repeat requests for the same volume hit the versioned preprocess cache
+  (`--cache_data_dir`), so only the encoder forward recurs.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from smb_vision_tpu.utils.args import parse_args_into_dataclasses
+from smb_vision_tpu.utils.logging import get_logger
+
+logger = get_logger("serve")
+
+
+@dataclass
+class ServeArguments:
+    host: str = "127.0.0.1"
+    port: int = 8000
+    model_name_or_path: Optional[str] = field(
+        default=None, metadata={"help": "safetensors checkpoint"})
+    config_path: Optional[str] = field(
+        default=None, metadata={"help": "model config json"})
+    model_id: str = "smb-vision-tpu-base"
+    pipeline: str = "smb-vision"
+    dtype: str = "bfloat16"
+    attn_impl: str = "auto"
+    batch_size: int = field(
+        default=1, metadata={"help": "compiled batch size; requests are "
+                                     "padded/chunked to it (static shapes "
+                                     "-> exactly one compile)"})
+    cache_data_dir: Optional[str] = field(
+        default=None, metadata={"help": "preprocessed-volume cache dir "
+                                        "(repeat requests skip decode+"
+                                        "resample)"})
+    warmup: bool = field(
+        default=True, metadata={"help": "compile the encoder at startup "
+                                        "instead of on the first request"})
+
+
+class EmbeddingService:
+    """Owns the resident encoder; thread-safe embed() over volume paths."""
+
+    def __init__(self, args: ServeArguments):
+        from smb_vision_tpu.inference.runner import SmbVisionEncoder
+
+        self.args = args
+        self.encoder = SmbVisionEncoder(
+            checkpoint=args.model_name_or_path,
+            config_path=args.config_path, model_id=args.model_id,
+            pipeline=args.pipeline, dtype=args.dtype,
+            attn_impl=args.attn_impl)
+        self.encoder.setup_model()
+        self._lock = threading.Lock()      # serializes device dispatch
+        self.requests = 0
+        if args.warmup:
+            import numpy as np
+
+            cfg = self.encoder._config()
+            dummy = np.zeros((args.batch_size, cfg.num_frames, 1,
+                              cfg.image_size, cfg.image_size), np.float32)
+            with self._lock:
+                self.encoder.generate_embedding(dummy)
+            logger.info("warmup compile done (batch %d)", args.batch_size)
+
+    def _preprocess(self, paths):
+        """Decode+resample each path to the model grid -> (N, D, C, H, W).
+        Runs in the request thread; cache hits skip the heavy work."""
+        import numpy as np
+
+        from smb_vision_tpu.data.dataset import CTDataset
+
+        ds = self.encoder.create_dataset([{"image": p} for p in paths])
+        if self.args.cache_data_dir:
+            ds = CTDataset(items=ds.items, pipeline=ds.pipeline,
+                           cache_dir=self.args.cache_data_dir)
+        return np.stack([ds[i]["image"] for i in range(len(paths))])
+
+    def embed(self, paths, pool: str = "mean"):
+        """-> list (per volume) of pooled vectors (pool='mean') or token
+        grids (pool='none'), as nested python lists."""
+        import numpy as np
+
+        if pool not in ("mean", "none"):
+            raise ValueError(f"pool must be 'mean' or 'none', got {pool!r}")
+        pixels = self._preprocess(paths)
+        bs = self.args.batch_size
+        outs = []
+        for i in range(0, len(paths), bs):
+            chunk = pixels[i:i + bs]
+            n = chunk.shape[0]
+            if n < bs:                      # pad to the compiled shape
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], bs - n, axis=0)])
+            with self._lock:
+                emb = self.encoder.generate_embedding(chunk)
+            outs.append(np.asarray(emb)[:n])
+        emb = np.concatenate(outs)          # (N, L, D)
+        with self._lock:
+            self.requests += len(paths)
+        if pool == "mean":
+            emb = emb.mean(axis=1)          # (N, D)
+        return emb
+
+    def health(self):
+        import jax
+
+        cfg = self.encoder._config()
+        return {"status": "ok", "model_id": self.args.model_id,
+                "checkpoint": self.args.model_name_or_path,
+                "grid": list(cfg.grid), "hidden_size": cfg.hidden_size,
+                "batch_size": self.args.batch_size,
+                "device": jax.devices()[0].device_kind,
+                "requests_served": self.requests}
+
+
+def make_server(args: ServeArguments) -> ThreadingHTTPServer:
+    """Build (but don't run) the HTTP server — also the test entry."""
+    service = EmbeddingService(args)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):    # route through our logger
+            logger.info("%s " + fmt, self.address_string(), *a)
+
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.rstrip("/") in ("", "/healthz".rstrip("/")):
+                return self._json(200, service.health())
+            return self._json(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            if self.path.rstrip("/") != "/embed":
+                return self._json(404, {"error": f"no route {self.path}"})
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                paths = req.get("images") or (
+                    [req["image"]] if "image" in req else None)
+                if not paths:
+                    return self._json(
+                        400, {"error": "body needs 'image' or 'images'"})
+                emb = service.embed(paths, pool=req.get("pool", "mean"))
+                return self._json(200, {"embeddings": emb.tolist(),
+                                        "shape": list(emb.shape)})
+            except FileNotFoundError as e:
+                return self._json(404, {"error": str(e)})
+            except ValueError as e:
+                return self._json(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — report, don't die
+                logger.exception("embed failed")
+                return self._json(500, {"error": str(e)})
+
+    srv = ThreadingHTTPServer((args.host, args.port), Handler)
+    srv.service = service
+    return srv
+
+
+def main(argv=None):
+    (args,) = parse_args_into_dataclasses((ServeArguments,), argv)
+    srv = make_server(args)
+    logger.info("serving on http://%s:%d (model %s)",
+                *srv.server_address[:2], args.model_id)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        logger.info("shutting down")
+        srv.shutdown()
+
+
+if __name__ == "__main__":
+    main()

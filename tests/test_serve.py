@@ -1,0 +1,113 @@
+"""Online embedding server (cli/serve.py): health, single/multi-volume
+embed, pooling modes, padding/chunking to the compiled batch size, and
+error paths — all through real HTTP against a live ThreadingHTTPServer."""
+
+import http.client
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from smb_vision_tpu.data.nifti import save_nifti
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve")
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(3):
+        vol = rng.normal(0, 300, (32, 32, 32)).astype(np.int16)
+        p = root / f"case_{i}.nii.gz"
+        save_nifti(p, vol, np.diag([1.5, 1.5, 3.0, 1.0]))
+        paths.append(str(p))
+
+    cfg = {"image_size": 32, "num_frames": 32, "patch_size": 16,
+           "tubelet_size": 16, "num_channels": 1, "hidden_size": 32,
+           "num_hidden_layers": 1, "num_attention_heads": 2,
+           "intermediate_size": 64}
+    cfg_path = root / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    from smb_vision_tpu.cli.serve import ServeArguments, make_server
+
+    args = ServeArguments(host="127.0.0.1", port=0,
+                          config_path=str(cfg_path), dtype="float32",
+                          attn_impl="xla", batch_size=2,
+                          cache_data_dir=str(root / "cache"))
+    srv = make_server(args)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv, paths
+    srv.shutdown()
+
+
+def _request(srv, method, path, body=None):
+    host, port = srv.server_address[:2]
+    conn = http.client.HTTPConnection(host, port, timeout=120)
+    conn.request(method, path,
+                 body=json.dumps(body) if body is not None else None)
+    resp = conn.getresponse()
+    out = json.loads(resp.read())
+    conn.close()
+    return resp.status, out
+
+
+def test_healthz(server):
+    srv, _ = server
+    status, out = _request(srv, "GET", "/healthz")
+    assert status == 200
+    assert out["status"] == "ok"
+    assert out["grid"] == [2, 2, 2] and out["hidden_size"] == 32
+
+
+def test_embed_single_matches_direct(server):
+    srv, paths = server
+    status, out = _request(srv, "POST", "/embed", {"image": paths[0]})
+    assert status == 200
+    assert out["shape"] == [1, 32]          # mean-pooled (N, D)
+
+    # direct path through the same resident encoder
+    svc = srv.service
+    px = svc._preprocess([paths[0], paths[0]])  # compiled batch is 2
+    direct = svc.encoder.generate_embedding(px)[0].mean(axis=0)
+    np.testing.assert_allclose(np.asarray(out["embeddings"][0]), direct,
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_embed_batch_pads_and_chunks(server):
+    """3 volumes through a compiled batch of 2: chunk [2] + padded [1]."""
+    srv, paths = server
+    status, out = _request(srv, "POST", "/embed", {"images": paths})
+    assert status == 200
+    assert out["shape"] == [3, 32]
+    emb = np.asarray(out["embeddings"])
+    # volumes differ -> embeddings differ (padding didn't leak between rows)
+    assert np.abs(emb[0] - emb[1]).max() > 1e-6
+    # per-volume result identical to a single-volume request
+    _, one = _request(srv, "POST", "/embed", {"image": paths[2]})
+    np.testing.assert_allclose(emb[2], np.asarray(one["embeddings"][0]),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_embed_pool_none_returns_tokens(server):
+    srv, paths = server
+    status, out = _request(srv, "POST", "/embed",
+                           {"image": paths[0], "pool": "none"})
+    assert status == 200
+    assert out["shape"] == [1, 8, 32]       # (N, tokens, D)
+
+
+def test_embed_errors(server):
+    srv, paths = server
+    status, out = _request(srv, "POST", "/embed", {})
+    assert status == 400 and "image" in out["error"]
+    status, out = _request(srv, "POST", "/embed",
+                           {"image": paths[0], "pool": "max"})
+    assert status == 400 and "pool" in out["error"]
+    status, out = _request(srv, "POST", "/embed",
+                           {"image": "/nonexistent.nii.gz"})
+    assert status in (400, 404) and "nonexistent" in out["error"]
+    status, _ = _request(srv, "GET", "/nope")
+    assert status == 404
