@@ -81,6 +81,11 @@ class TrainingArguments:
     dcn_slices: int = 1              # multi-slice: data axis spans DCN
     # perf accounting
     model_flops_per_sample: Optional[float] = None
+    profile_steps: Optional[str] = None  # "A-B" (or "A"): capture a
+    # jax.profiler device trace over global steps A..B inclusive into
+    # output_dir/profile (view with xprof / tensorboard). Steps are
+    # global, so a resumed run profiles the same window only if it
+    # re-executes it.
 
 
 # Train state is a plain dict pytree: {'params', 'opt_state', 'step',
@@ -183,6 +188,15 @@ class Trainer:
                 restored = mgr.restore(
                     step, args=ocp.args.StandardRestore(target))
                 self.state = self._apply_shardings(dict(restored))
+        elif self.args.overwrite_output_dir:
+            # HF semantic: start fresh even when output_dir already holds
+            # checkpoints (they will be overwritten as training saves)
+            step = self._ckpt_mgr.latest_step()
+            if step is not None:
+                logger.info("overwrite_output_dir: ignoring existing "
+                            "checkpoint at step %s, training from scratch",
+                            step)
+            step = None
         else:
             step = self._ckpt_mgr.latest_step()
             if step is not None:
@@ -324,6 +338,12 @@ class Trainer:
                             and np.asarray(v).dtype != in_dt) else v)
                     for k, v in batch.items()}
 
+        prof_range = None
+        if args.profile_steps:
+            a, _, b = str(args.profile_steps).partition("-")
+            prof_range = (int(a), int(b or a))
+        prof_active = False
+
         while step < total:
             self.train_loader.set_epoch(epoch)
             from smb_vision_tpu.data.dataset import prefetch_to_device
@@ -332,9 +352,20 @@ class Trainer:
                                             sharding_fn=batch_sharding_fn):
                 if step >= total:
                     break
+                if (prof_range and not prof_active
+                        and step + 1 >= prof_range[0]):
+                    jax.profiler.start_trace(str(self.out_dir / "profile"))
+                    prof_active = True
                 key, sub = jax.random.split(key)
                 self.state, metrics = self.step_fn(self.state, batch, sub)
                 step += 1
+                if prof_active and step >= prof_range[1]:
+                    # async dispatch: the step must complete on device
+                    # before the trace stops, or it captures nothing
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
+                    prof_active = False
+                    prof_range = None
                 window_losses.append(metrics["loss"])
 
                 if step % args.logging_steps == 0:
@@ -365,6 +396,8 @@ class Trainer:
                 break
             epoch += 1
 
+        if prof_active:          # profile window ran past the last step
+            jax.profiler.stop_trace()
         self.save_checkpoint(step)
         self._ckpt_mgr.wait_until_finished()
         for sig, h in prev_handlers.items():

@@ -62,6 +62,14 @@ def test_mim_train_resume_and_inference(dataset, tmp_path):
     steps = [m["step"] for m in metrics if "step" in m]
     assert 3 in steps and steps.count(1) == 1, steps
 
+    # --overwrite_output_dir: the existing step-3 checkpoint is ignored
+    # and training restarts from scratch (step 1 logged a second time)
+    run_mim(common + ["--num_train_steps", "1", "--overwrite_output_dir"])
+    metrics = [json.loads(line)
+               for line in (out / "metrics.jsonl").read_text().splitlines()]
+    steps = [m["step"] for m in metrics if "step" in m]
+    assert steps.count(1) == 2, steps
+
     emb_out = tmp_path / "emb"
     run_inference([
         "--data_dir", str(root), "--output_dir", str(emb_out),

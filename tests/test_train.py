@@ -601,6 +601,41 @@ def test_trainer_ships_input_dtype_batches(tmp_path):
     assert seen["duration"] == jnp.float32
 
 
+def test_trainer_profile_steps_writes_trace(tmp_path):
+    """--profile_steps A-B captures a jax.profiler trace of those steps
+    into output_dir/profile (xprof/tensorboard layout)."""
+    from smb_vision_tpu.train.trainer import Trainer, TrainingArguments
+
+    class ListLoader:
+        def __init__(self, batches):
+            self.batches = batches
+            self.ds = list(range(sum(b["x"].shape[0] for b in batches)))
+
+        def __iter__(self):
+            return iter(self.batches)
+
+        def __len__(self):
+            return len(self.batches)
+
+        def set_epoch(self, e):
+            pass
+
+    batches = [{"x": np.ones((8, 4), np.float32) * i} for i in range(4)]
+    state = {"params": {"w": jnp.zeros(())}, "opt_state": (),
+             "step": jnp.asarray(0)}
+    args = TrainingArguments(output_dir=str(tmp_path), num_train_steps=4,
+                             logging_steps=1, save_steps=100,
+                             profile_steps="2-3")
+    tr = Trainer(args=args, state=state,
+                 step_fn=lambda s, b, k: (s, {"loss": jnp.mean(b["x"])}),
+                 train_loader=ListLoader(batches))
+    tr.train()
+    prof = tmp_path / "profile"
+    assert prof.is_dir(), "no profile dir written"
+    traces = list(prof.rglob("*.xplane.pb")) + list(prof.rglob("*.trace*"))
+    assert traces, f"no trace files under {prof}"
+
+
 def test_trainer_device_cached_loader(tmp_path):
     """Trainer accepts a device-cached loader: host cast is skipped for
     device batches, epochs >= 1 train without touching the dataset, and
