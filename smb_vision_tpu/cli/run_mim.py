@@ -78,6 +78,19 @@ class ModelArguments:
     gradient_checkpointing: bool = False
     sequence_parallel: bool = False
     export_hf: bool = False
+    pipeline_stages: int = field(
+        default=1,
+        metadata={"help": "GPipe-pipeline the encoder+decoder stacks over "
+                          "this many stages (the mesh model axis): each "
+                          "device holds layers/S of both stacks, for "
+                          "models deeper than one chip's HBM. Both layer "
+                          "counts must divide by it; microbatching "
+                          "replaces gradient accumulation"})
+    pipeline_microbatches: int = field(
+        default=0,
+        metadata={"help": "microbatches per step through the pipeline "
+                          "(0 = per_device_train_batch_size). Bubble is "
+                          "(stages-1)/(microbatches+stages-1)"})
 
 
 def build_config(model_args: ModelArguments):
@@ -128,6 +141,21 @@ def main(argv=None):
         (ModelArguments, DataTrainingArguments, TrainingArguments), argv)
     config = build_config(model_args)
     logger.info("MIM config: %s tokens, grid %s", config.seq_len, config.grid)
+
+    pipelined = model_args.pipeline_stages > 1
+    if pipelined:
+        if training_args.gradient_accumulation_steps > 1:
+            raise SystemExit(
+                "--pipeline_stages replaces gradient accumulation with "
+                "microbatching (--pipeline_microbatches); set "
+                "--gradient_accumulation_steps 1")
+        # stages ride the mesh model axis; stacked layer params shard
+        # their leading layer axis over it (sharding policy "pipeline")
+        training_args.model_parallel = model_args.pipeline_stages
+        if training_args.sharding_policy != "pipeline":
+            logger.info("pipeline_stages=%d: sharding_policy -> 'pipeline'",
+                        model_args.pipeline_stages)
+            training_args.sharding_policy = "pipeline"
 
     pipe = PreprocessConfig(
         target_spacing=CT_PIPELINES["mim"].target_spacing,
@@ -215,11 +243,34 @@ def main(argv=None):
         schedule=training_args.lr_scheduler_type,
         optim=training_args.optim,
         min_lr=training_args.min_lr, grad_clip=training_args.max_grad_norm)
-    model, init_fn, step_fn, eval_fn = make_mim_workload(
-        config, mask_patch_size=data_args.mask_patch_size,
-        mask_ratio=data_args.mask_ratio, tx=tx,
-        grad_accum=training_args.gradient_accumulation_steps,
-        accum_dtype=training_args.grad_accum_dtype)
+    from smb_vision_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(model=training_args.model_parallel,
+                       dcn=training_args.dcn_slices)
+    if pipelined:
+        from smb_vision_tpu.train.mim import make_pipelined_mim_workload
+
+        import math
+
+        n_microbatches = (model_args.pipeline_microbatches
+                          or training_args.per_device_train_batch_size)
+        model, init_fn, step_fn, eval_fn = make_pipelined_mim_workload(
+            config, mask_patch_size=data_args.mask_patch_size,
+            mask_ratio=data_args.mask_ratio, tx=tx, mesh=mesh,
+            num_microbatches=n_microbatches,
+            eval_microbatches=math.gcd(
+                n_microbatches, training_args.per_device_eval_batch_size))
+        logger.info("pipelined pretraining: %d stages x %d microbatches "
+                    "(bubble %.0f%%)", model_args.pipeline_stages,
+                    n_microbatches,
+                    100 * (model_args.pipeline_stages - 1)
+                    / (n_microbatches + model_args.pipeline_stages - 1))
+    else:
+        model, init_fn, step_fn, eval_fn = make_mim_workload(
+            config, mask_patch_size=data_args.mask_patch_size,
+            mask_ratio=data_args.mask_ratio, tx=tx,
+            grad_accum=training_args.gradient_accumulation_steps,
+            accum_dtype=training_args.grad_accum_dtype)
 
     if training_args.model_flops_per_sample is None:
         from smb_vision_tpu.utils.profiling import mim_flops_per_sample
@@ -227,18 +278,19 @@ def main(argv=None):
         training_args.model_flops_per_sample = mim_flops_per_sample(
             config, data_args.mask_ratio)
 
-    from smb_vision_tpu.parallel.mesh import create_mesh
-
-    mesh = create_mesh(model=training_args.model_parallel,
-                       dcn=training_args.dcn_slices)
     key = jax.random.PRNGKey(training_args.seed)
     with jax.set_mesh(mesh):
         state = init_fn(key)
     if model_args.model_name_or_path:
         from smb_vision_tpu.utils.serialization import (
             load_params_safetensors)
-        state["params"] = {"params": load_params_safetensors(
+        loaded = {"params": load_params_safetensors(
             model_args.model_name_or_path)["params"]}
+        if pipelined:
+            from smb_vision_tpu.models.pipelined import (
+                to_pipeline_pretrain_params)
+            loaded = to_pipeline_pretrain_params(loaded)
+        state["params"] = loaded
         logger.info("initialised from %s", model_args.model_name_or_path)
 
     trainer = Trainer(args=training_args, state=state, step_fn=step_fn,
@@ -246,6 +298,16 @@ def main(argv=None):
                       eval_fn=eval_fn, mesh=mesh)
     if training_args.do_train:
         result = trainer.train()
+        stacked_params = None
+        if pipelined:
+            # export in the dense HF layout so the checkpoint loads into
+            # the non-pipelined model / run_inference / export_hf; the
+            # live state stays stacked for a subsequent --do_eval
+            from smb_vision_tpu.models.pipelined import (
+                from_pipeline_pretrain_params)
+            stacked_params = trainer.state["params"]
+            trainer.state["params"] = from_pipeline_pretrain_params(
+                stacked_params)
         trainer.save_model()
         config.save_json(trainer.out_dir / "config.json")
         if model_args.export_hf:
@@ -263,6 +325,8 @@ def main(argv=None):
                       str(trainer.out_dir / "hf_model.safetensors"))
             logger.info("HF export: %d tensors -> hf_model.safetensors",
                         len(hf_state))
+        if stacked_params is not None:
+            trainer.state["params"] = stacked_params
         logger.info("train complete: %s", result)
     if training_args.do_eval:
         metrics = trainer.evaluate()

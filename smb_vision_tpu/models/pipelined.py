@@ -26,10 +26,21 @@ import flax.linen as nn
 import jax.numpy as jnp
 from jax.sharding import Mesh
 
+import jax
+
 from smb_vision_tpu.models.layers import Block, Encoder
-from smb_vision_tpu.ops.patches import patch_embed, sincos_position_table
+from smb_vision_tpu.ops.patches import (
+    extract_patches,
+    normalize_pixel_targets,
+    patch_embed,
+    sincos_position_table,
+)
 from smb_vision_tpu.ops.rope3d import rope3d_cos_sin
-from smb_vision_tpu.parallel.pipeline import pipeline_apply, stack_layer_params
+from smb_vision_tpu.parallel.pipeline import (
+    pipeline_apply,
+    stack_layer_params,
+    unstack_layer_params,
+)
 
 
 def pipelined_encoder(enc: Encoder, enc_params: dict, x, *, mesh: Mesh,
@@ -140,3 +151,147 @@ def vjepa2_pipeline_encode(config, params: dict, pixel_values_videos, *,
     ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dt,
                       param_dtype=jnp.float32)
     return ln.apply({"params": p["layernorm"]}, x)
+
+
+# ---------------------------------------------------------------------------
+# pipelined MIM pretraining: the full VideoMAEForPreTraining forward with
+# BOTH transformer stacks (encoder + decoder) streamed through GPipe stages
+# ---------------------------------------------------------------------------
+
+def to_pipeline_pretrain_params(params: dict) -> dict:
+    """VideoMAEForPreTraining param tree (per-layer `layer_i` dicts,
+    models/videomae.py:107-184) -> the pipelined train-state layout: the
+    encoder/decoder stacks become single stacked trees with a leading
+    layer axis (shardable over the pipe/model mesh axis); everything else
+    (patch embed, enc->dec projection, mask token, norms, head) is carried
+    unchanged. Inverse: `from_pipeline_pretrain_params`."""
+    wrapped = "params" in params
+    p = dict(params["params"] if wrapped else params)
+    vm = dict(p.pop("videomae"))
+    enc_stacked, _ = stack_layer_params(vm.pop("encoder"))
+    dec_stacked, _ = stack_layer_params(p.pop("decoder"))
+    out = {"videomae": {**vm, "encoder_stacked": enc_stacked},
+           "decoder_stacked": dec_stacked, **p}
+    return {"params": out} if wrapped else out
+
+
+def from_pipeline_pretrain_params(pparams: dict) -> dict:
+    """Inverse of `to_pipeline_pretrain_params` — restores the dense
+    HF-layout tree so checkpoints interoperate with the non-pipelined
+    model, convert.py, and export_hf_videomae."""
+    wrapped = "params" in pparams
+    p = dict(pparams["params"] if wrapped else pparams)
+    vm = dict(p.pop("videomae"))
+    enc_stacked = vm.pop("encoder_stacked")
+    dec_stacked = p.pop("decoder_stacked")
+    n_enc = jax.tree_util.tree_leaves(enc_stacked)[0].shape[0]
+    n_dec = jax.tree_util.tree_leaves(dec_stacked)[0].shape[0]
+    out = {"videomae": {**vm,
+                        "encoder": unstack_layer_params(enc_stacked, n_enc)},
+           "decoder": unstack_layer_params(dec_stacked, n_dec), **p}
+    return {"params": out} if wrapped else out
+
+
+def videomae_pipeline_pretrain(config, params: dict, pixel_values,
+                               bool_masked_pos, num_masked: int, *,
+                               mesh: Mesh, axis: str = "model",
+                               num_microbatches: int,
+                               batch_axis: Optional[str] = None,
+                               remat: bool = True):
+    """VideoMAEForPreTraining forward (videomae.py:107-184) with the
+    encoder AND decoder stacks pipelined over `axis`; params in the
+    stacked layout of `to_pipeline_pretrain_params` (each device holds
+    layers/S of both stacks, so models deeper than one chip's HBM train).
+    The non-stack glue (patch embed, gathers, enc->dec, norm, head, loss)
+    replicates — a fraction of one layer's FLOPs. Matches the dense
+    model's loss/logits (tests/test_pipelined_models.py)."""
+    cfg = config
+    dt = jnp.dtype(cfg.dtype) if isinstance(cfg.dtype, str) else cfg.dtype
+    p = params.get("params", params)
+    vm = p["videomae"]
+    S = mesh.shape[axis]
+    if cfg.num_hidden_layers % S or cfg.decoder_num_hidden_layers % S:
+        raise ValueError(
+            f"encoder ({cfg.num_hidden_layers}) and decoder "
+            f"({cfg.decoder_num_hidden_layers}) layer counts must both "
+            f"divide into {S} pipe stages")
+    b = pixel_values.shape[0]
+    n = cfg.seq_len
+    n_vis = n - num_masked
+
+    # --- visible-token embed (videomae.py:64-84: gather pixels before the
+    # embed matmul — no scatter-add in the backward) ---
+    order = jnp.argsort(bool_masked_pos.astype(jnp.int32), axis=-1,
+                        stable=True)
+    vis_idx, mask_idx = order[:, :n_vis], order[:, n_vis:]
+    patches = extract_patches(pixel_values, cfg.tubelet_size,
+                              cfg.patch_size, channel_major=True)
+    patches_vis = jnp.take_along_axis(
+        jax.lax.stop_gradient(patches), vis_idx[..., None], axis=1)
+    wmat = vm["patch_embed_kernel"].reshape(cfg.hidden_size, -1).T
+    x = jnp.dot(patches_vis.astype(dt), wmat.astype(dt),
+                preferred_element_type=jnp.float32)
+    x = (x + vm["patch_embed_bias"].astype(jnp.float32)).astype(dt)
+    pos = sincos_position_table(n, cfg.hidden_size).astype(dt)
+    pos_b = jnp.broadcast_to(pos, (b, n, cfg.hidden_size))
+    x = x + jnp.take_along_axis(pos_b, vis_idx[..., None], axis=1)
+
+    # --- encoder stack through the pipeline ---
+    enc_block = Block(cfg.hidden_size, cfg.num_attention_heads,
+                      cfg.intermediate_size, act=cfg.hidden_act,
+                      bias_mode="qv" if cfg.qkv_bias else "none",
+                      layer_norm_eps=cfg.layer_norm_eps, dtype=dt,
+                      attn_impl=cfg.attn_impl,
+                      initializer_range=cfg.initializer_range)
+    layer_fn = lambda pp, h: enc_block.apply(  # noqa: E731
+        {"params": pp}, h, None, True)
+    x = pipeline_apply(layer_fn, vm["encoder_stacked"], x, mesh=mesh,
+                       axis=axis, num_microbatches=num_microbatches,
+                       batch_axis=batch_axis, remat=remat)
+    if not cfg.use_mean_pooling:
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dt,
+                         param_dtype=jnp.float32).apply(
+            {"params": vm["layernorm"]}, x)
+
+    # --- decoder: re-insert mask tokens (videomae.py:125-153) ---
+    x = nn.Dense(cfg.decoder_hidden_size, use_bias=False, dtype=dt,
+                 param_dtype=jnp.float32).apply(
+        {"params": p["encoder_to_decoder"]}, x)
+    pos_dec = sincos_position_table(n, cfg.decoder_hidden_size).astype(dt)
+    pos_dec = jnp.broadcast_to(pos_dec, (b, n, cfg.decoder_hidden_size))
+    pos_vis = jnp.take_along_axis(pos_dec, vis_idx[..., None], axis=1)
+    pos_mask = jnp.take_along_axis(pos_dec, mask_idx[..., None], axis=1)
+    x_full = jnp.concatenate(
+        [x + pos_vis, p["mask_token"].astype(dt) + pos_mask], axis=1)
+
+    dec_block = Block(cfg.decoder_hidden_size,
+                      cfg.decoder_num_attention_heads,
+                      cfg.decoder_intermediate_size, act=cfg.hidden_act,
+                      bias_mode="qv" if cfg.qkv_bias else "none",
+                      layer_norm_eps=cfg.layer_norm_eps, dtype=dt,
+                      attn_impl=cfg.attn_impl,
+                      initializer_range=cfg.initializer_range)
+    dec_fn = lambda pp, h: dec_block.apply(  # noqa: E731
+        {"params": pp}, h, None, True)
+    x_full = pipeline_apply(dec_fn, p["decoder_stacked"], x_full, mesh=mesh,
+                            axis=axis, num_microbatches=num_microbatches,
+                            batch_axis=batch_axis, remat=remat)
+
+    # --- head + per-patch-normalised pixel MSE (videomae.py:155-184) ---
+    h = x_full[:, -num_masked:]
+    h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dt,
+                     param_dtype=jnp.float32).apply(
+        {"params": p["decoder_norm"]}, h)
+    logits = nn.Dense(cfg.patch_dim, dtype=dt,
+                      param_dtype=jnp.float32).apply(
+        {"params": p["decoder_head"]}, h)
+    if cfg.num_channels != 1:
+        patches = extract_patches(pixel_values, cfg.tubelet_size,
+                                  cfg.patch_size, channel_major=False)
+    labels = jnp.take_along_axis(patches, mask_idx[..., None], axis=1)
+    if cfg.norm_pix_loss:
+        labels = normalize_pixel_targets(labels)
+    labels = jax.lax.stop_gradient(labels)
+    loss = jnp.mean(
+        (logits.astype(jnp.float32) - labels.astype(jnp.float32)) ** 2)
+    return {"loss": loss, "logits": logits}

@@ -55,15 +55,30 @@ def param_shardings(params: Any, mesh: Mesh, policy: str = "dp",
                     min_fsdp_size: int = 2 ** 16) -> Any:
     """Pytree of NamedSharding for `params`.
 
-    policy: "dp" | "fsdp" | "tp" | "fsdp+tp"
+    policy: "dp" | "fsdp" | "tp" | "fsdp+tp" | "pipeline"
+
+    "pipeline": stacked layer trees (path contains a `*_stacked`
+    component, the layout of parallel/pipeline.stack_layer_params) shard
+    their leading layer axis over the model/pipe mesh axis — each device
+    holds only its stage's layers; non-stack glue replicates. Composable
+    with fsdp ("pipeline+fsdp") for the glue/embed tables.
     """
-    use_tp = "tp" in policy and mesh.shape[MODEL_AXIS] > 1
+    use_pipe = "pipeline" in policy and mesh.shape[MODEL_AXIS] > 1
+    use_tp = ("tp" in policy and "pipeline" not in policy
+              and mesh.shape[MODEL_AXIS] > 1)
     use_fsdp = "fsdp" in policy and mesh.shape[DATA_AXIS] > 1
     n_data = mesh.shape[DATA_AXIS]
+    n_model = mesh.shape[MODEL_AXIS]
 
     def one(path, leaf):
         name = _path_str(path)
         shape = leaf.shape
+        if use_pipe and "_stacked/" in name + "/":
+            if not (shape and shape[0] % n_model == 0):
+                raise ValueError(
+                    f"stacked leaf {name}: layer axis {shape[0] if shape else 0} "
+                    f"does not divide over {MODEL_AXIS}={n_model}")
+            return NamedSharding(mesh, P(MODEL_AXIS))
         tp = [None] * len(shape)
         if use_tp and len(shape) >= 1:
             if _TP_COL.search(name) and shape[-1] % mesh.shape[MODEL_AXIS] == 0:

@@ -99,6 +99,53 @@ def test_mim_train_resume_and_inference(dataset, tmp_path):
     assert np.abs(q - emb).max() / max(np.abs(emb).max(), 1e-6) < 0.05
 
 
+def test_mim_pipeline_parallel_training(dataset, tmp_path):
+    """--pipeline_stages 2: MIM pretraining with both stacks GPipe-
+    pipelined over the mesh model axis — trains, evals, and exports a
+    DENSE-layout checkpoint that run_inference loads unchanged."""
+    from smb_vision_tpu.cli.run_inference import main as run_inference
+    from smb_vision_tpu.cli.run_mim import main as run_mim
+
+    root, ds_json = dataset
+    out = tmp_path / "mim_pipe"
+    run_mim([
+        "--json_path", ds_json, "--output_dir", str(out), *ARGS_MODEL,
+        "--num_hidden_layers", "2",
+        "--config_overrides",
+        "decoder_num_hidden_layers=2,decoder_hidden_size=32,"
+        "decoder_intermediate_size=64,decoder_num_attention_heads=2",
+        "--mask_patch_size", "16", "--mask_ratio", "0.5",
+        "--per_device_train_batch_size", "2", "--pipeline_stages", "2",
+        "--logging_steps", "1", "--save_steps", "10", "--do_eval",
+        "--cache_data_dir", str(tmp_path / "cache"),
+        "--num_train_steps", "2",
+    ])
+    metrics = [json.loads(line)
+               for line in (out / "metrics.jsonl").read_text().splitlines()]
+    losses = [m["loss"] for m in metrics if "step" in m]
+    assert len(losses) == 2 and all(np.isfinite(losses))
+    assert any("eval_loss" in m for m in metrics), metrics
+
+    # the exported checkpoint is dense HF layout: per-layer keys, loadable
+    # by the non-pipelined encoder
+    from safetensors.numpy import safe_open
+
+    with safe_open(out / "model.safetensors", framework="np") as f:
+        keys = list(f.keys())
+    assert any("encoder.layer_1." in k for k in keys), keys[:10]
+    assert not any("stacked" in k for k in keys)
+
+    emb_out = tmp_path / "emb_pipe"
+    run_inference([
+        "--data_dir", str(root), "--output_dir", str(emb_out),
+        "--model_name_or_path", str(out / "model.safetensors"),
+        "--config_path", str(out / "config.json"),
+        "--dtype", "float32", "--attn_impl", "xla",
+        "--batch_size", "2", "--max_samples", "2",
+    ])
+    assert len(list(emb_out.glob("*.npy"))) == 2
+
+
 def test_classification_cli_metrics(dataset, tmp_path):
     from smb_vision_tpu.cli.run_classification import main as run_cls
 
