@@ -55,6 +55,17 @@ class ModelArguments:
     gradient_checkpointing: bool = False
     sequence_parallel: bool = False
     export_hf: bool = False
+    pipeline_stages: int = field(
+        default=1,
+        metadata={"help": "GPipe-pipeline the student encoder, EMA "
+                          "teacher, and predictor stacks over this many "
+                          "stages (the mesh model axis). Encoder and "
+                          "predictor layer counts must divide by it; "
+                          "microbatching replaces gradient accumulation"})
+    pipeline_microbatches: int = field(
+        default=0,
+        metadata={"help": "microbatches per step through the pipeline "
+                          "(0 = per_device_train_batch_size)"})
 
 
 def build_config(model_args: ModelArguments):
@@ -100,6 +111,23 @@ def main(argv=None):
     config = build_config(model_args)
     logger.info("VJEPA config: %s tokens, grid %s", config.seq_len,
                 config.grid)
+
+    pipelined = model_args.pipeline_stages > 1
+    if pipelined:
+        if training_args.gradient_accumulation_steps > 1:
+            raise SystemExit(
+                "--pipeline_stages replaces gradient accumulation with "
+                "microbatching (--pipeline_microbatches); set "
+                "--gradient_accumulation_steps 1")
+        if model_args.teacher_attn_impl:
+            raise SystemExit(
+                "--teacher_attn_impl is not supported with "
+                "--pipeline_stages (measured flat anyway, BENCHMARKS.md)")
+        training_args.model_parallel = model_args.pipeline_stages
+        if training_args.sharding_policy != "pipeline":
+            logger.info("pipeline_stages=%d: sharding_policy -> 'pipeline'",
+                        model_args.pipeline_stages)
+            training_args.sharding_policy = "pipeline"
 
     pipe = PreprocessConfig(
         target_spacing=CT_PIPELINES["vjepa"].target_spacing,
@@ -161,24 +189,43 @@ def main(argv=None):
         schedule=training_args.lr_scheduler_type,
         optim=training_args.optim,
         min_lr=training_args.min_lr, grad_clip=training_args.max_grad_norm)
-    model, init_fn, step_fn, eval_fn = make_vjepa_workload(
-        config, tx=tx,
-        grad_accum=training_args.gradient_accumulation_steps,
-        accum_dtype=training_args.grad_accum_dtype,
-        ema_momentum=model_args.ema_momentum,
-        teacher_attn_impl=model_args.teacher_attn_impl,
-        num_blocks=data_args.num_mask_blocks,
-        inv_block=data_args.inv_block)
+    from smb_vision_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(model=training_args.model_parallel,
+                       dcn=training_args.dcn_slices)
+    if pipelined:
+        import math
+
+        from smb_vision_tpu.train.vjepa import make_pipelined_vjepa_workload
+
+        n_microbatches = (model_args.pipeline_microbatches
+                          or training_args.per_device_train_batch_size)
+        model, init_fn, step_fn, eval_fn = make_pipelined_vjepa_workload(
+            config, tx=tx, mesh=mesh, num_microbatches=n_microbatches,
+            eval_microbatches=math.gcd(
+                n_microbatches, training_args.per_device_eval_batch_size),
+            ema_momentum=model_args.ema_momentum,
+            num_blocks=data_args.num_mask_blocks,
+            inv_block=data_args.inv_block)
+        logger.info("pipelined pretraining: %d stages x %d microbatches "
+                    "(bubble %.0f%%)", model_args.pipeline_stages,
+                    n_microbatches,
+                    100 * (model_args.pipeline_stages - 1)
+                    / (n_microbatches + model_args.pipeline_stages - 1))
+    else:
+        model, init_fn, step_fn, eval_fn = make_vjepa_workload(
+            config, tx=tx,
+            grad_accum=training_args.gradient_accumulation_steps,
+            accum_dtype=training_args.grad_accum_dtype,
+            ema_momentum=model_args.ema_momentum,
+            teacher_attn_impl=model_args.teacher_attn_impl,
+            num_blocks=data_args.num_mask_blocks,
+            inv_block=data_args.inv_block)
 
     if training_args.model_flops_per_sample is None:
         from smb_vision_tpu.utils.profiling import vjepa_flops_per_sample
 
         training_args.model_flops_per_sample = vjepa_flops_per_sample(config)
-
-    from smb_vision_tpu.parallel.mesh import create_mesh
-
-    mesh = create_mesh(model=training_args.model_parallel,
-                       dcn=training_args.dcn_slices)
     with jax.set_mesh(mesh):
         state = init_fn(jax.random.PRNGKey(training_args.seed))
     if model_args.model_name_or_path:
@@ -190,8 +237,20 @@ def main(argv=None):
 
         from smb_vision_tpu.utils.serialization import load_params_into
 
-        state["params"], loaded, skipped = load_params_into(
-            state["params"], model_args.model_name_or_path)
+        if pipelined:
+            # checkpoints are dense HF layout: graft through the dense
+            # view, then re-stack for the pipelined train state
+            from smb_vision_tpu.models.pipelined import (
+                from_pipeline_vjepa_params,
+                to_pipeline_vjepa_params,
+            )
+            dense = from_pipeline_vjepa_params(state["params"])
+            dense, loaded, skipped = load_params_into(
+                dense, model_args.model_name_or_path)
+            state["params"] = to_pipeline_vjepa_params(dense)
+        else:
+            state["params"], loaded, skipped = load_params_into(
+                state["params"], model_args.model_name_or_path)
         if not loaded:
             raise ValueError(
                 f"no tensor in {model_args.model_name_or_path} matches the "
@@ -206,6 +265,15 @@ def main(argv=None):
                       eval_fn=eval_fn, mesh=mesh)
     if training_args.do_train:
         result = trainer.train()
+        stacked_params = None
+        if pipelined:
+            # export dense HF layout (loads into the non-pipelined model /
+            # export_hf_vjepa2); live state stays stacked for --do_eval
+            from smb_vision_tpu.models.pipelined import (
+                from_pipeline_vjepa_params)
+            stacked_params = trainer.state["params"]
+            trainer.state["params"] = from_pipeline_vjepa_params(
+                stacked_params)
         trainer.save_model()
         config.save_json(trainer.out_dir / "config.json")
         if model_args.export_hf:
@@ -221,6 +289,8 @@ def main(argv=None):
                       str(trainer.out_dir / "hf_model.safetensors"))
             logger.info("HF export: %d tensors -> hf_model.safetensors",
                         len(hf_state))
+        if stacked_params is not None:
+            trainer.state["params"] = stacked_params
         logger.info("train complete: %s", result)
     if training_args.do_eval:
         logger.info("eval: %s", trainer.evaluate())

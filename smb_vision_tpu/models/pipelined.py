@@ -295,3 +295,136 @@ def videomae_pipeline_pretrain(config, params: dict, pixel_values,
     loss = jnp.mean(
         (logits.astype(jnp.float32) - labels.astype(jnp.float32)) ** 2)
     return {"loss": loss, "logits": logits}
+
+
+# ---------------------------------------------------------------------------
+# pipelined V-JEPA2 pretraining: student encoder, EMA-teacher encoder and
+# predictor stacks all streamed through GPipe stages
+# ---------------------------------------------------------------------------
+
+def to_pipeline_vjepa_params(params: dict) -> dict:
+    """VJEPA2Model param tree (models/vjepa.py:160-199) -> stacked layout:
+    encoder/encoder and predictor/stack become stacked trees with a
+    leading layer axis; glue (patch embed, norms, embeddings, mask tokens,
+    proj) carries unchanged. Apply to the EMA teacher copy too — it is the
+    same tree."""
+    wrapped = "params" in params
+    p = dict(params["params"] if wrapped else params)
+    enc = dict(p.pop("encoder"))
+    enc_stacked, _ = stack_layer_params(enc.pop("encoder"))
+    out = {"encoder": {**enc, "encoder_stacked": enc_stacked}}
+    if "predictor" in p:
+        prd = dict(p.pop("predictor"))
+        stack_stacked, _ = stack_layer_params(prd.pop("stack"))
+        out["predictor"] = {**prd, "stack_stacked": stack_stacked}
+    out.update(p)
+    return {"params": out} if wrapped else out
+
+
+def from_pipeline_vjepa_params(pparams: dict) -> dict:
+    """Inverse of `to_pipeline_vjepa_params` (dense HF layout for
+    export_hf_vjepa2 / the non-pipelined model)."""
+    wrapped = "params" in pparams
+    p = dict(pparams["params"] if wrapped else pparams)
+    enc = dict(p.pop("encoder"))
+    enc_stacked = enc.pop("encoder_stacked")
+    n_enc = jax.tree_util.tree_leaves(enc_stacked)[0].shape[0]
+    out = {"encoder": {**enc,
+                       "encoder": unstack_layer_params(enc_stacked, n_enc)}}
+    if "predictor" in p:
+        prd = dict(p.pop("predictor"))
+        stack_stacked = prd.pop("stack_stacked")
+        n_prd = jax.tree_util.tree_leaves(stack_stacked)[0].shape[0]
+        out["predictor"] = {
+            **prd, "stack": unstack_layer_params(stack_stacked, n_prd)}
+    out.update(p)
+    return {"params": out} if wrapped else out
+
+
+def _vjepa_pipe_encode(cfg, enc_params, pixel_values_videos, *, mesh, axis,
+                       num_microbatches, batch_axis, remat):
+    """VJEPA2Encoder forward (vjepa.py:48-82) over STACKED params."""
+    dt = jnp.dtype(cfg.dtype)
+    x = patch_embed(pixel_values_videos, enc_params["patch_embed_kernel"],
+                    enc_params["patch_embed_bias"], dtype=dt)
+    n = x.shape[1]
+    rope = rope3d_cos_sin(jnp.arange(n), cfg.crop_size // cfg.patch_size,
+                          cfg.head_dim, dtype=dt)
+    block = Block(cfg.hidden_size, cfg.num_attention_heads,
+                  int(cfg.hidden_size * cfg.mlp_ratio), act=cfg.hidden_act,
+                  bias_mode="qkv" if cfg.qkv_bias else "none",
+                  layer_norm_eps=cfg.layer_norm_eps, dtype=dt,
+                  attn_impl=cfg.attn_impl,
+                  initializer_range=cfg.initializer_range)
+    layer_fn = lambda pp, h, rp: block.apply(  # noqa: E731
+        {"params": pp}, h, rp, True)
+    x = pipeline_apply(layer_fn, enc_params["encoder_stacked"], x,
+                       mesh=mesh, axis=axis,
+                       num_microbatches=num_microbatches,
+                       batch_axis=batch_axis, remat=remat, extra=rope)
+    return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dt,
+                        param_dtype=jnp.float32).apply(
+        {"params": enc_params["layernorm"]}, x)
+
+
+def vjepa2_pipeline_pretrain(config, params: dict, teacher: dict,
+                             pixel_values_videos, target_bool, *,
+                             mesh: Mesh, axis: str = "model",
+                             num_microbatches: int,
+                             batch_axis: Optional[str] = None,
+                             remat: bool = True, mask_index: int = 1):
+    """V-JEPA2 pretraining loss (train/vjepa.py loss_for, dense
+    target_bool formulation of vjepa.py:123-138) with the student
+    encoder, EMA-teacher encoder, and predictor stacks all pipelined
+    over `axis`; params/teacher in the stacked layout of
+    `to_pipeline_vjepa_params`. DropPath must be off
+    (config.drop_path_rate == 0) — per-layer rates are not representable
+    in the stacked layout."""
+    from smb_vision_tpu.models.vjepa import vjepa_loss
+
+    cfg = config
+    dt = jnp.dtype(cfg.dtype)
+    if cfg.drop_path_rate > 0:
+        raise ValueError("pipelined V-JEPA supports drop_path_rate == 0 "
+                         "only (stacked layers share one Block config)")
+    p = params.get("params", params)
+    t = teacher.get("params", teacher)
+    S = mesh.shape[axis]
+    if cfg.num_hidden_layers % S or cfg.pred_num_hidden_layers % S:
+        raise ValueError(
+            f"encoder ({cfg.num_hidden_layers}) and predictor "
+            f"({cfg.pred_num_hidden_layers}) layer counts must both "
+            f"divide into {S} pipe stages")
+    kw = dict(mesh=mesh, axis=axis, num_microbatches=num_microbatches,
+              batch_axis=batch_axis, remat=remat)
+
+    enc = _vjepa_pipe_encode(cfg, p["encoder"], pixel_values_videos, **kw)
+    tgt = jax.lax.stop_gradient(
+        _vjepa_pipe_encode(cfg, t["encoder"], pixel_values_videos, **kw))
+
+    prd = p["predictor"]
+    x = nn.Dense(cfg.pred_hidden_size, dtype=dt,
+                 param_dtype=jnp.float32).apply(
+        {"params": prd["predictor_embeddings"]}, enc)
+    mtok = prd["mask_tokens"][mask_index % cfg.pred_num_mask_tokens]
+    x = jnp.where(target_bool[..., None], mtok.astype(dt), x)
+    n = x.shape[1]
+    rope = rope3d_cos_sin(jnp.arange(n), cfg.crop_size // cfg.patch_size,
+                          cfg.pred_head_dim, dtype=dt)
+    pblock = Block(cfg.pred_hidden_size, cfg.pred_num_attention_heads,
+                   int(cfg.pred_hidden_size * cfg.pred_mlp_ratio),
+                   act=cfg.hidden_act,
+                   bias_mode="qkv" if cfg.qkv_bias else "none",
+                   layer_norm_eps=cfg.layer_norm_eps, dtype=dt,
+                   attn_impl=cfg.attn_impl,
+                   initializer_range=cfg.initializer_range)
+    pfn = lambda pp, h, rp: pblock.apply(  # noqa: E731
+        {"params": pp}, h, rp, True)
+    x = pipeline_apply(pfn, prd["stack_stacked"], x, extra=rope, **kw)
+    x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dt,
+                     param_dtype=jnp.float32).apply(
+        {"params": prd["layernorm"]}, x)
+    pred = nn.Dense(cfg.hidden_size, dtype=dt,
+                    param_dtype=jnp.float32).apply(
+        {"params": prd["proj"]}, x)
+    return vjepa_loss(pred, tgt, target_bool)

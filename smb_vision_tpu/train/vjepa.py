@@ -101,3 +101,89 @@ def make_vjepa_workload(config: VJEPA2Config, *,
         return {"loss": loss}
 
     return model, init_fn, step_fn, eval_fn
+
+
+def make_pipelined_vjepa_workload(config: VJEPA2Config, *,
+                                  tx: optax.GradientTransformation, mesh,
+                                  num_microbatches: int,
+                                  eval_microbatches: int = 0,
+                                  remat: bool = True,
+                                  ema_momentum: float = EMA_MOMENTUM,
+                                  pred_mask_scale=(0.2, 0.8),
+                                  aspect_ratio=(0.3, 3.0),
+                                  num_blocks: int = 3,
+                                  inv_block: bool = False):
+    """V-JEPA2 pretraining with the student encoder, EMA-teacher encoder,
+    and predictor stacks GPipe-pipelined over the mesh model axis
+    (models/pipelined.vjepa2_pipeline_pretrain). The train state — online
+    params AND the teacher copy — keeps the STACKED layout (pair with
+    sharding_policy="pipeline"); convert with from_pipeline_vjepa_params
+    for dense/HF exports. Microbatching replaces gradient accumulation.
+
+    Returns (model, init_fn, step_fn, eval_fn) like make_vjepa_workload."""
+    from smb_vision_tpu.models.pipelined import (
+        to_pipeline_vjepa_params,
+        vjepa2_pipeline_pretrain,
+    )
+    from smb_vision_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    if config.drop_path_rate > 0:
+        raise ValueError("pipelined V-JEPA supports drop_path_rate == 0 "
+                         "only; unset it (stacked layers share one Block "
+                         "config)")
+    if config.sequence_parallel:
+        raise ValueError("pipeline parallelism composes with the data "
+                         "axis, not sequence parallelism; unset "
+                         "config.sequence_parallel")
+    model = VJEPA2Model(config)
+    batch_axis = DATA_AXIS if mesh.shape[DATA_AXIS] > 1 else None
+
+    def gen_mask(key, batch):
+        return vjepa_target_mask(key, batch, grid=config.grid,
+                                 pred_mask_scale=pred_mask_scale,
+                                 aspect_ratio=aspect_ratio,
+                                 num_blocks=num_blocks,
+                                 inv_block=inv_block)
+
+    def init_fn(key):
+        px = jnp.zeros((1, config.frames_per_clip, config.in_chans,
+                        config.crop_size, config.crop_size), jnp.float32)
+        tb = gen_mask(key, 1)
+        dense = jax.jit(
+            lambda k, x, t: model.init(k, x, target_bool=t))(key, px, tb)
+        params = to_pipeline_vjepa_params(dense)
+        teacher = jax.tree_util.tree_map(jnp.copy, params)
+        return train_state(params, tx.init(params), teacher=teacher)
+
+    def loss_for(params, teacher, px, key, microbatches):
+        tb = gen_mask(key, px.shape[0])
+        return vjepa2_pipeline_pretrain(
+            config, params, teacher, px, tb, mesh=mesh, axis=MODEL_AXIS,
+            num_microbatches=microbatches, batch_axis=batch_axis,
+            remat=remat)
+
+    def step_fn(state, batch, key):
+        teacher = state["teacher"]
+
+        def loss_fn(p):
+            return loss_for(p, teacher, batch["pixel_values"], key,
+                            num_microbatches)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+        updates, opt_state = tx.update(grads, state["opt_state"],
+                                       state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        teacher = ema_update(teacher, params, ema_momentum)
+        new_state = dict(state)
+        new_state.update(params=params, opt_state=opt_state,
+                         teacher=teacher, step=state["step"] + 1)
+        return new_state, {"loss": loss}
+
+    @jax.jit
+    def eval_fn(state, batch):
+        loss = loss_for(state["params"], state["teacher"],
+                        batch["pixel_values"], jax.random.PRNGKey(0),
+                        eval_microbatches or num_microbatches)
+        return {"loss": loss}
+
+    return model, init_fn, step_fn, eval_fn

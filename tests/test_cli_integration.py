@@ -190,6 +190,40 @@ def test_vjepa_cli_smoke(dataset, tmp_path):
     assert all(np.isfinite(m["loss"]) for m in metrics if "loss" in m)
 
 
+def test_vjepa_pipeline_parallel_training(dataset, tmp_path):
+    """run_vjepa --pipeline_stages 2: student/teacher/predictor stacks
+    pipelined; dense-layout export."""
+    from smb_vision_tpu.cli.run_vjepa import main as run_vjepa
+
+    _, ds_json = dataset
+    out = tmp_path / "vjepa_pipe"
+    run_vjepa([
+        "--data_path", ds_json, "--output_dir", str(out),
+        "--image_size", "32", "--depth", "32", "--patch_size", "16",
+        "--hidden_size", "32", "--num_hidden_layers", "2",
+        "--num_attention_heads", "2",
+        "--pred_hidden_size", "16", "--pred_num_hidden_layers", "2",
+        "--pred_num_attention_heads", "2",
+        "--dtype", "float32", "--attn_impl", "xla",
+        "--per_device_train_batch_size", "2", "--pipeline_stages", "2",
+        "--num_train_steps", "2", "--logging_steps", "1",
+        "--save_steps", "10", "--do_eval",
+        "--cache_data_dir", str(tmp_path / "cache"),
+    ])
+    metrics = [json.loads(line)
+               for line in (out / "metrics.jsonl").read_text().splitlines()]
+    losses = [m["loss"] for m in metrics if "step" in m]
+    assert len(losses) == 2 and all(np.isfinite(losses))
+    assert any("eval_loss" in m for m in metrics), metrics
+
+    from safetensors.numpy import safe_open
+
+    with safe_open(out / "model.safetensors", framework="np") as f:
+        keys = list(f.keys())
+    assert any("encoder.encoder.layer_1." in k for k in keys), keys[:10]
+    assert not any("stacked" in k for k in keys)
+
+
 def test_vjepa_cli_device_cache(dataset, tmp_path):
     """--device_cache wiring from the CLI: volumes pin in device memory,
     two epochs run, losses finite (trainer-level pinning behavior is
