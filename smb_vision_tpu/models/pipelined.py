@@ -153,6 +153,51 @@ def vjepa2_pipeline_encode(config, params: dict, pixel_values_videos, *,
     return ln.apply({"params": p["layernorm"]}, x)
 
 
+def dinov2_pipeline_encode(config, params: dict, pixel_values, *,
+                           mesh: Mesh, axis: str = "pipe",
+                           num_microbatches: int,
+                           batch_axis: Optional[str] = None,
+                           remat: bool = False):
+    """Dinov2Model forward (dinov2.py:49-122: CHW patchify, CLS token,
+    learned 3D positions, LayerScale/SwiGLU blocks) with the transformer
+    stack pipelined. Matches `Dinov2Model.apply(params, px)`."""
+    from smb_vision_tpu.models.dinov2 import _patchify_chw
+
+    cfg = config
+    dt = jnp.dtype(cfg.dtype)
+    p = params.get("params", params)
+    patches = _patchify_chw(pixel_values, cfg.patch_size)
+    wmat = p["patch_embed_kernel"].reshape(cfg.hidden_size, -1).T
+    x = (jnp.dot(patches.astype(dt), wmat.astype(dt),
+                 preferred_element_type=jnp.float32)
+         + p["patch_embed_bias"]).astype(dt)
+    b = x.shape[0]
+    x = jnp.concatenate(
+        [jnp.broadcast_to(p["cls_token"].astype(dt),
+                          (b, 1, cfg.hidden_size)), x], axis=1)
+    x = x + p["position_embeddings_3d"].astype(dt)
+
+    if cfg.use_swiglu_ffn:
+        inter = (int(cfg.hidden_size * cfg.mlp_ratio * 2 / 3) + 7) // 8 * 8
+    else:
+        inter = cfg.hidden_size * cfg.mlp_ratio
+    enc = Encoder(
+        num_layers=cfg.num_hidden_layers, hidden_size=cfg.hidden_size,
+        num_heads=cfg.num_attention_heads, intermediate_size=inter,
+        act=cfg.hidden_act, bias_mode="qkv" if cfg.qkv_bias else "none",
+        layer_norm_eps=cfg.layer_norm_eps,
+        layerscale_value=cfg.layerscale_value,
+        drop_path_rate=cfg.drop_path_rate,
+        use_swiglu=cfg.use_swiglu_ffn, dtype=dt, attn_impl=cfg.attn_impl,
+        initializer_range=cfg.initializer_range)
+    x = pipelined_encoder(enc, p["encoder"], x, mesh=mesh, axis=axis,
+                          num_microbatches=num_microbatches,
+                          batch_axis=batch_axis, remat=remat)
+    return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dt,
+                        param_dtype=jnp.float32).apply(
+        {"params": p["layernorm"]}, x)
+
+
 # ---------------------------------------------------------------------------
 # pipelined MIM pretraining: the full VideoMAEForPreTraining forward with
 # BOTH transformer stacks (encoder + decoder) streamed through GPipe stages

@@ -145,6 +145,25 @@ def test_mim_pipeline_parallel_training(dataset, tmp_path):
     ])
     assert len(list(emb_out.glob("*.npy"))) == 2
 
+    # resume: orbax restores the STACKED state and the trainer re-applies
+    # the pipeline shardings (checkpoint saved at step 2, continue to 3)
+    run_mim([
+        "--json_path", ds_json, "--output_dir", str(out), *ARGS_MODEL,
+        "--num_hidden_layers", "2",
+        "--config_overrides",
+        "decoder_num_hidden_layers=2,decoder_hidden_size=32,"
+        "decoder_intermediate_size=64,decoder_num_attention_heads=2",
+        "--mask_patch_size", "16", "--mask_ratio", "0.5",
+        "--per_device_train_batch_size", "2", "--pipeline_stages", "2",
+        "--logging_steps", "1", "--save_steps", "10",
+        "--cache_data_dir", str(tmp_path / "cache"),
+        "--num_train_steps", "3",
+    ])
+    metrics = [json.loads(line)
+               for line in (out / "metrics.jsonl").read_text().splitlines()]
+    steps = [m["step"] for m in metrics if "step" in m]
+    assert 3 in steps and steps.count(1) == 1, steps
+
 
 def test_classification_cli_metrics(dataset, tmp_path):
     from smb_vision_tpu.cli.run_classification import main as run_cls

@@ -58,6 +58,29 @@ def test_vjepa2_pipeline_encode_matches_dense(eight_devices):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_dinov2_pipeline_encode_matches_dense(eight_devices):
+    from smb_vision_tpu.models.configs import Dinov2Config
+    from smb_vision_tpu.models.dinov2 import Dinov2Model
+    from smb_vision_tpu.models.pipelined import dinov2_pipeline_encode
+
+    cfg = Dinov2Config(
+        image_size=32, depth=16, patch_size=8, num_channels=1,
+        hidden_size=48, num_hidden_layers=4, num_attention_heads=4,
+        mlp_ratio=2, layerscale_value=1e-5, use_swiglu_ffn=True,
+        dtype="float32", attn_impl="xla")
+    model = Dinov2Model(cfg)
+    px = jax.random.normal(KEY, (4, 1, 32, 32, 16))
+    params = model.init(KEY, px)
+    ref = model.apply(params, px)
+
+    mesh = Mesh(np.array(eight_devices).reshape(2, 4), ("data", "pipe"))
+    out = jax.jit(lambda pp, x: dinov2_pipeline_encode(
+        cfg, pp, x, mesh=mesh, num_microbatches=2,
+        batch_axis="data"))(params, px)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_pipelined_encoder_guards(eight_devices):
     from smb_vision_tpu.models.layers import Encoder
 
