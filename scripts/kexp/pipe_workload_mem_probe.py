@@ -6,9 +6,10 @@ encoder+decoder params, AdamW update, on-device mask gen) at a ViT-L-deep
 geometry, vs the dense make_mim_workload step on one device — the number
 that decides whether a model too deep for one chip's HBM trains.
 
-Config: 24-layer/1024-wide encoder + 8-layer/512-wide decoder, 2048
-tokens, batch 4; 4 stages x 2 microbatches. Reports per-device temp +
-argument bytes of the compiled step.
+Config: 12-layer/512-wide encoder + 4-layer/256-wide decoder, 1024
+tokens, batch 4; 4 stages x 2 microbatches. (A 24L/1024 config exceeds
+this host's XLA-CPU compile budget; the scaling argument is unchanged.)
+Reports per-device temp + argument bytes of the compiled step.
 """
 import jax
 
@@ -30,11 +31,11 @@ from smb_vision_tpu.train.mim import (  # noqa: E402
     make_pipelined_mim_workload,
 )
 
-CFG = dict(image_size=128, num_frames=64, patch_size=8, tubelet_size=8,
-           num_channels=1, hidden_size=1024, num_hidden_layers=24,
-           num_attention_heads=16, intermediate_size=4096,
-           decoder_hidden_size=512, decoder_num_hidden_layers=8,
-           decoder_num_attention_heads=8, decoder_intermediate_size=2048,
+CFG = dict(image_size=128, num_frames=32, patch_size=8, tubelet_size=8,
+           num_channels=1, hidden_size=512, num_hidden_layers=12,
+           num_attention_heads=8, intermediate_size=2048,
+           decoder_hidden_size=256, decoder_num_hidden_layers=4,
+           decoder_num_attention_heads=4, decoder_intermediate_size=1024,
            dtype="float32", attn_impl="xla")
 BATCH = 4
 

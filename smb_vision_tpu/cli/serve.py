@@ -15,6 +15,9 @@ per-volume requests. This is that endpoint, stdlib-only (http.server):
                                  optional: {"pool": "mean"|"none"}
       -> {"embeddings": [[...]], "shape": ...}   (pool=mean: one vector
          per volume; pool=none: full token grids — large)
+    POST /embed?pool=...         body: raw NIfTI bytes
+                                 (Content-Type: application/octet-stream)
+      -> same response, for clients without a shared filesystem
 
 TPU-shaped design choices:
 - ONE compiled program at a fixed batch size: requests are padded to
@@ -92,7 +95,7 @@ class EmbeddingService:
                 self.encoder.generate_embedding(dummy)
             logger.info("warmup compile done (batch %d)", args.batch_size)
 
-    def _preprocess(self, paths):
+    def _preprocess(self, paths, cache: bool = True):
         """Decode+resample each path to the model grid -> (N, D, C, H, W).
         Runs in the request thread; cache hits skip the heavy work."""
         import numpy as np
@@ -100,19 +103,19 @@ class EmbeddingService:
         from smb_vision_tpu.data.dataset import CTDataset
 
         ds = self.encoder.create_dataset([{"image": p} for p in paths])
-        if self.args.cache_data_dir:
+        if cache and self.args.cache_data_dir:
             ds = CTDataset(items=ds.items, pipeline=ds.pipeline,
                            cache_dir=self.args.cache_data_dir)
         return np.stack([ds[i]["image"] for i in range(len(paths))])
 
-    def embed(self, paths, pool: str = "mean"):
+    def embed(self, paths, pool: str = "mean", cache: bool = True):
         """-> list (per volume) of pooled vectors (pool='mean') or token
         grids (pool='none'), as nested python lists."""
         import numpy as np
 
         if pool not in ("mean", "none"):
             raise ValueError(f"pool must be 'mean' or 'none', got {pool!r}")
-        pixels = self._preprocess(paths)
+        pixels = self._preprocess(paths, cache=cache)
         bs = self.args.batch_size
         outs = []
         for i in range(0, len(paths), bs):
@@ -165,11 +168,34 @@ def make_server(args: ServeArguments) -> ThreadingHTTPServer:
             return self._json(404, {"error": f"no route {self.path}"})
 
         def do_POST(self):
-            if self.path.rstrip("/") != "/embed":
+            from urllib.parse import parse_qs, urlparse
+
+            url = urlparse(self.path)
+            if url.path.rstrip("/") != "/embed":
                 return self._json(404, {"error": f"no route {self.path}"})
             try:
                 n = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(n) or b"{}")
+                body = self.rfile.read(n)
+                ctype = self.headers.get("Content-Type", "")
+                if "octet-stream" in ctype:
+                    # raw NIfTI bytes: clients without a shared filesystem
+                    import os
+                    import tempfile
+
+                    pool = parse_qs(url.query).get("pool", ["mean"])[0]
+                    sfx = ".nii.gz" if body[:2] == b"\x1f\x8b" else ".nii"
+                    fd, tmp = tempfile.mkstemp(suffix=sfx)
+                    try:
+                        with os.fdopen(fd, "wb") as f:
+                            f.write(body)
+                        # cache=False: a one-shot temp path would pollute
+                        # the preprocess cache with never-reused entries
+                        emb = service.embed([tmp], pool=pool, cache=False)
+                    finally:
+                        os.unlink(tmp)
+                    return self._json(200, {"embeddings": emb.tolist(),
+                                            "shape": list(emb.shape)})
+                req = json.loads(body or b"{}")
                 paths = req.get("images") or (
                     [req["image"]] if "image" in req else None)
                 if not paths:

@@ -99,6 +99,25 @@ def test_embed_pool_none_returns_tokens(server):
     assert out["shape"] == [1, 8, 32]       # (N, tokens, D)
 
 
+def test_embed_raw_nifti_bytes(server):
+    """POST raw NIfTI bytes (octet-stream): same embedding as the path
+    route, no shared filesystem needed."""
+    srv, paths = server
+    host, port = srv.server_address[:2]
+    body = open(paths[0], "rb").read()
+    conn = http.client.HTTPConnection(host, port, timeout=120)
+    conn.request("POST", "/embed", body=body,
+                 headers={"Content-Type": "application/octet-stream"})
+    resp = conn.getresponse()
+    raw = json.loads(resp.read())
+    conn.close()
+    assert resp.status == 200 and raw["shape"] == [1, 32]
+    _, by_path = _request(srv, "POST", "/embed", {"image": paths[0]})
+    np.testing.assert_allclose(np.asarray(raw["embeddings"]),
+                               np.asarray(by_path["embeddings"]),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_embed_errors(server):
     srv, paths = server
     status, out = _request(srv, "POST", "/embed", {})
