@@ -184,17 +184,25 @@ def main(argv=None):
                     "(bubble %.0f%%)", S, n_data, M,
                     100 * (S - 1) / (M + S - 1))
 
-        @jax.jit
-        def encode(params, px):
+        def _encode_px(params, px):
             return videomae_pipeline_encode(
                 config, params, px, mesh=mesh, num_microbatches=M,
                 batch_axis="data" if n_data > 1 else None,
             ).astype(jnp.float32)
     else:
-        @jax.jit
-        def encode(params, px):
+        def _encode_px(params, px):
             out, _ = model.apply(params, px)
             return out.astype(jnp.float32)
+
+    encode = jax.jit(_encode_px)
+
+    # uint8-shipped pixels (--input_dtype uint8): decode to bf16 inside
+    # the same compiled program, so the host->device wire carries one
+    # byte per voxel (data/quantization.py)
+    from smb_vision_tpu.data.quantization import dequantize_pixels
+
+    encode_q = jax.jit(lambda params, q, s, o: _encode_px(
+        params, dequantize_pixels(q, s, o, jnp.bfloat16)))
 
     writer = EmbeddingWriter(args.output_dir, fmt=args.format,
                              model_id=args.model_id)
@@ -251,21 +259,31 @@ def main(argv=None):
         # batch with copies of its last row and slice the result back
         pad_to = args.batch_size if args.pipeline_parallel > 1 else 0
 
-        def embed_fn(pixels):
+        def embed_fn(pixels, scale=None, offset=None):
             # cast on the HOST before device_put: the transfer is the
             # bottleneck on bandwidth-constrained hosts, not the cast
             import numpy as np
 
             pixels = np.asarray(pixels)
-            if in_dt != jnp.float32 and pixels.dtype != in_dt:
+            if (scale is None and in_dt != jnp.float32
+                    and pixels.dtype != in_dt):
                 pixels = pixels.astype(in_dt)
             n = pixels.shape[0]
             if pad_to and n < pad_to:
+                rep = pad_to - n
                 pixels = np.concatenate(
-                    [pixels, np.repeat(pixels[-1:], pad_to - n, axis=0)])
-                return np.asarray(encode(params,
-                                         jnp.asarray(pixels)))[:n]
-            return encode(params, jnp.asarray(pixels))
+                    [pixels, np.repeat(pixels[-1:], rep, axis=0)])
+                if scale is not None:
+                    scale = np.concatenate(
+                        [scale, np.repeat(scale[-1:], rep)])
+                    offset = np.concatenate(
+                        [offset, np.repeat(offset[-1:], rep)])
+            if scale is not None:
+                out = encode_q(params, jnp.asarray(pixels),
+                               jnp.asarray(scale), jnp.asarray(offset))
+            else:
+                out = encode(params, jnp.asarray(pixels))
+            return np.asarray(out)[:n] if pad_to and n < pad_to else out
 
         stats = run_embedding(ds, embed_fn, writer,
                               batch_size=args.batch_size,

@@ -70,13 +70,16 @@ class CTDataset:
         mim.py:210-236) — use when the dataset fits in host RAM.
         cache_dtype: on-disk dtype for cached volumes; "float16" halves
         disk/IO/transfer bytes at ~1e-4 absolute rounding on the
-        HU-windowed [0,1] values. Participates in the cache key.
+        HU-windowed [0,1] values; "uint8" quarters them (per-volume
+        affine codes + scale/offset in an npz, max abs err
+        (max-min)/510). Participates in the cache key.
         out_dtype: dtype of returned volumes ("float32" default;
         "float16"/"bfloat16" carry a half-precision cache straight
         through to device_put with at most one host cast — on
         CPU/bandwidth-constrained hosts the f16->f32->bf16 round trip
         was the steady-state bottleneck, three full-volume array ops
-        per step)."""
+        per step; "uint8" ships codes + per-sample affine keys for
+        on-device decode — see data/quantization.py)."""
         if items is None:
             items = load_data(data_path, split=split)
         if max_samples:
@@ -134,45 +137,94 @@ class CTDataset:
         return preprocess_volume(img.data, img.affine, self.pipeline,
                                  bucket=32)
 
-    def load_volume(self, item: Dict) -> np.ndarray:
+    def _load_entry(self, item: Dict):
+        """-> (array, scale, offset): uint8 codes + affine when the cache
+        stores uint8 (cache_dtype='uint8' writes an npz of q/scale/offset),
+        else (float array in cache_dtype, None, None)."""
+        from smb_vision_tpu.data.quantization import quantize_volume
+
         cache = self._cache_path(item)
         if cache is not None and cache.is_file():
             try:
-                return np.load(cache).astype(self.out_dtype, copy=False)
-            except (ValueError, EOFError, OSError):
+                loaded = np.load(cache)
+                if isinstance(loaded, np.lib.npyio.NpzFile):
+                    with loaded:
+                        return (loaded["q"], np.float32(loaded["scale"]),
+                                np.float32(loaded["offset"]))
+                return loaded, None, None
+            except (ValueError, EOFError, OSError, KeyError):
                 # corrupt cache: delete and recompute (ref load.py:107-112)
                 try:
                     cache.unlink()
                 except OSError:
                     pass
         vol = self._compute(item)
+        q = s = o = None
+        if self.cache_dtype == np.uint8:
+            q, s, o = quantize_volume(vol)
         if cache is not None:
             # atomic write: tempfile in same dir + rename (ref :118-135)
             fd, tmp = tempfile.mkstemp(dir=self.cache_dir, suffix=".tmp")
             try:
                 with os.fdopen(fd, "wb") as f:
-                    np.save(f, vol.astype(self.cache_dtype, copy=False))
+                    if q is not None:
+                        np.savez(f, q=q, scale=s, offset=o)
+                    else:
+                        np.save(f, vol.astype(self.cache_dtype, copy=False))
                 os.replace(tmp, cache)
             except OSError:
                 try:
                     os.unlink(tmp)
                 except OSError:
                     pass
+        if q is not None:
+            # return the quantized values so epoch 1 matches later epochs
+            return q, s, o
         if vol.dtype != self.cache_dtype:
             # first-epoch values must match what later epochs reload from
             # the cache, or the same sample drifts across epochs
             vol = vol.astype(self.cache_dtype)
-        return vol.astype(self.out_dtype, copy=False)
+        return vol, None, None
+
+    def _example_pixels(self, item: Dict):
+        """-> (image, scale, offset) in the out_dtype contract: uint8
+        codes + per-volume affine when out_dtype='uint8' (decoded on
+        device by quantization.dequantize_batch), else a float volume
+        with scale/offset None."""
+        if self.out_dtype == np.uint8:
+            from smb_vision_tpu.data.quantization import quantize_volume
+
+            arr, s, o = self._load_entry(item)
+            if s is None:
+                # float cache + uint8 shipping: quantize per load (the
+                # zero-recompute config is cache_dtype='uint8')
+                arr, s, o = quantize_volume(arr)
+            return arr, s, o
+        # float contract: load_volume is the (subclass-spied) hook
+        return self.load_volume(item), None, None
+
+    def load_volume(self, item: Dict) -> np.ndarray:
+        """Float pixel volume (out_dtype, or f32 when out_dtype='uint8')."""
+        from smb_vision_tpu.data.quantization import dequantize_volume
+
+        dt = np.float32 if self.out_dtype == np.uint8 else self.out_dtype
+        arr, s, o = self._load_entry(item)
+        if s is not None:
+            return dequantize_volume(arr, s, o, dt)
+        return arr.astype(dt, copy=False)
 
     def __getitem__(self, idx: int) -> Dict:
         item = dict(self.items[idx])
         if self.ram_cache and idx in self._ram:
-            vol = self._ram[idx]
+            vol, s, o = self._ram[idx]
         else:
-            vol = self.load_volume(item)
+            vol, s, o = self._example_pixels(item)
             if self.ram_cache:
-                self._ram[idx] = vol
+                self._ram[idx] = (vol, s, o)
         out = {"image": vol}
+        if s is not None:
+            out["image_scale"] = s
+            out["image_offset"] = o
         for k, v in item.items():
             if k != self.image_key:
                 out[k] = v
@@ -275,6 +327,13 @@ class BatchLoader:
 
 def default_collate(examples: List[Dict]) -> Dict[str, np.ndarray]:
     out = {"pixel_values": np.stack([e["image"] for e in examples])}
+    if "image_scale" in examples[0]:
+        # uint8-shipped pixels: per-sample affine rides along (decoded on
+        # device by quantization.dequantize_batch inside the jitted step)
+        out["pixel_scale"] = np.asarray(
+            [e["image_scale"] for e in examples], np.float32)
+        out["pixel_offset"] = np.asarray(
+            [e["image_offset"] for e in examples], np.float32)
     return out
 
 
@@ -318,15 +377,23 @@ class DeviceCachedBatchLoader(BatchLoader):
     def _volume_on_device(self, idx: int):
         import jax
 
-        arr = self._dev.get(int(idx))
-        if arr is None:
+        entry = self._dev.get(int(idx))
+        if entry is None:
             ex = self.ds[int(idx)]
             px = ex["image"][None]                     # (1, D, C, H, W)
-            if self.input_dtype is not None and px.dtype != self.input_dtype:
+            if ("image_scale" not in ex and self.input_dtype is not None
+                    and px.dtype != self.input_dtype):
                 px = px.astype(self.input_dtype)
-            arr = jax.device_put(px)
-            self._dev[int(idx)] = arr
-        return arr
+            entry = (jax.device_put(px),)
+            if "image_scale" in ex:
+                # uint8 volumes pin at 1 byte/voxel — 2x the HBM capacity
+                # of the bf16 cache; decoded in-step by dequantize_batch
+                entry += (jax.device_put(np.asarray([ex["image_scale"]],
+                                                    np.float32)),
+                          jax.device_put(np.asarray([ex["image_offset"]],
+                                                    np.float32)))
+            self._dev[int(idx)] = entry
+        return entry
 
     def __iter__(self):
         import jax
@@ -340,10 +407,16 @@ class DeviceCachedBatchLoader(BatchLoader):
         for i in range(nb):
             idxs = order[i * self.batch_size:(i + 1) * self.batch_size]
             vols = [self._volume_on_device(j) for j in idxs]
-            px = vols[0] if len(vols) == 1 else jnp.concatenate(vols, axis=0)
+            parts = [vols[0][k] if len(vols) == 1
+                     else jnp.concatenate([v[k] for v in vols], axis=0)
+                     for k in range(len(vols[0]))]
             if self.sharding is not None:
-                px = jax.device_put(px, self.sharding)
-            yield {"pixel_values": px}
+                parts = [jax.device_put(p, self.sharding) for p in parts]
+            batch = {"pixel_values": parts[0]}
+            if len(parts) == 3:
+                batch["pixel_scale"] = parts[1]
+                batch["pixel_offset"] = parts[2]
+            yield batch
 
 
 def prefetch_to_device(iterator, sharding=None, size: int = 2,

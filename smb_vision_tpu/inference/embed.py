@@ -130,7 +130,10 @@ def run_embedding(dataset, embed_fn: Callable[[np.ndarray], np.ndarray],
             if err is not None:
                 errors.append(err)
                 continue
-            batch.append((dataset.items[i], ex["image"]))
+            # uint8-shipped datasets (out_dtype='uint8') carry a per-item
+            # affine; embed_fn then takes (pixels, scale, offset)
+            batch.append((dataset.items[i], ex["image"],
+                          ex.get("image_scale"), ex.get("image_offset")))
             if len(batch) == batch_size:
                 n_ok += _flush(batch, embed_fn, writer, errors)
                 batch = []
@@ -145,8 +148,12 @@ def run_embedding(dataset, embed_fn: Callable[[np.ndarray], np.ndarray],
 def _flush(batch, embed_fn, writer, errors) -> int:
     items = [b[0] for b in batch]
     pixels = np.stack([b[1] for b in batch])
+    args = ()
+    if batch[0][2] is not None:
+        args = (np.asarray([b[2] for b in batch], np.float32),
+                np.asarray([b[3] for b in batch], np.float32))
     try:
-        emb = np.asarray(embed_fn(pixels))
+        emb = np.asarray(embed_fn(pixels, *args))
     except Exception as e:  # noqa: BLE001
         errors.extend({"item": it, "error": str(e)} for it in items)
         return 0

@@ -44,6 +44,13 @@ def collate_classification(examples: List[Dict], *, task_type: str,
     """Batch dict matching the reference collate (run_classification.py:
     227-271), numpy instead of torch."""
     out = {"pixel_values": np.stack([e["image"] for e in examples])}
+    if "image_scale" in examples[0]:
+        # uint8-shipped pixels (CTDataset out_dtype='uint8'): per-sample
+        # affine decoded on device by quantization.dequantize_batch
+        out["pixel_scale"] = np.asarray(
+            [e["image_scale"] for e in examples], np.float32)
+        out["pixel_offset"] = np.asarray(
+            [e["image_offset"] for e in examples], np.float32)
     if additional_feature_columns:
         out["additional_features"] = np.asarray(
             [[float(e[c]) for c in additional_feature_columns]

@@ -52,8 +52,12 @@ class TrainingArguments:
     # host-side dtype for float batch arrays shipped to the device:
     # bfloat16 halves host->HBM transfer bytes (the model's first matmul
     # casts to the compute dtype anyway, so the cost is one extra rounding
-    # of the [0,1]-windowed inputs). Matters on bandwidth-constrained
-    # hosts; see run_inference --input_dtype for the inference analog.
+    # of the [0,1]-windowed inputs); "uint8" quarters them — pixels ship
+    # as per-volume-affine codes and decode to bf16 inside the compiled
+    # step (data/quantization.py; max abs err (max-min)/510 per voxel,
+    # same order as bf16 rounding on [0,1] data). Matters on
+    # bandwidth-constrained hosts; see run_inference --input_dtype for
+    # the inference analog.
     input_dtype: str = "float32"
     learning_rate: float = 5e-5
     weight_decay: float = 0.01
@@ -127,6 +131,19 @@ class Trainer:
         self.state = self._apply_shardings(state)
         self.batch_sh = batch_sharding(self.mesh)
 
+        if args.input_dtype == "uint8":
+            # uint8 pixel shipping: batches arrive as u8 codes + per-sample
+            # affine; decode on device INSIDE the compiled step (to bf16 —
+            # the established half-precision input path) so the host and
+            # the wire never see float pixels. data/quantization.py.
+            from smb_vision_tpu.data.quantization import dequantize_batch
+
+            inner_step, inner_eval = step_fn, eval_fn
+            step_fn = lambda s, b, k: inner_step(  # noqa: E731
+                s, dequantize_batch(b, jnp.bfloat16), k)
+            if eval_fn is not None:
+                self.eval_fn = jax.jit(lambda s, b: inner_eval(
+                    s, dequantize_batch(b, jnp.bfloat16)))
         self.step_fn = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
         self._ckpt_mgr = self._make_ckpt_manager()
 
@@ -333,6 +350,12 @@ class Trainer:
             # out_dtype == input_dtype), which this passes through
             if in_dt == jnp.float32 or _on_device(batch):
                 return batch
+            if in_dt == jnp.uint8:
+                # fallback for float-yielding loaders; zero-cost config is
+                # CTDataset(out_dtype="uint8") which ships codes directly
+                from smb_vision_tpu.data.quantization import quantize_batch
+
+                return quantize_batch(batch)
             return {k: (np.asarray(v).astype(in_dt)
                         if (np.asarray(v).dtype in _px_dts
                             and np.asarray(v).dtype != in_dt) else v)
