@@ -63,13 +63,13 @@ class InferenceArguments:
     quant8: bool = field(
         default=False,
         metadata={"help": "run transformer projections as W8A8 on the "
-                          "int8 MXU. MEASURED NET-NEUTRAL for speed "
-                          "through XLA (the dynamic per-tensor quantize "
-                          "pass eats the 1.37x int8 matmul rate, "
-                          "BENCHMARKS.md) while adding ~1%% activation "
-                          "rounding error — leave off unless you are "
-                          "benchmarking the path itself; the shipped fast "
-                          "path is --attn_impl pallas_int8"})
+                          "int8 MXU (per-token activation scales, "
+                          "per-channel weight scales). Measured +7%% on "
+                          "the projection chain (103.5 vs 96.6 TFLOP/s "
+                          "same-session, scripts/kexp/w8a8v2.py) — a "
+                          "~1-2%% end-to-end embed win — at ~0.1%% extra "
+                          "embedding drift at small scale; the bigger "
+                          "shipped fast path is --attn_impl pallas_int8"})
     # process-level fan-out (the reference's per-GPU mp.Pool chunking,
     # run_inspect.py:205-235): each process takes items[shard::num_shards];
     # resume-by-uid makes overlapping shards safe

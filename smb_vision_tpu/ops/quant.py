@@ -1,18 +1,29 @@
 """W8A8 dynamic-quantization linear for the inference fast path.
 
-The v5e MXU runs int8 x int8 -> int32 at 2x the bf16 rate (394 vs 197
-TOP/s). For forward-only embedding workloads the transformer projections
-(QKV, attn out, MLP) can run there: weights are quantized per output
-channel, activations per tensor with a dynamic (abs-max) scale computed
-on the fly. Replaces nothing in the reference (it has no quantized
-inference); this is TPU-native headroom on top of the flash kernel's
-int8 score path.
+The v5e MXU's int8 path is nominally 2x bf16 (394 vs 197 TOP/s); measured
+through this toolchain it tops out near 132 TFLOP/s at the ViT projection
+shapes (scripts/kexp/w8a8_pallas2.py: pure pre-quantized int8 pallas
+matmul 132.6, XLA int8 dot 129.4, vs 96-99 for the bf16 XLA chain).
+Round-2c's per-TENSOR dynamic quantize with f32 intermediates ate all of
+that (neutral, scripts/kexp/i8mm.py). Round 3 re-measured the recipe
+space (scripts/kexp/w8a8v2.py, w8a8_pallas.py, w8a8_pallas2.py):
 
-Accuracy: per-channel weight + per-tensor activation symmetric
-quantization is the standard W8A8 recipe; on LayerNormed ViT
-activations the end-to-end embed drift is of the same order as bf16
-round-off (see tests/test_attention.py::test_quant_dense and the HF
-parity delta documented in BENCHMARKS.md).
+- per-ROW (per-token) activation scales + bf16 intermediates: 103.5
+  TFLOP/s vs 96.6 bf16 same-session (+7%) — shipped below.
+- pallas fused quantize+matmul (one-shot N, m/n sub-block unrolls,
+  bm 256-1024): 87-102 TFLOP/s — never beats the XLA row-quantize
+  version; the int8 MXU rate at K=768/3072 is the binding ceiling, not
+  the quantize pass. Negative result; kernels kept as probe scripts.
+
+Per-row scales are also strictly tighter than per-tensor (each token gets
+its own dynamic range), so this dominates the round-2 recipe on both
+axes. Replaces nothing in the reference (it has no quantized inference);
+this is TPU-native headroom on top of the flash kernel's int8 score path.
+
+Accuracy: per-channel weight + per-row activation symmetric quantization;
+on LayerNormed ViT activations the end-to-end embed drift is of the same
+order as bf16 round-off (tests/test_attention.py::test_quant_dense; task-
+level bound in BENCHMARKS.md).
 """
 
 from __future__ import annotations
@@ -26,13 +37,14 @@ def w8a8_dot(x: jax.Array, kernel: jax.Array) -> jax.Array:
 
     x: (..., K) any float dtype; kernel: (K, M) float32.
     Returns (..., M) in x.dtype. Weights are quantized per out-channel,
-    activations per tensor (dynamic abs-max). Symmetric, zero-point-free.
+    activations per row (per token) with dynamic abs-max scales.
+    Symmetric, zero-point-free.
     """
     lead = x.shape[:-1]
     kdim = x.shape[-1]
     x2 = x.reshape(-1, kdim).astype(jnp.float32)
 
-    sx = jnp.max(jnp.abs(x2)) / 127.0
+    sx = jnp.max(jnp.abs(x2), axis=1, keepdims=True) / 127.0   # (rows, 1)
     sx = jnp.where(sx == 0, 1.0, sx)
     x8 = jnp.clip(jnp.round(x2 / sx), -127, 127).astype(jnp.int8)
 
