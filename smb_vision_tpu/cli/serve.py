@@ -68,6 +68,14 @@ class ServeArguments:
     warmup: bool = field(
         default=True, metadata={"help": "compile the encoder at startup "
                                         "instead of on the first request"})
+    input_dtype: str = field(
+        default="float32",
+        metadata={"help": "dtype pixels are shipped host->device in: "
+                          "bfloat16 halves, uint8 quarters the per-"
+                          "request upload (full-res f32 is 336 MB/volume "
+                          "— the dominant latency through a constrained "
+                          "link); uint8 decodes on device with per-volume "
+                          "affine keys, max abs err (max-min)/510"})
 
 
 class EmbeddingService:
@@ -89,24 +97,43 @@ class EmbeddingService:
             import numpy as np
 
             cfg = self.encoder._config()
-            dummy = np.zeros((args.batch_size, cfg.num_frames, 1,
-                              cfg.image_size, cfg.image_size), np.float32)
+            shape = (args.batch_size, cfg.num_frames, 1,
+                     cfg.image_size, cfg.image_size)
             with self._lock:
-                self.encoder.generate_embedding(dummy)
-            logger.info("warmup compile done (batch %d)", args.batch_size)
+                if args.input_dtype == "uint8":
+                    ones = np.ones(args.batch_size, np.float32)
+                    self.encoder.generate_embedding(
+                        np.zeros(shape, np.uint8), scale=ones,
+                        offset=np.zeros(args.batch_size, np.float32))
+                else:
+                    self.encoder.generate_embedding(
+                        np.zeros(shape, np.dtype(args.input_dtype)))
+            logger.info("warmup compile done (batch %d, input %s)",
+                        args.batch_size, args.input_dtype)
 
     def _preprocess(self, paths, cache: bool = True):
-        """Decode+resample each path to the model grid -> (N, D, C, H, W).
-        Runs in the request thread; cache hits skip the heavy work."""
+        """Decode+resample each path to the model grid -> (pixels
+        (N, D, C, H, W), scale, offset) — scale/offset are per-volume
+        affine keys when input_dtype='uint8', else None. Runs in the
+        request thread; cache hits skip the heavy work."""
         import numpy as np
 
         from smb_vision_tpu.data.dataset import CTDataset
 
-        ds = self.encoder.create_dataset([{"image": p} for p in paths])
+        ds = self.encoder.create_dataset([{"image": p} for p in paths],
+                                         out_dtype=self.args.input_dtype)
         if cache and self.args.cache_data_dir:
             ds = CTDataset(items=ds.items, pipeline=ds.pipeline,
-                           cache_dir=self.args.cache_data_dir)
-        return np.stack([ds[i]["image"] for i in range(len(paths))])
+                           cache_dir=self.args.cache_data_dir,
+                           out_dtype=self.args.input_dtype)
+        exs = [ds[i] for i in range(len(paths))]
+        pixels = np.stack([e["image"] for e in exs])
+        if "image_scale" in exs[0]:
+            return (pixels,
+                    np.asarray([e["image_scale"] for e in exs], np.float32),
+                    np.asarray([e["image_offset"] for e in exs],
+                               np.float32))
+        return pixels, None, None
 
     def embed(self, paths, pool: str = "mean", cache: bool = True):
         """-> list (per volume) of pooled vectors (pool='mean') or token
@@ -115,17 +142,23 @@ class EmbeddingService:
 
         if pool not in ("mean", "none"):
             raise ValueError(f"pool must be 'mean' or 'none', got {pool!r}")
-        pixels = self._preprocess(paths, cache=cache)
+        pixels, scales, offsets = self._preprocess(paths, cache=cache)
         bs = self.args.batch_size
         outs = []
         for i in range(0, len(paths), bs):
             chunk = pixels[i:i + bs]
+            sc = None if scales is None else scales[i:i + bs]
+            of = None if offsets is None else offsets[i:i + bs]
             n = chunk.shape[0]
             if n < bs:                      # pad to the compiled shape
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], bs - n, axis=0)])
+                if sc is not None:
+                    sc = np.concatenate([sc, np.repeat(sc[-1:], bs - n)])
+                    of = np.concatenate([of, np.repeat(of[-1:], bs - n)])
             with self._lock:
-                emb = self.encoder.generate_embedding(chunk)
+                emb = self.encoder.generate_embedding(chunk, scale=sc,
+                                                      offset=of)
             outs.append(np.asarray(emb)[:n])
         emb = np.concatenate(outs)          # (N, L, D)
         with self._lock:
@@ -142,6 +175,7 @@ class EmbeddingService:
                 "checkpoint": self.args.model_name_or_path,
                 "grid": list(cfg.grid), "hidden_size": cfg.hidden_size,
                 "batch_size": self.args.batch_size,
+                "input_dtype": self.args.input_dtype,
                 "device": jax.devices()[0].device_kind,
                 "requests_served": self.requests}
 

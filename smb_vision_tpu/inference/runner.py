@@ -78,7 +78,7 @@ class SmbVisionEncoder(BaseEncoder):
                                     attn_impl=self.attn_impl)
         return config
 
-    def create_dataset(self, items: List[Dict]):
+    def create_dataset(self, items: List[Dict], out_dtype: str = "float32"):
         from smb_vision_tpu.data.dataset import CTDataset
         from smb_vision_tpu.data.preprocess import (
             CT_PIPELINES,
@@ -96,7 +96,7 @@ class SmbVisionEncoder(BaseEncoder):
             layout=base.layout)
         norm = [{"image": it.get("image_path", it.get("image")), **it}
                 for it in items]
-        return CTDataset(items=norm, pipeline=pipe)
+        return CTDataset(items=norm, pipeline=pipe, out_dtype=out_dtype)
 
     def setup_model(self):
         import jax
@@ -122,12 +122,31 @@ class SmbVisionEncoder(BaseEncoder):
             out, _ = model.apply(p, px)
             return out.astype(jnp.float32)
 
+        # uint8-shipped pixels: one byte per voxel over the wire, decoded
+        # to bf16 inside the same compiled program (data/quantization.py)
+        from smb_vision_tpu.data.quantization import dequantize_pixels
+
+        @jax.jit
+        def encode_q(p, q, s, o):
+            out, _ = model.apply(
+                p, dequantize_pixels(q, s, o, jnp.bfloat16))
+            return out.astype(jnp.float32)
+
         self._params = params
         self._encode = encode
+        self._encode_q = encode_q
 
-    def generate_embedding(self, batch: np.ndarray) -> np.ndarray:
+    def generate_embedding(self, batch: np.ndarray, scale=None,
+                           offset=None) -> np.ndarray:
+        """batch (N, D, C, H, W) float — or uint8 codes with per-volume
+        (scale, offset) affine keys for on-device dequantize."""
         import jax.numpy as jnp
 
+        if scale is not None:
+            return np.asarray(self._encode_q(
+                self._params, jnp.asarray(batch),
+                jnp.asarray(scale, jnp.float32),
+                jnp.asarray(offset, jnp.float32)))
         return np.asarray(self._encode(self._params, jnp.asarray(batch)))
 
 

@@ -70,7 +70,7 @@ def test_embed_single_matches_direct(server):
 
     # direct path through the same resident encoder
     svc = srv.service
-    px = svc._preprocess([paths[0], paths[0]])  # compiled batch is 2
+    px, _, _ = svc._preprocess([paths[0], paths[0]])  # compiled batch is 2
     direct = svc.encoder.generate_embedding(px)[0].mean(axis=0)
     np.testing.assert_allclose(np.asarray(out["embeddings"][0]), direct,
                                rtol=2e-5, atol=2e-5)
@@ -116,6 +116,34 @@ def test_embed_raw_nifti_bytes(server):
     np.testing.assert_allclose(np.asarray(raw["embeddings"]),
                                np.asarray(by_path["embeddings"]),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_embed_uint8_input_dtype(server, tmp_path):
+    """--input_dtype uint8 ships one byte per voxel (on-device affine
+    decode); embeddings must track the f32-shipped server closely."""
+    srv, paths = server
+    from smb_vision_tpu.cli.serve import ServeArguments, make_server
+
+    args = ServeArguments(
+        host="127.0.0.1", port=0,
+        config_path=srv.service.args.config_path, dtype="float32",
+        attn_impl="xla", batch_size=2, input_dtype="uint8",
+        cache_data_dir=str(tmp_path / "cache_u8"))
+    srv8 = make_server(args)
+    t = threading.Thread(target=srv8.serve_forever, daemon=True)
+    t.start()
+    try:
+        status, health = _request(srv8, "GET", "/healthz")
+        assert status == 200 and health["input_dtype"] == "uint8"
+        status, out8 = _request(srv8, "POST", "/embed", {"images": paths})
+        assert status == 200 and out8["shape"] == [3, 32]
+        _, outf = _request(srv, "POST", "/embed", {"images": paths})
+        a, b = np.asarray(out8["embeddings"]), np.asarray(outf["embeddings"])
+        # uint8 decode error is (max-min)/510 per voxel; pooled embeddings
+        # of a tiny random model stay within a few percent
+        assert np.abs(a - b).max() / np.abs(b).max() < 0.05
+    finally:
+        srv8.shutdown()
 
 
 def test_embed_errors(server):
