@@ -64,12 +64,13 @@ class InferenceArguments:
         default=False,
         metadata={"help": "run transformer projections as W8A8 on the "
                           "int8 MXU (per-token activation scales, "
-                          "per-channel weight scales). Measured +7%% on "
-                          "the projection chain (103.5 vs 96.6 TFLOP/s "
-                          "same-session, scripts/kexp/w8a8v2.py) — a "
-                          "~1-2%% end-to-end embed win — at ~0.1%% extra "
-                          "embedding drift at small scale; the bigger "
-                          "shipped fast path is --attn_impl pallas_int8"})
+                          "per-channel weight scales). MEASURED NET "
+                          "LOSS in-model (-19%% at d64: the quantize "
+                          "pass breaks XLA's producer fusions, "
+                          "BENCHMARKS.md) even though the isolated "
+                          "chain gains +7%% — leave off unless you are "
+                          "benchmarking the path itself; the shipped "
+                          "fast path is --attn_impl pallas_int8"})
     # process-level fan-out (the reference's per-GPU mp.Pool chunking,
     # run_inspect.py:205-235): each process takes items[shard::num_shards];
     # resume-by-uid makes overlapping shards safe
