@@ -57,16 +57,24 @@ def measure(attn_impl: str) -> float:
     # warmup/compile (distinct input from all timed ones)
     float(encode_sum(params, px))
     # every timed call gets a DISTINCT random input — the relay memoizes
-    # identical (fn, args) calls, which would fake the timing
-    n_iters = 4
-    inputs = [jax.random.normal(jax.random.PRNGKey(100 + i), px.shape,
-                                jnp.bfloat16) for i in range(n_iters)]
-    jax.block_until_ready(inputs)
-    t0 = time.perf_counter()
-    for x in inputs:
-        float(encode_sum(params, x))
-    dt = time.perf_counter() - t0
-    return n_iters * batch / dt
+    # identical (fn, args) calls, which would fake the timing. Three
+    # timed passes, best-of (min time = max throughput, the same
+    # protocol as every scripts/kexp harness): relay dispatch stalls are
+    # one-sided noise that only ever deflates a single-pass number.
+    n_iters, n_pass = 4, 3
+    best = None
+    for p in range(n_pass):
+        inputs = [jax.random.normal(
+            jax.random.PRNGKey(100 + p * n_iters + i), px.shape,
+            jnp.bfloat16) for i in range(n_iters)]
+        jax.block_until_ready(inputs)
+        t0 = time.perf_counter()
+        for x in inputs:
+            float(encode_sum(params, x))
+        dt = time.perf_counter() - t0
+        del inputs
+        best = dt if best is None else min(best, dt)
+    return n_iters * batch / best
 
 
 def main():

@@ -102,6 +102,8 @@ class VideoMAEConfig(BaseConfig):
     # framework knobs (not in HF config)
     dtype: str = "bfloat16"         # compute dtype
     attn_impl: str = "auto"         # auto | pallas | xla
+    # fused Pallas MLP kernel on TPU (ops/mlp.py): auto | pallas | xla
+    mlp_impl: str = "auto"
     gradient_checkpointing: bool = False
     # shard the token dimension over the mesh "model" axis; attention runs
     # the flash kernel per shard (all-gather-kv CP or ring attention)
@@ -173,6 +175,7 @@ class VJEPA2Config(BaseConfig):
     # framework knobs
     dtype: str = "bfloat16"
     attn_impl: str = "auto"
+    mlp_impl: str = "auto"          # fused Pallas MLP kernel on TPU
     gradient_checkpointing: bool = False
     sequence_parallel: bool = False
     sp_variant: str = "gather"      # gather (all-gather kv) | ring
@@ -231,6 +234,7 @@ class Dinov2Config(BaseConfig):
 
     dtype: str = "bfloat16"
     attn_impl: str = "auto"
+    mlp_impl: str = "auto"          # fused Pallas MLP kernel on TPU
     gradient_checkpointing: bool = False
 
     @property

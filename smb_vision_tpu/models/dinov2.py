@@ -114,7 +114,8 @@ class Dinov2Model(nn.Module):
             layerscale_value=cfg.layerscale_value,
             drop_path_rate=cfg.drop_path_rate,
             use_swiglu=cfg.use_swiglu_ffn, dtype=dt,
-            attn_impl=cfg.attn_impl, remat=cfg.gradient_checkpointing,
+            attn_impl=cfg.attn_impl, mlp_impl=cfg.mlp_impl,
+            remat=cfg.gradient_checkpointing,
             initializer_range=cfg.initializer_range,
             name="encoder")(x, deterministic=deterministic)
 

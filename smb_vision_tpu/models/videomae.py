@@ -92,7 +92,8 @@ class VideoMAEModel(nn.Module):
             intermediate_size=cfg.intermediate_size, act=cfg.hidden_act,
             bias_mode="qv" if cfg.qkv_bias else "none",
             layer_norm_eps=cfg.layer_norm_eps, dtype=dt,
-            attn_impl=cfg.attn_impl, remat=cfg.gradient_checkpointing,
+            attn_impl=cfg.attn_impl, mlp_impl=cfg.mlp_impl,
+            remat=cfg.gradient_checkpointing,
             initializer_range=cfg.initializer_range,
             sequence_parallel=cfg.sequence_parallel,
             sp_variant=cfg.sp_variant, quant8=cfg.quant8,
@@ -146,7 +147,8 @@ class VideoMAEForPreTraining(nn.Module):
             intermediate_size=cfg.decoder_intermediate_size,
             act=cfg.hidden_act, bias_mode="qv" if cfg.qkv_bias else "none",
             layer_norm_eps=cfg.layer_norm_eps, dtype=dt,
-            attn_impl=cfg.attn_impl, remat=cfg.gradient_checkpointing,
+            attn_impl=cfg.attn_impl, mlp_impl=cfg.mlp_impl,
+            remat=cfg.gradient_checkpointing,
             initializer_range=cfg.initializer_range,
             sequence_parallel=cfg.sequence_parallel,
             sp_variant=cfg.sp_variant,

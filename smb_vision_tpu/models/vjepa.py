@@ -73,7 +73,8 @@ class VJEPA2Encoder(nn.Module):
             bias_mode="qkv" if cfg.qkv_bias else "none",
             layer_norm_eps=cfg.layer_norm_eps,
             drop_path_rate=cfg.drop_path_rate, dtype=dt,
-            attn_impl=cfg.attn_impl, remat=cfg.gradient_checkpointing,
+            attn_impl=cfg.attn_impl, mlp_impl=cfg.mlp_impl,
+            remat=cfg.gradient_checkpointing,
             initializer_range=cfg.initializer_range,
             sequence_parallel=cfg.sequence_parallel,
             sp_variant=cfg.sp_variant,
@@ -95,7 +96,8 @@ class VJEPA2Predictor(nn.Module):
             bias_mode="qkv" if cfg.qkv_bias else "none",
             layer_norm_eps=cfg.layer_norm_eps,
             drop_path_rate=cfg.drop_path_rate, dtype=dt,
-            attn_impl=cfg.attn_impl, remat=cfg.gradient_checkpointing,
+            attn_impl=cfg.attn_impl, mlp_impl=cfg.mlp_impl,
+            remat=cfg.gradient_checkpointing,
             initializer_range=cfg.initializer_range, name="stack")
 
     @nn.compact
@@ -227,6 +229,7 @@ class VJEPA2AttentivePooler(nn.Module):
             h = Mlp(cfg.hidden_size, int(cfg.hidden_size * cfg.mlp_ratio),
                     act=cfg.hidden_act, dtype=dt,
                     initializer_range=cfg.initializer_range,
+                    mlp_impl=cfg.mlp_impl,
                     name=f"self_layer_{i}_mlp")(
                         ln(f"self_layer_{i}_norm2")(hidden_state))
             hidden_state = res + h
@@ -250,6 +253,7 @@ class VJEPA2AttentivePooler(nn.Module):
         h = res + Mlp(cfg.hidden_size, int(cfg.hidden_size * cfg.mlp_ratio),
                       act=cfg.hidden_act, dtype=dt,
                       initializer_range=cfg.initializer_range,
+                      mlp_impl=cfg.mlp_impl,
                       name="cross_mlp")(ln("cross_norm2")(h))
         return h[:, 0]
 

@@ -1,0 +1,239 @@
+"""Fused transformer MLP (fc1 -> GELU -> fc2) as one Pallas TPU kernel.
+
+The reference runs its MLPs through torch nn.Linear + nn.GELU (e.g.
+/root/reference/src/models/videomae/modeling_videomae.py intermediate/
+output modules); under XLA the equivalent bf16 dense->gelu->dense chain
+measures only 71.1 TFLOP/s on a v5e (36% of peak — the GELU+bias
+epilogue drags XLA's plain-matmul 97 down, scripts/kexp/mlpk.py), while
+this kernel reaches 94-95 TFLOP/s same-session (+34%,
+scripts/kexp/mlpk2.py). Design:
+
+  grid = (M // bm, F // bf)            row blocks x hidden chunks
+  x_ref  (bm, K)   bf16                constant over the f axis
+  w1_ref (K, bf)   bf16  |  streamed per f chunk -> ViT-L's 16 MB MLP
+  w2_ref (bf, K)   bf16  |  weights never need to fit VMEM at once
+  acc    (bm, K)   f32   scratch, accumulated across f chunks
+  per sub-block j (bn wide) inside a chunk:
+    h_j  = gelu(x @ w1[:, j] + b1[j])      f32, GELU on the VPU
+    acc += h_j.bf16 @ w2[j, :]             f32 MXU accumulate
+  last f chunk: out = (acc + b2).bf16
+
+The (M, F) intermediate never touches HBM, and the bn sub-blocks give
+Mosaic independent MXU/VPU chains to overlap — the same structure as the
+flash kernel's u4/u8 unroll (ops/attention.py).
+
+GELU: Mosaic has no erf lowering, so the exact-erf variant is computed
+via the Abramowitz-Stegun 7.1.26 rational approximation in f32
+(|abs err| <= 1.5e-7 — three orders below bf16 resolution; measured
+6.7e-7 end-to-end on-chip). `jnp.sign` crashes the Mosaic compiler; the
+sign is applied with `jnp.where`.
+
+Backward: custom VJP that recomputes the XLA forward and differentiates
+it (remat-style) — training forwards get the kernel speedup while
+gradients stay bit-identical to the plain XLA path the CPU mesh tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INVSQRT2 = 0.7071067811865476
+# v5e scoped-vmem limit is 16 MB; plan against 14 to leave Mosaic slack
+_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def _gelu_as(x):
+    """Exact-erf GELU via Abramowitz-Stegun 7.1.26 (|err| <= 1.5e-7)."""
+    z = jnp.abs(x) * _INVSQRT2
+    t = 1.0 / (1.0 + 0.3275911 * z)
+    poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+             - 0.284496736) * t + 0.254829592) * t
+    e = 1.0 - poly * jnp.exp(-z * z)
+    return 0.5 * x * (1.0 + jnp.where(x >= 0, e, -e))
+
+
+def _gelu_tanh(x):
+    return 0.5 * x * (1.0 + jnp.tanh(
+        0.7978845608028654 * (x + 0.044715 * x * x * x)))
+
+
+_KERNEL_ACTS = {"gelu": _gelu_as, "gelu_new": _gelu_tanh}
+
+
+def _xla_act(name: str):
+    if name == "gelu":
+        return lambda x: jax.nn.gelu(x, approximate=False)
+    if name == "gelu_new":
+        return lambda x: jax.nn.gelu(x, approximate=True)
+    raise ValueError(f"unsupported mlp act {name!r}")
+
+
+def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, acc_scr, *,
+                bn: int, act: str):
+    jf = pl.program_id(1)
+    nf = pl.num_programs(1)
+    gelu = _KERNEL_ACTS[act]
+
+    @pl.when(jf == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    x = x_ref[...]
+    acc = acc_scr[...]
+    for j in range(w1_ref.shape[1] // bn):
+        h = jax.lax.dot_general(
+            x, w1_ref[:, j * bn:(j + 1) * bn], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        h = gelu(h + b1_ref[0, j * bn:(j + 1) * bn])
+        acc = acc + jax.lax.dot_general(
+            h.astype(jnp.bfloat16), w2_ref[j * bn:(j + 1) * bn, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    acc_scr[...] = acc
+
+    @pl.when(jf == nf - 1)
+    def _flush():
+        o_ref[...] = (acc_scr[...] + b2_ref[...]).astype(o_ref.dtype)
+
+
+def _vmem_bytes(bm: int, k: int, f: int, bf: int) -> int:
+    """Scoped-vmem estimate for one grid step: x/out blocks are
+    double-buffered across the parallel axis; when f is chunked
+    (bf < f) the streamed w1/w2 chunks double-buffer too, while a
+    single-chunk kernel keeps them grid-invariant (resident once)."""
+    x_out = 2 * (bm * k * 2) * 2           # x + out, bf16, double-buffered
+    acc = bm * k * 4                        # f32 scratch
+    w = 2 * k * bf * 2                      # w1 + w2 chunk, bf16
+    if bf < f:
+        w *= 2                              # streamed -> double-buffered
+    bias = (bf + k) * 4 * (2 if bf < f else 1)
+    return x_out + acc + w + bias
+
+
+def _plan(m: int, k: int, f: int) -> Optional[Tuple[int, int, int]]:
+    """(bm, bf, bn) or None if the shape doesn't map onto the kernel.
+
+    bm=512 won the on-chip sweep (bm=1024 exceeds the 16 MB scoped-vmem
+    limit and crashes the Mosaic compiler; ViT-L's K=1024 needs bf=1024
+    chunks for the same reason); bn gives the in-chunk unroll
+    (bn=768 ~ 384 > 1536 on-chip, scripts/kexp/mlpk3.py)."""
+    if k % 128 != 0 or f % 128 != 0:
+        return None
+    for bm in (512, 256, 128):
+        if m % bm != 0:
+            continue
+        bf = f
+        while _vmem_bytes(bm, k, f, bf) > _VMEM_BUDGET and bf % 2 == 0 \
+                and bf > 128:
+            bf //= 2
+        if f % bf != 0 or bf % 128 != 0 \
+                or _vmem_bytes(bm, k, f, bf) > _VMEM_BUDGET:
+            continue
+        bn = next((b for b in (768, 512, 1024, 256, 128) if bf % b == 0),
+                  bf)
+        return bm, bf, bn
+    return None
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("act", "bm", "bf", "bn", "interpret"))
+def _mlp_pallas(x2, w1, b1, w2, b2, act, bm, bf, bn, interpret=False):
+    m, k = x2.shape
+    f = w1.shape[1]
+    return pl.pallas_call(
+        functools.partial(_mlp_kernel, bn=bn, act=act),
+        grid=(m // bm, f // bf),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, jf: (i, 0)),
+            pl.BlockSpec((k, bf), lambda i, jf: (0, jf)),
+            pl.BlockSpec((1, bf), lambda i, jf: (0, jf)),
+            pl.BlockSpec((bf, k), lambda i, jf: (jf, 0)),
+            pl.BlockSpec((1, k), lambda i, jf: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, k), lambda i, jf: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, k), x2.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, k), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(x2, w1, b1, w2, b2)
+
+
+def _mlp_xla(x, w1, b1, w2, b2, act: str):
+    """Bit-identical to the flax Mlp module's nn.Dense/bf16 path."""
+    dt = x.dtype
+    h = x @ w1.astype(dt)
+    if b1 is not None:
+        h = h + b1.astype(dt)
+    h = _xla_act(act)(h)
+    y = h @ w2.astype(dt)
+    if b2 is not None:
+        y = y + b2.astype(dt)
+    return y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _mlp_fused(x, w1, b1, w2, b2, static):
+    act, bm, bf, bn, interpret = static
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16)
+    y = _mlp_pallas(x2, w1.astype(jnp.bfloat16),
+                    b1.astype(jnp.float32).reshape(1, -1),
+                    w2.astype(jnp.bfloat16),
+                    b2.astype(jnp.float32).reshape(1, -1),
+                    act, bm, bf, bn, interpret)
+    return y.reshape(*lead, y.shape[-1]).astype(x.dtype)
+
+
+def _mlp_fused_fwd(x, w1, b1, w2, b2, static):
+    return _mlp_fused(x, w1, b1, w2, b2, static), (x, w1, b1, w2, b2)
+
+
+def _mlp_fused_bwd(static, res, g):
+    act = static[0]
+    x, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(
+        lambda *a: _mlp_xla(*a, act=act), x, w1, b1, w2, b2)
+    return vjp(g)
+
+
+_mlp_fused.defvjp(_mlp_fused_fwd, _mlp_fused_bwd)
+
+
+def mlp_forward(x, w1, b1, w2, b2, *, act: str = "gelu",
+                impl: str = "auto", interpret: bool = False):
+    """Transformer MLP y = act(x @ w1 + b1) @ w2 + b2.
+
+    x: (..., K); w1: (K, F); b1: (F,); w2: (F, K); b2: (K,).
+    impl: "auto" (pallas on TPU when the shape maps, else xla) |
+          "pallas" | "xla". The pallas path computes bias+GELU in f32
+    (strictly tighter than the xla path's bf16 epilogue); its backward
+    recomputes the xla forward, so gradients match the plain path.
+    """
+    if impl not in ("auto", "pallas", "xla"):
+        raise ValueError(f"unknown mlp impl {impl!r}; "
+                         "valid: 'auto', 'pallas', 'xla'")
+    plan = None
+    if impl != "xla" and act in _KERNEL_ACTS and b1 is not None \
+            and b2 is not None:
+        m = 1
+        for d in x.shape[:-1]:
+            m *= d
+        plan = _plan(m, x.shape[-1], w1.shape[1])
+    if impl == "auto":
+        on_tpu = jax.devices()[0].platform == "tpu"
+        impl = "pallas" if (on_tpu and plan is not None) else "xla"
+    if impl == "xla":
+        return _mlp_xla(x, w1, b1, w2, b2, act)
+    if plan is None:
+        raise ValueError(
+            f"mlp impl='pallas' cannot map shape x={x.shape}, "
+            f"w1={w1.shape}: rows must divide by 128 and K, F by 128")
+    bm, bf, bn = plan
+    return _mlp_fused(x, w1, b1, w2, b2, (act, bm, bf, bn, interpret))
