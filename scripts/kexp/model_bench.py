@@ -14,12 +14,13 @@ from smb_vision_tpu.models.videomae import VideoMAEModel
 
 
 def run(heads, batch=1, iters=4, impl="auto", quant8=False,
-        mlp_impl="auto"):
+        mlp_impl="auto", fused_qkv=True):
     config = VideoMAEConfig(image_size=512, num_frames=320, patch_size=16,
                             tubelet_size=16, num_channels=1,
                             num_attention_heads=heads,
                             dtype="bfloat16", attn_impl=impl,
-                            quant8=quant8, mlp_impl=mlp_impl)
+                            quant8=quant8, mlp_impl=mlp_impl,
+                            fused_qkv=fused_qkv)
     model = VideoMAEModel(config)
     key = jax.random.PRNGKey(0)
     px = jax.random.normal(key, (batch, 320, 1, 512, 512), jnp.bfloat16)
@@ -41,6 +42,7 @@ def run(heads, batch=1, iters=4, impl="auto", quant8=False,
     vps = iters * batch / dt
     q = " w8a8" if quant8 else ""
     q += f" mlp={mlp_impl}" if mlp_impl != "auto" else ""
+    q += " qkv3" if not fused_qkv else ""
     print(f"heads={heads:2d} (d{768//heads}) batch={batch} {impl:13s}{q}: "
           f"{vps:.3f} vol/s  ({dt/iters*1e3:.0f} ms/call)", flush=True)
     return vps
@@ -74,6 +76,14 @@ if __name__ == "__main__":
         run(12, 4, impl="auto", mlp_impl="pallas")
         run(6, 4, impl="pallas_int8", mlp_impl="xla")
         run(6, 4, impl="pallas_int8", mlp_impl="pallas")
+    if which == "qkv":
+        # fused-QKV in-model A/B (same session) on top of the fused MLP
+        run(12, 4, impl="pallas_int8", fused_qkv=False)
+        run(12, 4, impl="pallas_int8", fused_qkv=True)
+        run(12, 4, impl="auto", fused_qkv=False)
+        run(12, 4, impl="auto", fused_qkv=True)
+        run(6, 4, impl="pallas_int8", fused_qkv=False)
+        run(6, 4, impl="pallas_int8", fused_qkv=True)
     if which == "grid":
         for heads in (12, 6):
             for impl in ("auto", "pallas_int8"):

@@ -104,6 +104,10 @@ class VideoMAEConfig(BaseConfig):
     attn_impl: str = "auto"         # auto | pallas | xla
     # fused Pallas MLP kernel on TPU (ops/mlp.py): auto | pallas | xla
     mlp_impl: str = "auto"
+    # one wide QKV matmul instead of three narrow ones — measured 3-5%
+    # SLOWER in-model (XLA's dot-merger already coalesces the narrow
+    # dots; BENCHMARKS.md); kept as an A/B knob
+    fused_qkv: bool = False
     gradient_checkpointing: bool = False
     # shard the token dimension over the mesh "model" axis; attention runs
     # the flash kernel per shard (all-gather-kv CP or ring attention)
@@ -176,6 +180,7 @@ class VJEPA2Config(BaseConfig):
     dtype: str = "bfloat16"
     attn_impl: str = "auto"
     mlp_impl: str = "auto"          # fused Pallas MLP kernel on TPU
+    fused_qkv: bool = False         # measured negative (BENCHMARKS.md)
     gradient_checkpointing: bool = False
     sequence_parallel: bool = False
     sp_variant: str = "gather"      # gather (all-gather kv) | ring
@@ -235,6 +240,7 @@ class Dinov2Config(BaseConfig):
     dtype: str = "bfloat16"
     attn_impl: str = "auto"
     mlp_impl: str = "auto"          # fused Pallas MLP kernel on TPU
+    fused_qkv: bool = False         # measured negative (BENCHMARKS.md)
     gradient_checkpointing: bool = False
 
     @property

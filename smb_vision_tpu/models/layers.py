@@ -84,12 +84,21 @@ class Attention(nn.Module):
     sequence_parallel: bool = False
     sp_variant: str = "gather"   # "gather" (all-gather kv) | "ring"
     quant8: bool = False         # W8A8 projections (inference only)
+    # one (h, 3h) QKV matmul instead of three (h, h) ones. The isolated
+    # chain probe suggested 2x (84.7 vs 40.6 TFLOP/s,
+    # scripts/kexp/projk.py) but IN-MODEL this LOSES 3-5% (d64+int8
+    # 6.36 vs 6.69 vol/s same-session A/B, model_bench.py qkv): XLA's
+    # dot-merger already coalesces same-input narrow dots inside the
+    # block, and the manual concat+slice adds copies it doesn't need.
+    # Kept as a measured negative; default OFF.
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, x, rope: Optional[Tuple[jax.Array, jax.Array]] = None,
                  kv: Optional[jax.Array] = None):
         b, n, _ = x.shape
-        head_dim = self.hidden_size // self.num_heads
+        h = self.hidden_size
+        head_dim = h // self.num_heads
         kinit = trunc_normal_init(self.initializer_range)
         dense_cls = QuantDense if self.quant8 else nn.Dense
         dense = lambda name, use_bias: dense_cls(  # noqa: E731
@@ -100,11 +109,40 @@ class Attention(nn.Module):
         kb = self.bias_mode == "qkv"
         vb = self.bias_mode in ("qkv", "qv")
         src = x if kv is None else kv
-        q = dense("query", qb)(x).reshape(b, n, self.num_heads, head_dim)
-        k = dense("key", kb)(src).reshape(b, src.shape[1], self.num_heads,
-                                          head_dim)
-        v = dense("value", vb)(src).reshape(b, src.shape[1], self.num_heads,
-                                            head_dim)
+        if self.fused_qkv and not self.quant8:
+            dt = self.dtype
+            wq, bq = _DenseParams(h, kinit, qb, name="query")(x.shape[-1])
+            wk, bk = _DenseParams(h, kinit, kb, name="key")(src.shape[-1])
+            wv, bv = _DenseParams(h, kinit, vb, name="value")(
+                src.shape[-1])
+            zeros = jnp.zeros((h,), jnp.float32)
+
+            def fused(inp, ws, bs, flags):
+                y = inp.astype(dt) @ jnp.concatenate(ws, 1).astype(dt)
+                if any(flags):
+                    y = y + jnp.concatenate(
+                        [bb if f else zeros for bb, f in zip(bs, flags)]
+                    ).astype(dt)
+                return y
+
+            if kv is None:
+                qkv = fused(x, (wq, wk, wv), (bq, bk, bv), (qb, kb, vb))
+                q, k, v = (qkv[..., :h], qkv[..., h:2 * h],
+                           qkv[..., 2 * h:])
+            else:
+                q = fused(x, (wq,), (bq,), (qb,))
+                kv_p = fused(kv, (wk, wv), (bk, bv), (kb, vb))
+                k, v = kv_p[..., :h], kv_p[..., h:]
+            q = q.reshape(b, n, self.num_heads, head_dim)
+            k = k.reshape(b, src.shape[1], self.num_heads, head_dim)
+            v = v.reshape(b, src.shape[1], self.num_heads, head_dim)
+        else:
+            q = dense("query", qb)(x).reshape(b, n, self.num_heads,
+                                              head_dim)
+            k = dense("key", kb)(src).reshape(b, src.shape[1],
+                                              self.num_heads, head_dim)
+            v = dense("value", vb)(src).reshape(b, src.shape[1],
+                                                self.num_heads, head_dim)
 
         if rope is not None:
             cos, sin = rope
@@ -146,13 +184,15 @@ class _DenseParams(nn.Module):
 
     features: int
     kernel_init: Callable
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, in_features: int):
         kernel = self.param("kernel", self.kernel_init,
                             (in_features, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
-                          (self.features,), jnp.float32)
+                          (self.features,), jnp.float32) \
+            if self.use_bias else None
         return kernel, bias
 
 
@@ -251,6 +291,7 @@ class Block(nn.Module):
     sp_variant: str = "gather"
     quant8: bool = False
     mlp_impl: str = "auto"
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, x, rope=None, deterministic: bool = True):
@@ -272,6 +313,7 @@ class Block(nn.Module):
                       initializer_range=self.initializer_range,
                       sequence_parallel=self.sequence_parallel,
                       sp_variant=self.sp_variant, quant8=self.quant8,
+                      fused_qkv=self.fused_qkv,
                       name="attention")(ln("norm1")(x), rope=rope)
         x = x + dp(scaled("layerscale1", h), deterministic)
 
@@ -317,6 +359,7 @@ class Encoder(nn.Module):
     sp_variant: str = "gather"
     quant8: bool = False
     mlp_impl: str = "auto"
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, x, rope=None, deterministic: bool = True):
@@ -343,7 +386,7 @@ class Encoder(nn.Module):
                 initializer_range=self.initializer_range,
                 sequence_parallel=self.sequence_parallel,
                 sp_variant=self.sp_variant, quant8=self.quant8,
-                mlp_impl=self.mlp_impl,
+                mlp_impl=self.mlp_impl, fused_qkv=self.fused_qkv,
                 name=f"layer_{i}")(x, rope, deterministic)
             if self.sequence_parallel:
                 x = constrain(x)

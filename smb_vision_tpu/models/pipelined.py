@@ -73,7 +73,7 @@ def pipelined_encoder(enc: Encoder, enc_params: dict, x, *, mesh: Mesh,
                   use_swiglu=enc.use_swiglu, dtype=enc.dtype,
                   attn_impl=enc.attn_impl, mlp_impl=enc.mlp_impl,
                   initializer_range=enc.initializer_range,
-                  quant8=enc.quant8)
+                  quant8=enc.quant8, fused_qkv=enc.fused_qkv)
 
     if rope is None:
         layer_fn = lambda p, h: block.apply(  # noqa: E731
@@ -111,6 +111,7 @@ def videomae_pipeline_encode(config, params: dict, pixel_values, *,
         bias_mode="qv" if cfg.qkv_bias else "none",
         layer_norm_eps=cfg.layer_norm_eps, dtype=dt,
         attn_impl=cfg.attn_impl, mlp_impl=cfg.mlp_impl,
+            fused_qkv=cfg.fused_qkv,
         initializer_range=cfg.initializer_range,
         quant8=cfg.quant8)
     x = pipelined_encoder(enc, p["encoder"], x, mesh=mesh, axis=axis,
@@ -146,6 +147,7 @@ def vjepa2_pipeline_encode(config, params: dict, pixel_values_videos, *,
         act=cfg.hidden_act, bias_mode="qkv" if cfg.qkv_bias else "none",
         layer_norm_eps=cfg.layer_norm_eps, dtype=dt,
         attn_impl=cfg.attn_impl, mlp_impl=cfg.mlp_impl,
+            fused_qkv=cfg.fused_qkv,
         initializer_range=cfg.initializer_range)
     x = pipelined_encoder(enc, p["encoder"], x, mesh=mesh, axis=axis,
                           num_microbatches=num_microbatches, rope=rope,
@@ -290,6 +292,7 @@ def videomae_pipeline_pretrain(config, params: dict, pixel_values,
                       bias_mode="qv" if cfg.qkv_bias else "none",
                       layer_norm_eps=cfg.layer_norm_eps, dtype=dt,
                       attn_impl=cfg.attn_impl, mlp_impl=cfg.mlp_impl,
+            fused_qkv=cfg.fused_qkv,
                       initializer_range=cfg.initializer_range)
     layer_fn = lambda pp, h: enc_block.apply(  # noqa: E731
         {"params": pp}, h, None, True)
@@ -318,6 +321,7 @@ def videomae_pipeline_pretrain(config, params: dict, pixel_values,
                       bias_mode="qv" if cfg.qkv_bias else "none",
                       layer_norm_eps=cfg.layer_norm_eps, dtype=dt,
                       attn_impl=cfg.attn_impl, mlp_impl=cfg.mlp_impl,
+            fused_qkv=cfg.fused_qkv,
                       initializer_range=cfg.initializer_range)
     dec_fn = lambda pp, h: dec_block.apply(  # noqa: E731
         {"params": pp}, h, None, True)
@@ -403,6 +407,7 @@ def _vjepa_pipe_encode(cfg, enc_params, pixel_values_videos, *, mesh, axis,
                   bias_mode="qkv" if cfg.qkv_bias else "none",
                   layer_norm_eps=cfg.layer_norm_eps, dtype=dt,
                   attn_impl=cfg.attn_impl, mlp_impl=cfg.mlp_impl,
+            fused_qkv=cfg.fused_qkv,
                   initializer_range=cfg.initializer_range)
     layer_fn = lambda pp, h, rp: block.apply(  # noqa: E731
         {"params": pp}, h, rp, True)
@@ -465,6 +470,7 @@ def vjepa2_pipeline_pretrain(config, params: dict, teacher: dict,
                    bias_mode="qkv" if cfg.qkv_bias else "none",
                    layer_norm_eps=cfg.layer_norm_eps, dtype=dt,
                    attn_impl=cfg.attn_impl, mlp_impl=cfg.mlp_impl,
+            fused_qkv=cfg.fused_qkv,
                    initializer_range=cfg.initializer_range)
     pfn = lambda pp, h, rp: pblock.apply(  # noqa: E731
         {"params": pp}, h, rp, True)

@@ -376,6 +376,51 @@ def _fwd_i8(q, k, v, *, scale, block_q, block_k, interpret=False,
 
 
 # ---------------------------------------------------------------------------
+# SPMD entries: pallas_call has no GSPMD rule — a bare kernel under pjit
+# gets all-gathered and computed replicated on every chip. These wrappers
+# (ops/partition.py) declare the batch*heads leading dim partitionable so
+# dp/fsdp-sharded activations run the kernel per shard. Inside shard_map
+# (SP/ring/pipeline) they are transparent.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _fwd_sharded(scale, block_q, block_k, interpret):
+    from smb_vision_tpu.ops.partition import dim0_partitioned
+
+    return dim0_partitioned(
+        lambda q, k, v: _fwd(q, k, v, scale=scale, block_q=block_q,
+                             block_k=block_k, interpret=interpret),
+        sharded_args=(0, 1, 2))
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_i8_sharded(scale, block_q, block_k, interpret, pv):
+    from smb_vision_tpu.ops.partition import dim0_partitioned
+
+    return dim0_partitioned(
+        lambda q, k, v: _fwd_i8(q, k, v, scale=scale, block_q=block_q,
+                                block_k=block_k, interpret=interpret,
+                                pv=pv),
+        sharded_args=(0, 1, 2))
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_sharded(scale, block_q, block_k, interpret, has_glse):
+    from smb_vision_tpu.ops.partition import dim0_partitioned
+
+    if has_glse:
+        fn = lambda q, k, v, out, lse, g, g_lse: _bwd(  # noqa: E731
+            scale, block_q, block_k, interpret, (q, k, v, out, lse), g,
+            g_lse=g_lse)
+        n_args = 7
+    else:
+        fn = lambda q, k, v, out, lse, g: _bwd(  # noqa: E731
+            scale, block_q, block_k, interpret, (q, k, v, out, lse), g)
+        n_args = 6
+    return dim0_partitioned(fn, sharded_args=tuple(range(n_args)))
+
+
+# ---------------------------------------------------------------------------
 # Backward kernels
 # ---------------------------------------------------------------------------
 # Standard flash-attention backward split in two passes, both with
@@ -581,19 +626,18 @@ def _bwd(scale, block_q, block_k, interpret, res, g, g_lse=None):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _flash(q, k, v, scale, block_q, block_k, interpret):
-    out, _ = _fwd(q, k, v, scale=scale, block_q=block_q, block_k=block_k,
-                  interpret=interpret)
+    out, _ = _fwd_sharded(scale, block_q, block_k, interpret)(q, k, v)
     return out
 
 
 def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
-    out, lse = _fwd(q, k, v, scale=scale, block_q=block_q, block_k=block_k,
-                    interpret=interpret)
+    out, lse = _fwd_sharded(scale, block_q, block_k, interpret)(q, k, v)
     return out, (q, k, v, out, lse)
 
 
 def _flash_bwd(scale, block_q, block_k, interpret, res, g):
-    return _bwd(scale, block_q, block_k, interpret, res, g)
+    return _bwd_sharded(scale, block_q, block_k, interpret, False)(
+        *res, g)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -606,20 +650,18 @@ def _flash_lse(q, k, v, scale, block_q, block_k, interpret):
     p = exp2(s * scale * LOG2E - lse2). Differentiable through BOTH
     outputs — the lse2 cotangent folds into the backward's delta term
     (see _bwd) — which is what the ring-attention merge needs."""
-    return _fwd(q, k, v, scale=scale, block_q=block_q, block_k=block_k,
-                interpret=interpret)
+    return _fwd_sharded(scale, block_q, block_k, interpret)(q, k, v)
 
 
 def _flash_lse_fwd(q, k, v, scale, block_q, block_k, interpret):
-    out, lse = _fwd(q, k, v, scale=scale, block_q=block_q, block_k=block_k,
-                    interpret=interpret)
+    out, lse = _fwd_sharded(scale, block_q, block_k, interpret)(q, k, v)
     return (out, lse), (q, k, v, out, lse)
 
 
 def _flash_lse_bwd(scale, block_q, block_k, interpret, res, g):
     g_out, g_lse = g
-    return _bwd(scale, block_q, block_k, interpret, res, g_out,
-                g_lse=g_lse)
+    return _bwd_sharded(scale, block_q, block_k, interpret, True)(
+        *res, g_out, g_lse)
 
 
 _flash_lse.defvjp(_flash_lse_fwd, _flash_lse_bwd)
@@ -724,9 +766,9 @@ def attention(q, k, v, *, scale: Optional[float] = None,
     bk = _pick_block(kv, block_k)
 
     if impl in ("pallas_int8", "pallas_int8pv"):
-        out = _fwd_i8(fold(q), fold(k), fold(v), scale=scale, block_q=bq,
-                      block_k=bk, interpret=interpret,
-                      pv=impl == "pallas_int8pv")
+        out = _fwd_i8_sharded(scale, bq, bk, interpret,
+                              impl == "pallas_int8pv")(
+            fold(q), fold(k), fold(v))
     else:
         out = _flash(fold(q), fold(k), fold(v), scale, bq, bk, interpret)
     out = out[..., :d].reshape(b, h, nq, d)

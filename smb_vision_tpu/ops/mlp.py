@@ -178,16 +178,37 @@ def _mlp_xla(x, w1, b1, w2, b2, act: str):
     return y
 
 
+def _mlp_local(x2, w1, b1, w2, b2, act: str, interpret: bool):
+    """Run the kernel on whatever (possibly per-shard) shape arrives;
+    shapes the kernel can't tile fall back to XLA."""
+    plan = _plan(x2.shape[0], x2.shape[1], w1.shape[1])
+    if plan is None:
+        return _mlp_xla(x2, w1, b1[0], w2, b2[0], act)
+    return _mlp_pallas(x2, w1, b1, w2, b2, act, *plan, interpret)
+
+
+@functools.lru_cache(maxsize=None)
+def _mlp_partitioned(act: str, interpret: bool):
+    """SPMD-partitionable kernel entry: rows shard, weights replicate
+    (ops/partition.py — a bare pallas_call would be all-gathered and
+    computed replicated under pjit)."""
+    from smb_vision_tpu.ops.partition import dim0_partitioned
+
+    return dim0_partitioned(
+        lambda x2, w1, b1, w2, b2: _mlp_local(x2, w1, b1, w2, b2, act,
+                                              interpret))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _mlp_fused(x, w1, b1, w2, b2, static):
-    act, bm, bf, bn, interpret = static
+    act, interpret = static
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16)
-    y = _mlp_pallas(x2, w1.astype(jnp.bfloat16),
-                    b1.astype(jnp.float32).reshape(1, -1),
-                    w2.astype(jnp.bfloat16),
-                    b2.astype(jnp.float32).reshape(1, -1),
-                    act, bm, bf, bn, interpret)
+    y = _mlp_partitioned(act, interpret)(
+        x2, w1.astype(jnp.bfloat16),
+        b1.astype(jnp.float32).reshape(1, -1),
+        w2.astype(jnp.bfloat16),
+        b2.astype(jnp.float32).reshape(1, -1))
     return y.reshape(*lead, y.shape[-1]).astype(x.dtype)
 
 
@@ -235,5 +256,4 @@ def mlp_forward(x, w1, b1, w2, b2, *, act: str = "gelu",
         raise ValueError(
             f"mlp impl='pallas' cannot map shape x={x.shape}, "
             f"w1={w1.shape}: rows must divide by 128 and K, F by 128")
-    bm, bf, bn = plan
-    return _mlp_fused(x, w1, b1, w2, b2, (act, bm, bf, bn, interpret))
+    return _mlp_fused(x, w1, b1, w2, b2, (act, interpret))
