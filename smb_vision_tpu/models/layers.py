@@ -196,6 +196,38 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
+class _MlpParams(nn.Module):
+    """fc1/fc2 raw weights with the Mlp module's exact param tree, for
+    the fused half-block kernel (ops/mlp.py::mlp_block_forward)."""
+
+    hidden_size: int
+    intermediate_size: int
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        w1, b1 = _DenseParams(self.intermediate_size, self.kernel_init,
+                              name="fc1")(in_features)
+        w2, b2 = _DenseParams(self.hidden_size, self.kernel_init,
+                              name="fc2")(self.intermediate_size)
+        return w1, b1, w2, b2
+
+
+class _LayerNormParams(nn.Module):
+    """scale/bias with nn.LayerNorm's param tree, consumed raw by the
+    fused half-block kernel."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return scale, bias
+
+
 class Mlp(nn.Module):
     """fc1 -> act -> fc2. mlp_impl routes gelu-family MLPs through the
     fused Pallas kernel on TPU (ops/mlp.py: one kernel, the (N, F)
@@ -316,6 +348,37 @@ class Block(nn.Module):
                       fused_qkv=self.fused_qkv,
                       name="attention")(ln("norm1")(x), rope=rope)
         x = x + dp(scaled("layerscale1", h), deterministic)
+
+        # the whole MLP half-block (LN -> fc1 -> gelu -> fc2
+        # [-> layerscale] -> residual) fuses into ONE pallas kernel when
+        # nothing non-foldable sits in the chain (DropPath active =
+        # per-sample random scale; SwiGLU/quant8 have their own paths).
+        # LayerScale folds into w2/b2. Params keep the norm2/mlp trees.
+        fuse_block = (not self.use_swiglu and not self.quant8
+                      and self.act in ("gelu", "gelu_new")
+                      and (self.drop_path_rate == 0.0 or deterministic)
+                      and (self.mlp_impl == "pallas"
+                           or (self.mlp_impl == "auto"
+                               and jax.devices()[0].platform == "tpu")))
+        if fuse_block:
+            from smb_vision_tpu.ops.mlp import mlp_block_forward
+
+            lnw, lnb = _LayerNormParams(self.hidden_size,
+                                        name="norm2")()
+            kinit = trunc_normal_init(self.initializer_range)
+            w1, b1, w2, b2 = _MlpParams(
+                self.hidden_size, self.intermediate_size, kinit,
+                name="mlp")(self.hidden_size)
+            if self.layerscale_value is not None:
+                lam = self.param("layerscale2", nn.initializers.constant(
+                    self.layerscale_value), (self.hidden_size,),
+                    jnp.float32)
+                w2 = w2 * lam[None, :]
+                b2 = b2 * lam
+            return mlp_block_forward(x.astype(self.dtype), lnw, lnb,
+                                     w1, b1, w2, b2, act=self.act,
+                                     eps=self.layer_norm_eps,
+                                     impl=self.mlp_impl)
 
         if self.use_swiglu:
             h = SwiGLU(self.hidden_size, self.intermediate_size,

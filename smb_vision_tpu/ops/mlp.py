@@ -44,8 +44,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _INVSQRT2 = 0.7071067811865476
-# v5e scoped-vmem limit is 16 MB; plan against 14 to leave Mosaic slack
-_VMEM_BUDGET = 14 * 1024 * 1024
+# v5e scoped-vmem limit is 16 MB; plan against 15 to leave Mosaic slack
+_VMEM_BUDGET = 15 * 1024 * 1024
 
 
 def _gelu_as(x):
@@ -102,21 +102,67 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, acc_scr, *,
         o_ref[...] = (acc_scr[...] + b2_ref[...]).astype(o_ref.dtype)
 
 
-def _vmem_bytes(bm: int, k: int, f: int, bf: int) -> int:
+def _mlp_block_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
+                      b2_ref, o_ref, acc_scr, xn_scr, *, bn: int,
+                      act: str, eps: float):
+    """Whole MLP half-block: o = x + gelu(LN(x) @ w1 + b1) @ w2 + b2.
+    The LayerNorm runs once per row block into a VMEM scratch (f32
+    stats, matching flax.nn.LayerNorm) and the residual add rides the
+    flush — the normalized activations and the MLP output never touch
+    HBM."""
+    jf = pl.program_id(1)
+    nf = pl.num_programs(1)
+    gelu = _KERNEL_ACTS[act]
+
+    @pl.when(jf == 0)
+    def _init():
+        xf = x_ref[...].astype(jnp.float32)
+        mu = jnp.mean(xf, axis=1, keepdims=True)
+        var = jnp.mean(xf * xf, axis=1, keepdims=True) - mu * mu
+        xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+        xn = xn * lnw_ref[...] + lnb_ref[...]
+        xn_scr[...] = xn.astype(xn_scr.dtype)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    xn = xn_scr[...]
+    acc = acc_scr[...]
+    for j in range(w1_ref.shape[1] // bn):
+        h = jax.lax.dot_general(
+            xn, w1_ref[:, j * bn:(j + 1) * bn], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        h = gelu(h + b1_ref[0, j * bn:(j + 1) * bn])
+        acc = acc + jax.lax.dot_general(
+            h.astype(jnp.bfloat16), w2_ref[j * bn:(j + 1) * bn, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    acc_scr[...] = acc
+
+    @pl.when(jf == nf - 1)
+    def _flush():
+        res = x_ref[...].astype(jnp.float32)
+        o_ref[...] = (res + acc_scr[...] + b2_ref[...]).astype(
+            o_ref.dtype)
+
+
+def _vmem_bytes(bm: int, k: int, f: int, bf: int,
+                block: bool = False) -> int:
     """Scoped-vmem estimate for one grid step: x/out blocks are
     double-buffered across the parallel axis; when f is chunked
     (bf < f) the streamed w1/w2 chunks double-buffer too, while a
-    single-chunk kernel keeps them grid-invariant (resident once)."""
+    single-chunk kernel keeps them grid-invariant (resident once).
+    The fused half-block variant adds a bf16 LN scratch."""
     x_out = 2 * (bm * k * 2) * 2           # x + out, bf16, double-buffered
     acc = bm * k * 4                        # f32 scratch
     w = 2 * k * bf * 2                      # w1 + w2 chunk, bf16
     if bf < f:
         w *= 2                              # streamed -> double-buffered
     bias = (bf + k) * 4 * (2 if bf < f else 1)
-    return x_out + acc + w + bias
+    xn = bm * k * 2 if block else 0         # LN(x) scratch
+    return x_out + acc + w + bias + xn
 
 
-def _plan(m: int, k: int, f: int) -> Optional[Tuple[int, int, int]]:
+def _plan(m: int, k: int, f: int,
+          block: bool = False) -> Optional[Tuple[int, int, int]]:
     """(bm, bf, bn) or None if the shape doesn't map onto the kernel.
 
     bm=512 won the on-chip sweep (bm=1024 exceeds the 16 MB scoped-vmem
@@ -129,11 +175,11 @@ def _plan(m: int, k: int, f: int) -> Optional[Tuple[int, int, int]]:
         if m % bm != 0:
             continue
         bf = f
-        while _vmem_bytes(bm, k, f, bf) > _VMEM_BUDGET and bf % 2 == 0 \
-                and bf > 128:
+        while _vmem_bytes(bm, k, f, bf, block) > _VMEM_BUDGET \
+                and bf % 2 == 0 and bf > 128:
             bf //= 2
         if f % bf != 0 or bf % 128 != 0 \
-                or _vmem_bytes(bm, k, f, bf) > _VMEM_BUDGET:
+                or _vmem_bytes(bm, k, f, bf, block) > _VMEM_BUDGET:
             continue
         bn = next((b for b in (768, 512, 1024, 256, 128) if bf % b == 0),
                   bf)
@@ -163,6 +209,34 @@ def _mlp_pallas(x2, w1, b1, w2, b2, act, bm, bf, bn, interpret=False):
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(x2, w1, b1, w2, b2)
+
+
+@functools.partial(jax.jit, static_argnames=("act", "bm", "bf", "bn",
+                                              "eps", "interpret"))
+def _mlp_block_pallas(x2, lnw, lnb, w1, b1, w2, b2, act, bm, bf, bn, eps,
+                      interpret=False):
+    m, k = x2.shape
+    f = w1.shape[1]
+    return pl.pallas_call(
+        functools.partial(_mlp_block_kernel, bn=bn, act=act, eps=eps),
+        grid=(m // bm, f // bf),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, jf: (i, 0)),
+            pl.BlockSpec((1, k), lambda i, jf: (0, 0)),
+            pl.BlockSpec((1, k), lambda i, jf: (0, 0)),
+            pl.BlockSpec((k, bf), lambda i, jf: (0, jf)),
+            pl.BlockSpec((1, bf), lambda i, jf: (0, jf)),
+            pl.BlockSpec((bf, k), lambda i, jf: (jf, 0)),
+            pl.BlockSpec((1, k), lambda i, jf: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, k), lambda i, jf: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, k), x2.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, k), jnp.float32),
+                        pltpu.VMEM((bm, k), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(x2, lnw, lnb, w1, b1, w2, b2)
 
 
 def _mlp_xla(x, w1, b1, w2, b2, act: str):
@@ -227,6 +301,99 @@ def _mlp_fused_bwd(static, res, g):
 _mlp_fused.defvjp(_mlp_fused_fwd, _mlp_fused_bwd)
 
 
+def _mlp_block_xla(x, lnw, lnb, w1, b1, w2, b2, act: str, eps: float):
+    """x + mlp(LayerNorm(x)) with flax-matching numerics: stats and
+    scale/bias in f32, matmuls in x.dtype."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps) * lnw + lnb
+    return x + _mlp_xla(xn.astype(x.dtype), w1, b1, w2, b2, act)
+
+
+def _mlp_block_local(x2, lnw, lnb, w1, b1, w2, b2, act: str, eps: float,
+                     interpret: bool):
+    plan = _plan(x2.shape[0], x2.shape[1], w1.shape[1], block=True)
+    if plan is None:
+        return _mlp_block_xla(x2, lnw[0], lnb[0], w1, b1[0], w2, b2[0],
+                              act, eps)
+    return _mlp_block_pallas(x2, lnw, lnb, w1, b1, w2, b2, act, *plan,
+                             eps, interpret)
+
+
+@functools.lru_cache(maxsize=None)
+def _mlp_block_partitioned(act: str, eps: float, interpret: bool):
+    from smb_vision_tpu.ops.partition import dim0_partitioned
+
+    return dim0_partitioned(
+        lambda x2, lnw, lnb, w1, b1, w2, b2: _mlp_block_local(
+            x2, lnw, lnb, w1, b1, w2, b2, act, eps, interpret))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _mlp_block_fused(x, lnw, lnb, w1, b1, w2, b2, static):
+    act, eps, interpret = static
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16)
+    y = _mlp_block_partitioned(act, eps, interpret)(
+        x2, lnw.astype(jnp.float32).reshape(1, -1),
+        lnb.astype(jnp.float32).reshape(1, -1),
+        w1.astype(jnp.bfloat16),
+        b1.astype(jnp.float32).reshape(1, -1),
+        w2.astype(jnp.bfloat16),
+        b2.astype(jnp.float32).reshape(1, -1))
+    return y.reshape(*lead, y.shape[-1]).astype(x.dtype)
+
+
+def _mlp_block_fused_fwd(x, lnw, lnb, w1, b1, w2, b2, static):
+    return (_mlp_block_fused(x, lnw, lnb, w1, b1, w2, b2, static),
+            (x, lnw, lnb, w1, b1, w2, b2))
+
+
+def _mlp_block_fused_bwd(static, res, g):
+    act, eps, _ = static
+    _, vjp = jax.vjp(
+        lambda *a: _mlp_block_xla(*a, act=act, eps=eps), *res)
+    return vjp(g)
+
+
+_mlp_block_fused.defvjp(_mlp_block_fused_fwd, _mlp_block_fused_bwd)
+
+
+def mlp_block_forward(x, ln_scale, ln_bias, w1, b1, w2, b2, *,
+                      act: str = "gelu", eps: float = 1e-6,
+                      impl: str = "auto", interpret: bool = False):
+    """Whole transformer MLP half-block:
+    y = x + act(LayerNorm(x) @ w1 + b1) @ w2 + b2  in ONE pallas kernel
+    (LN prologue + residual epilogue fused; LayerScale folds into w2/b2
+    at the caller). impl semantics as `mlp_forward`."""
+    if impl not in ("auto", "pallas", "xla"):
+        raise ValueError(f"unknown mlp impl {impl!r}; "
+                         "valid: 'auto', 'pallas', 'xla'")
+    plan = None
+    if impl != "xla" and act in _KERNEL_ACTS and b1 is not None \
+            and b2 is not None:
+        m = 1
+        for d in x.shape[:-1]:
+            m *= d
+        plan = _plan(m, x.shape[-1], w1.shape[1], block=True)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if impl == "auto":
+        impl = "pallas" if (on_tpu and plan is not None) else "xla"
+    elif impl == "pallas" and not on_tpu:
+        interpret = True        # forced-pallas off-TPU: interpret mode
+    if impl == "xla":
+        return _mlp_block_xla(x, ln_scale.astype(jnp.float32),
+                              ln_bias.astype(jnp.float32), w1, b1, w2,
+                              b2, act, eps)
+    if plan is None:
+        raise ValueError(
+            f"mlp block impl='pallas' cannot map shape x={x.shape}, "
+            f"w1={w1.shape}: rows must divide by 128 and K, F by 128")
+    return _mlp_block_fused(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                            (act, float(eps), interpret))
+
+
 def mlp_forward(x, w1, b1, w2, b2, *, act: str = "gelu",
                 impl: str = "auto", interpret: bool = False):
     """Transformer MLP y = act(x @ w1 + b1) @ w2 + b2.
@@ -247,9 +414,11 @@ def mlp_forward(x, w1, b1, w2, b2, *, act: str = "gelu",
         for d in x.shape[:-1]:
             m *= d
         plan = _plan(m, x.shape[-1], w1.shape[1])
+    on_tpu = jax.devices()[0].platform == "tpu"
     if impl == "auto":
-        on_tpu = jax.devices()[0].platform == "tpu"
         impl = "pallas" if (on_tpu and plan is not None) else "xla"
+    elif impl == "pallas" and not on_tpu:
+        interpret = True        # forced-pallas off-TPU: interpret mode
     if impl == "xla":
         return _mlp_xla(x, w1, b1, w2, b2, act)
     if plan is None:

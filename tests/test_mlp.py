@@ -110,3 +110,46 @@ def test_module_param_structure_unchanged():
            @ p["fc2"]["kernel"] + p["fc2"]["bias"])
     assert jnp.allclose(y_auto, ref, atol=1e-5)
     assert jnp.allclose(y_xla, ref, atol=1e-5)
+
+
+def test_block_fuses_mlp_half_block():
+    """Block(mlp_impl='pallas') routes LN2+MLP+layerscale+residual
+    through the fused kernel (interpret off-TPU) with the SAME param
+    tree and matching numerics as the plain path."""
+    from smb_vision_tpu.models.layers import Block
+
+    x = _mk(11, (2, 128, 128), jnp.float32)
+    kw = dict(hidden_size=128, num_heads=2, intermediate_size=512,
+              dtype=jnp.float32, attn_impl="xla", layerscale_value=0.9)
+    b_ref = Block(**kw, mlp_impl="xla")
+    b_fused = Block(**kw, mlp_impl="pallas")
+    params = b_ref.init(jax.random.PRNGKey(0), x)
+    p2 = b_fused.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(params) \
+        == jax.tree_util.tree_structure(p2)
+    y_ref = b_ref.apply(params, x)
+    y_fused = b_fused.apply(params, x)
+    scale = float(jnp.abs(y_ref).max())
+    assert float(jnp.abs(y_fused - y_ref).max()) / scale < 5e-3
+
+
+def test_block_fused_matches_with_droppath_eval():
+    """drop_path_rate > 0 with deterministic=True (eval) still fuses and
+    matches; deterministic=False falls back to the unfused path."""
+    from smb_vision_tpu.models.layers import Block
+
+    x = _mk(12, (2, 128, 128), jnp.float32)
+    kw = dict(hidden_size=128, num_heads=2, intermediate_size=512,
+              dtype=jnp.float32, attn_impl="xla", drop_path_rate=0.3)
+    b_ref = Block(**kw, mlp_impl="xla")
+    b_fused = Block(**kw, mlp_impl="pallas")
+    params = b_ref.init(jax.random.PRNGKey(0), x)
+    y_ref = b_ref.apply(params, x, None, True)
+    y_fused = b_fused.apply(params, x, None, True)
+    scale = float(jnp.abs(y_ref).max())
+    assert float(jnp.abs(y_fused - y_ref).max()) / scale < 5e-3
+    # training-mode droppath: both paths apply the same stochastic mask
+    rngs = {"droppath": jax.random.PRNGKey(7)}
+    y_ref_t = b_ref.apply(params, x, None, False, rngs=rngs)
+    y_fused_t = b_fused.apply(params, x, None, False, rngs=rngs)
+    assert jnp.allclose(y_ref_t, y_fused_t, atol=5e-3 * scale)
