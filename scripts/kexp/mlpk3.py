@@ -89,6 +89,41 @@ def main():
         bench_shape(20480, 768, 3072)        # flagship (bs1 row count)
         bench_shape(20480, 768, 3072, bn_override=384)
         bench_shape(20480, 768, 3072, bn_override=1536)
+    if which == "swiglu":
+        import jax.numpy as jnp
+        from smb_vision_tpu.ops.mlp import (_swiglu_block_xla,
+                                            swiglu_block_forward)
+        M, K, F = 20480, 768, 2048   # DINOv2-base swiglu sizing
+        x = mk(0, (M, K))
+        lnw = (1.0 + mk(9, (K,), jnp.float32) * 0.1)
+        lnb = mk(10, (K,), jnp.float32) * 0.1
+        w_in, b_in = mk(1, (K, 2 * F)), mk(2, (2 * F,), jnp.float32) * 0.1
+        w_out, b_out = mk(3, (F, K)), mk(4, (K,), jnp.float32) * 0.1
+        flops = 6 * M * K * F * LINKS
+
+        def chain(impl):
+            @jax.jit
+            def f(x, lnw, lnb, w_in, b_in, w_out, b_out):
+                y = x
+                for _ in range(LINKS):
+                    y = (swiglu_block_forward(
+                        y, lnw, lnb, w_in, b_in, w_out, b_out,
+                        impl=impl) * 0.5).astype(jnp.bfloat16)
+                return jnp.sum(y.astype(jnp.float32))
+            return f
+
+        args = [(mk(i, (M, K)), lnw, lnb, w_in, b_in, w_out, b_out)
+                for i in range(4)]
+        timeit("swiglu xla", chain("xla"), args, flops)
+        timeit("swiglu pallas block", chain("pallas"), args, flops)
+        ref = _swiglu_block_xla(x.astype(jnp.float32), lnw, lnb,
+                                w_in.astype(jnp.float32), b_in,
+                                w_out.astype(jnp.float32), b_out, 1e-6)
+        y = swiglu_block_forward(x, lnw, lnb, w_in, b_in, w_out, b_out,
+                                 impl="pallas")
+        print("  compiled rel err vs f32:",
+              f"{float(jnp.abs(y.astype(jnp.float32) - ref).max() / jnp.abs(ref).max()):.2e}",
+              flush=True)
     if which in ("all", "big"):
         bench_shape(9216, 1024, 4096)        # ViT-L (streamed w chunks)
         bench_shape(9216, 1024, 4096, plan_override=(256, 1024, 512))

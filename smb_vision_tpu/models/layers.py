@@ -213,6 +213,25 @@ class _MlpParams(nn.Module):
         return w1, b1, w2, b2
 
 
+class _SwiGLUParams(nn.Module):
+    """weights_in/weights_out raw weights with the SwiGLU module's exact
+    param tree, for the fused half-block kernel."""
+
+    hidden_size: int
+    intermediate_size: int
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        w_in, b_in = _DenseParams(2 * self.intermediate_size,
+                                  self.kernel_init,
+                                  name="weights_in")(in_features)
+        w_out, b_out = _DenseParams(self.hidden_size, self.kernel_init,
+                                    name="weights_out")(
+            self.intermediate_size)
+        return w_in, b_in, w_out, b_out
+
+
 class _LayerNormParams(nn.Module):
     """scale/bias with nn.LayerNorm's param tree, consumed raw by the
     fused half-block kernel."""
@@ -354,27 +373,46 @@ class Block(nn.Module):
         # nothing non-foldable sits in the chain (DropPath active =
         # per-sample random scale; SwiGLU/quant8 have their own paths).
         # LayerScale folds into w2/b2. Params keep the norm2/mlp trees.
-        fuse_block = (not self.use_swiglu and not self.quant8
-                      and self.act in ("gelu", "gelu_new")
-                      and (self.drop_path_rate == 0.0 or deterministic)
-                      and (self.mlp_impl == "pallas"
-                           or (self.mlp_impl == "auto"
-                               and jax.devices()[0].platform == "tpu")))
+        # gelu MLPs auto-fuse on TPU (+30% over the XLA chain); the
+        # swiglu kernel measured FLAT vs XLA (BENCHMARKS.md) so it runs
+        # only on explicit mlp_impl="pallas"
+        route = (self.mlp_impl == "pallas"
+                 if self.use_swiglu else
+                 (self.mlp_impl == "pallas"
+                  or (self.mlp_impl == "auto"
+                      and jax.devices()[0].platform == "tpu")))
+        fuse_block = (not self.quant8 and route
+                      and (self.use_swiglu
+                           or self.act in ("gelu", "gelu_new"))
+                      and (self.drop_path_rate == 0.0 or deterministic))
         if fuse_block:
-            from smb_vision_tpu.ops.mlp import mlp_block_forward
+            from smb_vision_tpu.ops.mlp import (
+                mlp_block_forward,
+                swiglu_block_forward,
+            )
 
             lnw, lnb = _LayerNormParams(self.hidden_size,
                                         name="norm2")()
             kinit = trunc_normal_init(self.initializer_range)
-            w1, b1, w2, b2 = _MlpParams(
-                self.hidden_size, self.intermediate_size, kinit,
-                name="mlp")(self.hidden_size)
+            if self.use_swiglu:
+                w1, b1, w2, b2 = _SwiGLUParams(
+                    self.hidden_size, self.intermediate_size, kinit,
+                    name="mlp")(self.hidden_size)
+            else:
+                w1, b1, w2, b2 = _MlpParams(
+                    self.hidden_size, self.intermediate_size, kinit,
+                    name="mlp")(self.hidden_size)
             if self.layerscale_value is not None:
                 lam = self.param("layerscale2", nn.initializers.constant(
                     self.layerscale_value), (self.hidden_size,),
                     jnp.float32)
                 w2 = w2 * lam[None, :]
                 b2 = b2 * lam
+            if self.use_swiglu:
+                return swiglu_block_forward(x.astype(self.dtype), lnw,
+                                            lnb, w1, b1, w2, b2,
+                                            eps=self.layer_norm_eps,
+                                            impl=self.mlp_impl)
             return mlp_block_forward(x.astype(self.dtype), lnw, lnb,
                                      w1, b1, w2, b2, act=self.act,
                                      eps=self.layer_norm_eps,

@@ -144,25 +144,74 @@ def _mlp_block_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
             o_ref.dtype)
 
 
+def _swiglu_block_kernel(x_ref, lnw_ref, lnb_ref, w1a_ref, w1b_ref,
+                         b1a_ref, b1b_ref, w2_ref, b2_ref, o_ref,
+                         acc_scr, xn_scr, *, bn: int, eps: float):
+    """SwiGLU half-block: o = x + (silu(xn@w1a+b1a) * (xn@w1b+b1b)) @ w2
+    + b2 with xn = LN(x) — the DINOv2 use_swiglu_ffn path
+    (reference modeling_dinov2.py:374-391), gating in f32 on the VPU.
+    w1a/w1b are the two column halves of the checkpoint's weights_in."""
+    jf = pl.program_id(1)
+    nf = pl.num_programs(1)
+
+    @pl.when(jf == 0)
+    def _init():
+        xf = x_ref[...].astype(jnp.float32)
+        mu = jnp.mean(xf, axis=1, keepdims=True)
+        var = jnp.mean(xf * xf, axis=1, keepdims=True) - mu * mu
+        xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+        xn = xn * lnw_ref[...] + lnb_ref[...]
+        xn_scr[...] = xn.astype(xn_scr.dtype)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    xn = xn_scr[...]
+    acc = acc_scr[...]
+    for j in range(w1a_ref.shape[1] // bn):
+        sl = slice(j * bn, (j + 1) * bn)
+        h1 = jax.lax.dot_general(
+            xn, w1a_ref[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b1a_ref[0, sl]
+        h2 = jax.lax.dot_general(
+            xn, w1b_ref[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b1b_ref[0, sl]
+        g = h1 / (1.0 + jnp.exp(-h1)) * h2          # silu(h1) * h2
+        acc = acc + jax.lax.dot_general(
+            g.astype(jnp.bfloat16), w2_ref[sl, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    acc_scr[...] = acc
+
+    @pl.when(jf == nf - 1)
+    def _flush():
+        res = x_ref[...].astype(jnp.float32)
+        o_ref[...] = (res + acc_scr[...] + b2_ref[...]).astype(
+            o_ref.dtype)
+
+
 def _vmem_bytes(bm: int, k: int, f: int, bf: int,
-                block: bool = False) -> int:
+                block: bool = False, n_w: int = 2) -> int:
     """Scoped-vmem estimate for one grid step: x/out blocks are
     double-buffered across the parallel axis; when f is chunked
-    (bf < f) the streamed w1/w2 chunks double-buffer too, while a
+    (bf < f) the streamed weight chunks multi-buffer, while a
     single-chunk kernel keeps them grid-invariant (resident once).
-    The fused half-block variant adds a bf16 LN scratch."""
+    The fused half-block variants add a bf16 LN scratch; SwiGLU has
+    three weight operands (n_w=3)."""
     x_out = 2 * (bm * k * 2) * 2           # x + out, bf16, double-buffered
     acc = bm * k * 4                        # f32 scratch
-    w = 2 * k * bf * 2                      # w1 + w2 chunk, bf16
+    w = n_w * k * bf * 2                    # weight chunks, bf16
     if bf < f:
-        w *= 2                              # streamed -> double-buffered
-    bias = (bf + k) * 4 * (2 if bf < f else 1)
+        # streamed chunks cost ~3x, not 2x: Mosaic allocated 17.43M for
+        # the ViT-L bf=1024 plan this formula once priced at 14.0M
+        # (compile-time scoped-vmem OOM on-chip); with 3x the estimate
+        # is 18M -> the planner correctly falls back to bf=512
+        w *= 3
+    bias = (bf + k) * 4 * (3 if bf < f else 1)
     xn = bm * k * 2 if block else 0         # LN(x) scratch
     return x_out + acc + w + bias + xn
 
 
-def _plan(m: int, k: int, f: int,
-          block: bool = False) -> Optional[Tuple[int, int, int]]:
+def _plan(m: int, k: int, f: int, block: bool = False,
+          n_w: int = 2) -> Optional[Tuple[int, int, int]]:
     """(bm, bf, bn) or None if the shape doesn't map onto the kernel.
 
     bm=512 won the on-chip sweep (bm=1024 exceeds the 16 MB scoped-vmem
@@ -171,20 +220,40 @@ def _plan(m: int, k: int, f: int,
     (bn=768 ~ 384 > 1536 on-chip, scripts/kexp/mlpk3.py)."""
     if k % 128 != 0 or f % 128 != 0:
         return None
+    # the 9-operand swiglu kernel OOM'd on-chip at an estimated 14.9M
+    # (single-chunk 20480x768x2048) — give 3-weight kernels extra slack
+    budget = _VMEM_BUDGET if n_w == 2 else 13 * 1024 * 1024
     for bm in (512, 256, 128):
         if m % bm != 0:
             continue
         bf = f
-        while _vmem_bytes(bm, k, f, bf, block) > _VMEM_BUDGET \
+        while _vmem_bytes(bm, k, f, bf, block, n_w) > budget \
                 and bf % 2 == 0 and bf > 128:
             bf //= 2
         if f % bf != 0 or bf % 128 != 0 \
-                or _vmem_bytes(bm, k, f, bf, block) > _VMEM_BUDGET:
+                or _vmem_bytes(bm, k, f, bf, block, n_w) > budget:
             continue
         bn = next((b for b in (768, 512, 1024, 256, 128) if bf % b == 0),
                   bf)
         return bm, bf, bn
     return None
+
+
+def _padded_plan(m: int, k: int, f: int, block: bool = False,
+                 n_w: int = 2):
+    """(plan, m_padded): odd row counts (e.g. DINOv2's CLS token making
+    rows b*(N+1)) pad up to the next 512 multiple — the padded rows
+    compute garbage that is sliced off after the kernel. Only worth it
+    for real workloads (m >= 2048)."""
+    plan = _plan(m, k, f, block, n_w)
+    if plan is not None:
+        return plan, m
+    if m >= 2048:
+        m_pad = -(-m // 512) * 512
+        plan = _plan(m_pad, k, f, block, n_w)
+        if plan is not None:
+            return plan, m_pad
+    return None, m
 
 
 @functools.partial(jax.jit,
@@ -278,11 +347,17 @@ def _mlp_fused(x, w1, b1, w2, b2, static):
     act, interpret = static
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16)
+    m = x2.shape[0]
+    _, m_pad = _padded_plan(m, x2.shape[1], w1.shape[1])
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
     y = _mlp_partitioned(act, interpret)(
         x2, w1.astype(jnp.bfloat16),
         b1.astype(jnp.float32).reshape(1, -1),
         w2.astype(jnp.bfloat16),
         b2.astype(jnp.float32).reshape(1, -1))
+    if m_pad != m:
+        y = y[:m]
     return y.reshape(*lead, y.shape[-1]).astype(x.dtype)
 
 
@@ -299,6 +374,152 @@ def _mlp_fused_bwd(static, res, g):
 
 
 _mlp_fused.defvjp(_mlp_fused_fwd, _mlp_fused_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bf", "bn", "eps",
+                                              "interpret"))
+def _swiglu_block_pallas(x2, lnw, lnb, w1a, w1b, b1a, b1b, w2, b2, bm,
+                         bf, bn, eps, interpret=False):
+    m, k = x2.shape
+    f = w1a.shape[1]
+    return pl.pallas_call(
+        functools.partial(_swiglu_block_kernel, bn=bn, eps=eps),
+        grid=(m // bm, f // bf),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, jf: (i, 0)),
+            pl.BlockSpec((1, k), lambda i, jf: (0, 0)),
+            pl.BlockSpec((1, k), lambda i, jf: (0, 0)),
+            pl.BlockSpec((k, bf), lambda i, jf: (0, jf)),
+            pl.BlockSpec((k, bf), lambda i, jf: (0, jf)),
+            pl.BlockSpec((1, bf), lambda i, jf: (0, jf)),
+            pl.BlockSpec((1, bf), lambda i, jf: (0, jf)),
+            pl.BlockSpec((bf, k), lambda i, jf: (jf, 0)),
+            pl.BlockSpec((1, k), lambda i, jf: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, k), lambda i, jf: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, k), x2.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, k), jnp.float32),
+                        pltpu.VMEM((bm, k), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(x2, lnw, lnb, w1a, w1b, b1a, b1b, w2, b2)
+
+
+def _swiglu_block_xla(x, lnw, lnb, w_in, b_in, w_out, b_out, eps: float):
+    """x + SwiGLU(LayerNorm(x)) matching models/layers.py::SwiGLU."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    xn = ((xf - mu) * jax.lax.rsqrt(var + eps) * lnw + lnb).astype(
+        x.dtype)
+    h = xn @ w_in.astype(x.dtype) + b_in.astype(x.dtype)
+    x1, x2 = jnp.split(h, 2, axis=-1)
+    g = jax.nn.silu(x1) * x2
+    return x + (g @ w_out.astype(x.dtype) + b_out.astype(x.dtype))
+
+
+def _swiglu_block_local(x2, lnw, lnb, w1a, w1b, b1a, b1b, w2, b2,
+                        eps: float, interpret: bool):
+    plan = _plan(x2.shape[0], x2.shape[1], w1a.shape[1], block=True,
+                 n_w=3)
+    if plan is None:
+        w_in = jnp.concatenate([w1a, w1b], axis=1)
+        b_in = jnp.concatenate([b1a[0], b1b[0]])
+        return _swiglu_block_xla(x2, lnw[0], lnb[0], w_in, b_in, w2,
+                                 b2[0], eps)
+    return _swiglu_block_pallas(x2, lnw, lnb, w1a, w1b, b1a, b1b, w2,
+                                b2, *plan, eps, interpret)
+
+
+@functools.lru_cache(maxsize=None)
+def _swiglu_block_partitioned(eps: float, interpret: bool):
+    from smb_vision_tpu.ops.partition import dim0_partitioned
+
+    return dim0_partitioned(
+        lambda x2, lnw, lnb, w1a, w1b, b1a, b1b, w2, b2:
+        _swiglu_block_local(x2, lnw, lnb, w1a, w1b, b1a, b1b, w2, b2,
+                            eps, interpret))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _swiglu_block_fused(x, lnw, lnb, w_in, b_in, w_out, b_out, static):
+    eps, interpret = static
+    lead = x.shape[:-1]
+    f = w_in.shape[1] // 2
+    x2 = x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16)
+    m = x2.shape[0]
+    _, m_pad = _padded_plan(m, x2.shape[1], f, block=True, n_w=3)
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+    bi = b_in.astype(jnp.float32)
+    y = _swiglu_block_partitioned(eps, interpret)(
+        x2, lnw.astype(jnp.float32).reshape(1, -1),
+        lnb.astype(jnp.float32).reshape(1, -1),
+        w_in[:, :f].astype(jnp.bfloat16),
+        w_in[:, f:].astype(jnp.bfloat16),
+        bi[:f].reshape(1, -1), bi[f:].reshape(1, -1),
+        w_out.astype(jnp.bfloat16),
+        b_out.astype(jnp.float32).reshape(1, -1))
+    if m_pad != m:
+        y = y[:m]
+    return y.reshape(*lead, y.shape[-1]).astype(x.dtype)
+
+
+def _swiglu_block_fused_fwd(x, lnw, lnb, w_in, b_in, w_out, b_out,
+                            static):
+    return (_swiglu_block_fused(x, lnw, lnb, w_in, b_in, w_out, b_out,
+                                static),
+            (x, lnw, lnb, w_in, b_in, w_out, b_out))
+
+
+def _swiglu_block_fused_bwd(static, res, g):
+    eps, _ = static
+    _, vjp = jax.vjp(lambda *a: _swiglu_block_xla(*a, eps=eps), *res)
+    return vjp(g)
+
+
+_swiglu_block_fused.defvjp(_swiglu_block_fused_fwd,
+                           _swiglu_block_fused_bwd)
+
+
+def swiglu_block_forward(x, ln_scale, ln_bias, w_in, b_in, w_out, b_out,
+                         *, eps: float = 1e-6, impl: str = "auto",
+                         interpret: bool = False):
+    """SwiGLU half-block in one pallas kernel:
+    y = x + (silu(h1) * h2) @ w_out + b_out,  [h1 | h2] = LN(x) @ w_in
+    + b_in — the DINOv2 use_swiglu_ffn FFN with LN prologue and residual
+    epilogue fused (LayerScale folds into w_out/b_out at the caller).
+
+    Measured FLAT vs XLA on-chip (98.4 vs 97.3 TFLOP/s at the
+    DINOv2-base shape — silu gating has no erf, so XLA's epilogue
+    handles it well, unlike the gelu MLP's 71): "auto" therefore
+    resolves to XLA; the kernel runs only on explicit impl="pallas"."""
+    if impl not in ("auto", "pallas", "xla"):
+        raise ValueError(f"unknown mlp impl {impl!r}; "
+                         "valid: 'auto', 'pallas', 'xla'")
+    f = w_in.shape[1] // 2
+    plan = None
+    if impl != "xla" and w_in.shape[1] % 2 == 0:
+        m = 1
+        for d in x.shape[:-1]:
+            m *= d
+        plan, _ = _padded_plan(m, x.shape[-1], f, block=True, n_w=3)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if impl == "auto":
+        impl = "xla"            # measured flat vs XLA: not auto-routed
+    elif impl == "pallas" and not on_tpu:
+        interpret = True        # forced-pallas off-TPU: interpret mode
+    if impl == "xla":
+        return _swiglu_block_xla(x, ln_scale.astype(jnp.float32),
+                                 ln_bias.astype(jnp.float32), w_in,
+                                 b_in, w_out, b_out, eps)
+    if plan is None:
+        raise ValueError(
+            f"swiglu block impl='pallas' cannot map shape x={x.shape}, "
+            f"w_in={w_in.shape}: rows must divide by 128 and K, F by 128")
+    return _swiglu_block_fused(x, ln_scale, ln_bias, w_in, b_in, w_out,
+                               b_out, (float(eps), interpret))
 
 
 def _mlp_block_xla(x, lnw, lnb, w1, b1, w2, b2, act: str, eps: float):
@@ -335,6 +556,10 @@ def _mlp_block_fused(x, lnw, lnb, w1, b1, w2, b2, static):
     act, eps, interpret = static
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16)
+    m = x2.shape[0]
+    _, m_pad = _padded_plan(m, x2.shape[1], w1.shape[1], block=True)
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
     y = _mlp_block_partitioned(act, eps, interpret)(
         x2, lnw.astype(jnp.float32).reshape(1, -1),
         lnb.astype(jnp.float32).reshape(1, -1),
@@ -342,6 +567,8 @@ def _mlp_block_fused(x, lnw, lnb, w1, b1, w2, b2, static):
         b1.astype(jnp.float32).reshape(1, -1),
         w2.astype(jnp.bfloat16),
         b2.astype(jnp.float32).reshape(1, -1))
+    if m_pad != m:
+        y = y[:m]
     return y.reshape(*lead, y.shape[-1]).astype(x.dtype)
 
 
@@ -376,7 +603,8 @@ def mlp_block_forward(x, ln_scale, ln_bias, w1, b1, w2, b2, *,
         m = 1
         for d in x.shape[:-1]:
             m *= d
-        plan = _plan(m, x.shape[-1], w1.shape[1], block=True)
+        plan, _ = _padded_plan(m, x.shape[-1], w1.shape[1],
+                               block=True)
     on_tpu = jax.devices()[0].platform == "tpu"
     if impl == "auto":
         impl = "pallas" if (on_tpu and plan is not None) else "xla"
@@ -413,7 +641,7 @@ def mlp_forward(x, w1, b1, w2, b2, *, act: str = "gelu",
         m = 1
         for d in x.shape[:-1]:
             m *= d
-        plan = _plan(m, x.shape[-1], w1.shape[1])
+        plan, _ = _padded_plan(m, x.shape[-1], w1.shape[1])
     on_tpu = jax.devices()[0].platform == "tpu"
     if impl == "auto":
         impl = "pallas" if (on_tpu and plan is not None) else "xla"

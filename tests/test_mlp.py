@@ -153,3 +153,75 @@ def test_block_fused_matches_with_droppath_eval():
     y_ref_t = b_ref.apply(params, x, None, False, rngs=rngs)
     y_fused_t = b_fused.apply(params, x, None, False, rngs=rngs)
     assert jnp.allclose(y_ref_t, y_fused_t, atol=5e-3 * scale)
+
+
+def test_odd_rows_pad_and_slice():
+    """DINOv2's CLS token makes rows b*(N+1) — never 128-divisible. The
+    fused path pads rows to the next 512 multiple and slices them off;
+    numerics must match the unpadded xla path."""
+    from smb_vision_tpu.ops.mlp import mlp_block_forward
+
+    M, K, F = 2049, 256, 1024   # odd row count >= 2048
+    x = _mk(0, (M, K), jnp.bfloat16)
+    lnw, lnb = 1.0 + _mk(9, (K,)) * 0.1, _mk(10, (K,)) * 0.1
+    w1, b1 = _mk(1, (K, F)), _mk(2, (F,)) * 0.1
+    w2, b2 = _mk(3, (F, K)), _mk(4, (K,)) * 0.1
+    y_p = mlp_forward(x, w1, b1, w2, b2, impl="pallas",
+                      interpret=True).astype(jnp.float32)
+    y_x = mlp_forward(x, w1, b1, w2, b2, impl="xla").astype(jnp.float32)
+    scale = float(jnp.abs(y_x).max())
+    assert y_p.shape == y_x.shape
+    assert float(jnp.abs(y_p - y_x).max()) / scale < 8e-3
+    yb_p = mlp_block_forward(x, lnw, lnb, w1, b1, w2, b2, impl="pallas",
+                             interpret=True).astype(jnp.float32)
+    yb_x = mlp_block_forward(x, lnw, lnb, w1, b1, w2, b2,
+                             impl="xla").astype(jnp.float32)
+    scale = float(jnp.abs(yb_x).max())
+    assert float(jnp.abs(yb_p - yb_x).max()) / scale < 8e-3
+
+
+def test_swiglu_block_fused_matches():
+    """SwiGLU half-block kernel (interpret) vs the plain SwiGLU path:
+    same param tree, matching numerics, layerscale folded."""
+    from smb_vision_tpu.models.layers import Block
+
+    x = _mk(13, (2, 128, 128), jnp.float32)
+    kw = dict(hidden_size=128, num_heads=2, intermediate_size=256,
+              dtype=jnp.float32, attn_impl="xla", use_swiglu=True,
+              layerscale_value=0.9)
+    b_ref = Block(**kw, mlp_impl="xla")
+    b_fused = Block(**kw, mlp_impl="pallas")
+    params = b_ref.init(jax.random.PRNGKey(0), x)
+    p2 = b_fused.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(params) \
+        == jax.tree_util.tree_structure(p2)
+    y_ref = b_ref.apply(params, x)
+    y_fused = b_fused.apply(params, x)
+    scale = float(jnp.abs(y_ref).max())
+    assert float(jnp.abs(y_fused - y_ref).max()) / scale < 5e-3
+
+
+def test_swiglu_block_grads_match():
+    from smb_vision_tpu.ops.mlp import swiglu_block_forward
+
+    M, K, F = 256, 128, 256
+    x = _mk(0, (M, K), jnp.bfloat16)
+    lnw, lnb = 1.0 + _mk(9, (K,)) * 0.1, _mk(10, (K,)) * 0.1
+    w_in, b_in = _mk(1, (K, 2 * F)), _mk(2, (2 * F,)) * 0.1
+    w_out, b_out = _mk(3, (F, K)), _mk(4, (K,)) * 0.1
+
+    def loss(impl):
+        def f(*a):
+            y = swiglu_block_forward(*a, impl=impl, interpret=True)
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+        return f
+
+    gp = jax.grad(loss("pallas"), argnums=tuple(range(7)))(
+        x, lnw, lnb, w_in, b_in, w_out, b_out)
+    gx = jax.grad(loss("xla"), argnums=tuple(range(7)))(
+        x, lnw, lnb, w_in, b_in, w_out, b_out)
+    for a, b in zip(gp, gx):
+        scale = float(jnp.abs(b).max()) + 1e-6
+        assert float(jnp.abs(a.astype(jnp.float32)
+                             - b.astype(jnp.float32)).max()) / scale \
+            < 3e-2
