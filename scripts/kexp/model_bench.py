@@ -14,7 +14,7 @@ from smb_vision_tpu.models.videomae import VideoMAEModel
 
 
 def run(heads, batch=1, iters=4, impl="auto", quant8=False,
-        mlp_impl="auto", fused_qkv=True):
+        mlp_impl="auto", fused_qkv=False):
     config = VideoMAEConfig(image_size=512, num_frames=320, patch_size=16,
                             tubelet_size=16, num_channels=1,
                             num_attention_heads=heads,
@@ -84,6 +84,8 @@ if __name__ == "__main__":
         run(12, 4, impl="auto", fused_qkv=True)
         run(6, 4, impl="pallas_int8", fused_qkv=False)
         run(6, 4, impl="pallas_int8", fused_qkv=True)
+        # NOTE: fused_qkv measured 3-5% SLOWER in-model; the default
+        # above matches the shipped config default (False)
     if which == "grid":
         for heads in (12, 6):
             for impl in ("auto", "pallas_int8"):

@@ -264,9 +264,17 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if self.mlp_impl not in ("auto", "pallas", "xla"):
+            raise ValueError(f"unknown mlp impl {self.mlp_impl!r}; "
+                             "valid: 'auto', 'pallas', 'xla'")
         kinit = trunc_normal_init(self.initializer_range)
+        # auto only engages for bf16 compute: the kernel computes in
+        # bf16, so an f32-configured model must not silently degrade
+        route = (self.mlp_impl == "pallas"
+                 or (self.mlp_impl == "auto"
+                     and self.dtype == jnp.bfloat16))
         if not self.quant8 and self.act in ("gelu", "gelu_new") \
-                and self.mlp_impl in ("auto", "pallas"):
+                and route:
             from smb_vision_tpu.ops.mlp import mlp_forward
 
             w1, b1 = _DenseParams(self.intermediate_size, kinit,
@@ -373,13 +381,18 @@ class Block(nn.Module):
         # nothing non-foldable sits in the chain (DropPath active =
         # per-sample random scale; SwiGLU/quant8 have their own paths).
         # LayerScale folds into w2/b2. Params keep the norm2/mlp trees.
-        # gelu MLPs auto-fuse on TPU (+30% over the XLA chain); the
-        # swiglu kernel measured FLAT vs XLA (BENCHMARKS.md) so it runs
-        # only on explicit mlp_impl="pallas"
+        if self.mlp_impl not in ("auto", "pallas", "xla"):
+            raise ValueError(f"unknown mlp impl {self.mlp_impl!r}; "
+                             "valid: 'auto', 'pallas', 'xla'")
+        # gelu MLPs auto-fuse on TPU (+30% over the XLA chain) for bf16
+        # compute (the kernel is bf16 — f32 models must not silently
+        # degrade); the swiglu kernel measured FLAT vs XLA
+        # (BENCHMARKS.md) so it runs only on explicit mlp_impl="pallas"
         route = (self.mlp_impl == "pallas"
                  if self.use_swiglu else
                  (self.mlp_impl == "pallas"
                   or (self.mlp_impl == "auto"
+                      and self.dtype == jnp.bfloat16
                       and jax.devices()[0].platform == "tpu")))
         fuse_block = (not self.quant8 and route
                       and (self.use_swiglu

@@ -193,7 +193,7 @@ def dinov2_pipeline_encode(config, params: dict, pixel_values, *,
         layerscale_value=cfg.layerscale_value,
         drop_path_rate=cfg.drop_path_rate,
         use_swiglu=cfg.use_swiglu_ffn, dtype=dt, attn_impl=cfg.attn_impl,
-        mlp_impl=cfg.mlp_impl,
+        mlp_impl=cfg.mlp_impl, fused_qkv=cfg.fused_qkv,
         initializer_range=cfg.initializer_range)
     x = pipelined_encoder(enc, p["encoder"], x, mesh=mesh, axis=axis,
                           num_microbatches=num_microbatches,

@@ -330,16 +330,83 @@ def _mlp_local(x2, w1, b1, w2, b2, act: str, interpret: bool):
     return _mlp_pallas(x2, w1, b1, w2, b2, act, *plan, interpret)
 
 
+def _spec_axis(arg_shape, dim):
+    spec = getattr(arg_shape.sharding, "spec", None)
+    return spec[dim] if spec is not None and len(spec) > dim else None
+
+
+def _tp_axis(w1_shape, w2_shape, row):
+    """The Megatron mesh axis A when w1 is column-split (*, A) and w2
+    row-split (A, *) — parallel/sharding.py's _TP_COL/_TP_ROW pattern —
+    and A is not already used for the row sharding. Any OTHER axis on
+    the weights (e.g. fsdp on the K dim) is gathered at use (ZeRO-3
+    semantics), handled by the forced arg shardings."""
+    a = _spec_axis(w1_shape, 1)
+    if a is None or a != _spec_axis(w2_shape, 0):
+        return None
+    a_axes = a if isinstance(a, tuple) else (a,)
+    row_axes = row if isinstance(row, tuple) else (row,)
+    if any(ax in row_axes for ax in a_axes):
+        return None
+    return a
+
+
+def _ln_f32(x2, lnw_row, lnb_row, eps):
+    xf = x2.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    return xf, (xf - mu) * jax.lax.rsqrt(var + eps) * lnw_row + lnb_row
+
+
 @functools.lru_cache(maxsize=None)
 def _mlp_partitioned(act: str, interpret: bool):
-    """SPMD-partitionable kernel entry: rows shard, weights replicate
-    (ops/partition.py — a bare pallas_call would be all-gathered and
-    computed replicated under pjit)."""
-    from smb_vision_tpu.ops.partition import dim0_partitioned
+    """SPMD-partitionable kernel entry. Rows shard (dp/fsdp batches run
+    the kernel per shard — a bare pallas_call would be all-gathered and
+    computed replicated under pjit). Megatron-TP weights (fc1
+    column-split / fc2 row-split over one mesh axis) KEEP their split:
+    each shard runs the kernel on its F chunk and one psum combines the
+    partials — without this the fused MLP would silently undo the TP
+    split and multiply MLP FLOPs by the model-axis size."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    return dim0_partitioned(
-        lambda x2, w1, b1, w2, b2: _mlp_local(x2, w1, b1, w2, b2, act,
-                                              interpret))
+    def global_fn(x2, w1, b1, w2, b2):
+        return _mlp_local(x2, w1, b1, w2, b2, act, interpret)
+
+    f = custom_partitioning(global_fn)
+
+    def _row(arg):
+        spec = getattr(arg.sharding, "spec", None)
+        return spec[0] if spec is not None and len(spec) else None
+
+    def infer(mesh, arg_shapes, shape):
+        return NamedSharding(mesh, P(_row(arg_shapes[0]), None))
+
+    def partition(mesh, arg_shapes, result_shape):
+        row = _row(arg_shapes[0])
+        row_sh = NamedSharding(mesh, P(row, None))
+        repl = NamedSharding(mesh, P(None, None))
+        a = _tp_axis(arg_shapes[1], arg_shapes[3], row)
+        if a is None:
+            return (mesh, global_fn, row_sh,
+                    (row_sh, repl, repl, repl, repl))
+
+        def lower(x2, w1, b1, w2, b2):
+            part = _mlp_local(x2, w1, b1, w2, jnp.zeros_like(b2), act,
+                              interpret).astype(jnp.float32)
+            return (jax.lax.psum(part, a) + b2[0]).astype(x2.dtype)
+
+        return (mesh, lower, row_sh,
+                (row_sh, NamedSharding(mesh, P(None, a)),
+                 NamedSharding(mesh, P(None, a)),
+                 NamedSharding(mesh, P(a, None)), repl))
+
+    f.def_partition(
+        partition, infer_sharding_from_operands=infer,
+        sharding_rule="m k, k f, u f, f j, v j -> m j",
+        reduction_factors=("f",),
+        need_replication_factors=("k", "u", "j", "v"))
+    return f
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
@@ -544,11 +611,53 @@ def _mlp_block_local(x2, lnw, lnb, w1, b1, w2, b2, act: str, eps: float,
 
 @functools.lru_cache(maxsize=None)
 def _mlp_block_partitioned(act: str, eps: float, interpret: bool):
-    from smb_vision_tpu.ops.partition import dim0_partitioned
+    """As _mlp_partitioned, for the LN+MLP+residual half-block. Under
+    Megatron TP the LN runs per shard in XLA (row-local), the kernel
+    computes the local F chunk WITHOUT the residual/bias, and one psum
+    merges the partials before x and b2 are added exactly once."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    return dim0_partitioned(
-        lambda x2, lnw, lnb, w1, b1, w2, b2: _mlp_block_local(
-            x2, lnw, lnb, w1, b1, w2, b2, act, eps, interpret))
+    def global_fn(x2, lnw, lnb, w1, b1, w2, b2):
+        return _mlp_block_local(x2, lnw, lnb, w1, b1, w2, b2, act, eps,
+                                interpret)
+
+    f = custom_partitioning(global_fn)
+
+    def _row(arg):
+        spec = getattr(arg.sharding, "spec", None)
+        return spec[0] if spec is not None and len(spec) else None
+
+    def infer(mesh, arg_shapes, shape):
+        return NamedSharding(mesh, P(_row(arg_shapes[0]), None))
+
+    def partition(mesh, arg_shapes, result_shape):
+        row = _row(arg_shapes[0])
+        row_sh = NamedSharding(mesh, P(row, None))
+        repl = NamedSharding(mesh, P(None, None))
+        a = _tp_axis(arg_shapes[3], arg_shapes[5], row)
+        if a is None:
+            return (mesh, global_fn, row_sh,
+                    (row_sh, repl, repl, repl, repl, repl, repl))
+
+        def lower(x2, lnw, lnb, w1, b1, w2, b2):
+            xf, xn = _ln_f32(x2, lnw[0], lnb[0], eps)
+            part = _mlp_local(xn.astype(jnp.bfloat16), w1, b1, w2,
+                              jnp.zeros_like(b2), act,
+                              interpret).astype(jnp.float32)
+            return (jax.lax.psum(part, a) + xf + b2[0]).astype(x2.dtype)
+
+        return (mesh, lower, row_sh,
+                (row_sh, repl, repl, NamedSharding(mesh, P(None, a)),
+                 NamedSharding(mesh, P(None, a)),
+                 NamedSharding(mesh, P(a, None)), repl))
+
+    f.def_partition(
+        partition, infer_sharding_from_operands=infer,
+        sharding_rule="m k, u k, v k, k f, w f, f j, z j -> m j",
+        reduction_factors=("f",),
+        need_replication_factors=("k", "u", "v", "w", "j", "z"))
+    return f
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
@@ -607,7 +716,9 @@ def mlp_block_forward(x, ln_scale, ln_bias, w1, b1, w2, b2, *,
                                block=True)
     on_tpu = jax.devices()[0].platform == "tpu"
     if impl == "auto":
-        impl = "pallas" if (on_tpu and plan is not None) else "xla"
+        # the kernel computes in bf16: auto must not degrade f32 models
+        impl = "pallas" if (on_tpu and plan is not None
+                            and x.dtype == jnp.bfloat16) else "xla"
     elif impl == "pallas" and not on_tpu:
         interpret = True        # forced-pallas off-TPU: interpret mode
     if impl == "xla":
@@ -644,7 +755,9 @@ def mlp_forward(x, w1, b1, w2, b2, *, act: str = "gelu",
         plan, _ = _padded_plan(m, x.shape[-1], w1.shape[1])
     on_tpu = jax.devices()[0].platform == "tpu"
     if impl == "auto":
-        impl = "pallas" if (on_tpu and plan is not None) else "xla"
+        # the kernel computes in bf16: auto must not degrade f32 models
+        impl = "pallas" if (on_tpu and plan is not None
+                            and x.dtype == jnp.bfloat16) else "xla"
     elif impl == "pallas" and not on_tpu:
         interpret = True        # forced-pallas off-TPU: interpret mode
     if impl == "xla":

@@ -105,3 +105,54 @@ def test_mlp_partitioned_grads_match(mesh):
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(b, np.float32),
             rtol=0, atol=2e-2 * float(jnp.abs(b).max() + 1e-6))
+
+
+def test_mlp_keeps_megatron_tp_split(mesh):
+    """Megatron-TP weights (fc1 column-split / fc2 row-split over the
+    mesh axis) must KEEP their split through the fused MLP: each shard
+    computes its F chunk and one all-reduce merges partials — the
+    kernel must not force weight replication (which would multiply MLP
+    FLOPs by the model-axis size)."""
+    M, K, F = 1024, 256, 1024
+    x = _mk(0, (M, K)).astype(jnp.bfloat16)
+    w1, b1 = _mk(1, (K, F)), _mk(2, (F,)) * 0.1
+    w2, b2 = _mk(3, (F, K)), _mk(4, (K,)) * 0.1
+    w1s = jax.device_put(w1, NamedSharding(mesh, P(None, "data")))
+    b1s = jax.device_put(b1, NamedSharding(mesh, P("data")))
+    w2s = jax.device_put(w2, NamedSharding(mesh, P("data", None)))
+
+    f = jax.jit(lambda x, *a: mlp_forward(x, *a, impl="pallas",
+                                          interpret=True))
+    hlo = f.lower(x, w1s, b1s, w2s, b2).compile().as_text()
+    assert hlo.count("all-gather") == 0, "TP split was replicated"
+    assert hlo.count("all-reduce") >= 1, "missing partial-sum combine"
+    y = f(x, w1s, b1s, w2s, b2)
+    ref = mlp_forward(x, w1, b1, w2, b2, impl="pallas", interpret=True)
+    scale = float(jnp.abs(ref.astype(jnp.float32)).max())
+    assert float(jnp.abs(y.astype(jnp.float32)
+                         - ref.astype(jnp.float32)).max()) / scale < 1e-2
+
+
+def test_mlp_block_keeps_megatron_tp_split(mesh):
+    from smb_vision_tpu.ops.mlp import mlp_block_forward
+
+    M, K, F = 1024, 256, 1024
+    x = _mk(0, (M, K)).astype(jnp.bfloat16)
+    lnw, lnb = 1.0 + _mk(9, (K,)) * 0.1, _mk(10, (K,)) * 0.1
+    w1, b1 = _mk(1, (K, F)), _mk(2, (F,)) * 0.1
+    w2, b2 = _mk(3, (F, K)), _mk(4, (K,)) * 0.1
+    w1s = jax.device_put(w1, NamedSharding(mesh, P(None, "data")))
+    b1s = jax.device_put(b1, NamedSharding(mesh, P("data")))
+    w2s = jax.device_put(w2, NamedSharding(mesh, P("data", None)))
+
+    f = jax.jit(lambda x, lnw, lnb, *a: mlp_block_forward(
+        x, lnw, lnb, *a, impl="pallas", interpret=True))
+    hlo = f.lower(x, lnw, lnb, w1s, b1s, w2s, b2).compile().as_text()
+    assert hlo.count("all-gather") == 0, "TP split was replicated"
+    assert hlo.count("all-reduce") >= 1, "missing partial-sum combine"
+    y = f(x, lnw, lnb, w1s, b1s, w2s, b2)
+    ref = mlp_block_forward(x, lnw, lnb, w1, b1, w2, b2, impl="pallas",
+                            interpret=True)
+    scale = float(jnp.abs(ref.astype(jnp.float32)).max())
+    assert float(jnp.abs(y.astype(jnp.float32)
+                         - ref.astype(jnp.float32)).max()) / scale < 1e-2
