@@ -121,9 +121,9 @@ def main():
                                 w_out.astype(jnp.float32), b_out, 1e-6)
         y = swiglu_block_forward(x, lnw, lnb, w_in, b_in, w_out, b_out,
                                  impl="pallas")
-        print("  compiled rel err vs f32:",
-              f"{float(jnp.abs(y.astype(jnp.float32) - ref).max() / jnp.abs(ref).max()):.2e}",
-              flush=True)
+        rel = float(jnp.abs(y.astype(jnp.float32) - ref).max()
+                    / jnp.abs(ref).max())
+        print(f"  compiled rel err vs f32: {rel:.2e}", flush=True)
     if which in ("all", "big"):
         bench_shape(9216, 1024, 4096)        # ViT-L (streamed w chunks)
         bench_shape(9216, 1024, 4096, plan_override=(256, 1024, 512))
