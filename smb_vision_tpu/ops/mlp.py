@@ -433,30 +433,15 @@ def _mlp_fused_fwd(x, w1, b1, w2, b2, static):
 
 
 def _mlp_fused_bwd(static, res, g):
-    """Truncated recompute: grads need pre-activations and h = act(pre)
-    but never the forward's final h @ w2 + b2 VALUE — recomputing only
-    the first half saves one of the six backward matmuls vs a full
-    jax.vjp(_mlp_xla) recompute. Ops mirror _mlp_xla exactly, so grads
-    match the plain XLA path."""
+    """Recompute-based backward (remat-style): jax.vjp of the XLA
+    forward keeps primal and gradient definitions in one place, and XLA
+    DCE already removes the recompute's unused final-matmul product
+    (verified: identical HLO op counts vs a hand-truncated backward)."""
     act = static[0]
     x, w1, b1, w2, b2 = res
-    dt = x.dtype
-    fn = _xla_act(act)
-
-    def first_half(x, w1, b1):
-        h = x @ w1.astype(dt)
-        if b1 is not None:
-            h = h + b1.astype(dt)
-        return fn(h)
-
-    h, vjp_h = jax.vjp(first_half, x, w1, b1)
-    h2 = h.reshape(-1, h.shape[-1])
-    g2 = g.reshape(-1, g.shape[-1]).astype(dt)
-    dw2 = (h2.T @ g2).astype(w2.dtype)
-    db2 = jnp.sum(g2, axis=0).astype(b2.dtype) if b2 is not None else None
-    dh = g.astype(dt) @ w2.astype(dt).T
-    dx, dw1, db1 = vjp_h(dh)
-    return dx, dw1, db1, dw2, db2
+    _, vjp = jax.vjp(
+        lambda *a: _mlp_xla(*a, act=act), x, w1, b1, w2, b2)
+    return vjp(g)
 
 
 _mlp_fused.defvjp(_mlp_fused_fwd, _mlp_fused_bwd)
@@ -580,7 +565,14 @@ def swiglu_block_forward(x, ln_scale, ln_bias, w_in, b_in, w_out, b_out,
     Measured FLAT vs XLA on-chip (98.4 vs 97.3 TFLOP/s at the
     DINOv2-base shape — silu gating has no erf, so XLA's epilogue
     handles it well, unlike the gelu MLP's 71): "auto" therefore
-    resolves to XLA; the kernel runs only on explicit impl="pallas"."""
+    resolves to XLA; the kernel runs only on explicit impl="pallas".
+
+    TP caveat: unlike the gelu MLP, this kernel REPLICATES sharded
+    weights (correct, but undoes a Megatron split). A naive column
+    split of weights_in (K, 2F) does not even align the silu/gate
+    halves per shard, so keeping a TP split here needs an a/b-aligned
+    layout — on TP meshes leave swiglu on the default XLA path, which
+    GSPMD shards correctly."""
     if impl not in ("auto", "pallas", "xla"):
         raise ValueError(f"unknown mlp impl {impl!r}; "
                          "valid: 'auto', 'pallas', 'xla'")
@@ -706,30 +698,10 @@ def _mlp_block_fused_fwd(x, lnw, lnb, w1, b1, w2, b2, static):
 
 
 def _mlp_block_fused_bwd(static, res, g):
-    """Truncated recompute (see _mlp_fused_bwd): y = x + h @ w2 + b2, so
-    dx gets g directly plus the path through h(x, ...); the final matmul
-    value is never recomputed."""
     act, eps, _ = static
-    x, lnw, lnb, w1, b1, w2, b2 = res
-    dt = x.dtype
-    fn = _xla_act(act)
-
-    def first_half(x, lnw, lnb, w1, b1):
-        xf = x.astype(jnp.float32)
-        mu = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
-        xn = ((xf - mu) * jax.lax.rsqrt(var + eps) * lnw
-              + lnb).astype(dt)
-        return fn(xn @ w1.astype(dt) + b1.astype(dt))
-
-    h, vjp_h = jax.vjp(first_half, x, lnw, lnb, w1, b1)
-    h2 = h.reshape(-1, h.shape[-1])
-    g2 = g.reshape(-1, g.shape[-1]).astype(dt)
-    dw2 = (h2.T @ g2).astype(w2.dtype)
-    db2 = jnp.sum(g2, axis=0).astype(b2.dtype)
-    dh = g.astype(dt) @ w2.astype(dt).T
-    dx, dlnw, dlnb, dw1, db1 = vjp_h(dh)
-    return (dx + g.astype(dx.dtype), dlnw, dlnb, dw1, db1, dw2, db2)
+    _, vjp = jax.vjp(
+        lambda *a: _mlp_block_xla(*a, act=act, eps=eps), *res)
+    return vjp(g)
 
 
 _mlp_block_fused.defvjp(_mlp_block_fused_fwd, _mlp_block_fused_bwd)

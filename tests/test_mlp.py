@@ -225,3 +225,31 @@ def test_swiglu_block_grads_match():
         assert float(jnp.abs(a.astype(jnp.float32)
                              - b.astype(jnp.float32)).max()) / scale \
             < 3e-2
+
+
+def test_block_custom_vjp_grads_match_xla():
+    """mlp_block_forward's custom VJP (the variant Block routes training
+    through on TPU) must match the plain XLA gradients."""
+    from smb_vision_tpu.ops.mlp import mlp_block_forward
+
+    M, K, F = 256, 128, 512
+    x = _mk(0, (M, K), jnp.bfloat16)
+    lnw, lnb = 1.0 + _mk(9, (K,)) * 0.1, _mk(10, (K,)) * 0.1
+    w1, b1 = _mk(1, (K, F)), _mk(2, (F,)) * 0.1
+    w2, b2 = _mk(3, (F, K)), _mk(4, (K,)) * 0.1
+
+    def loss(impl):
+        def f(*a):
+            y = mlp_block_forward(*a, impl=impl, interpret=True)
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+        return f
+
+    gp = jax.grad(loss("pallas"), argnums=tuple(range(7)))(
+        x, lnw, lnb, w1, b1, w2, b2)
+    gx = jax.grad(loss("xla"), argnums=tuple(range(7)))(
+        x, lnw, lnb, w1, b1, w2, b2)
+    for a, b in zip(gp, gx):
+        scale = float(jnp.abs(b).max()) + 1e-6
+        assert float(jnp.abs(a.astype(jnp.float32)
+                             - b.astype(jnp.float32)).max()) / scale \
+            < 3e-2
