@@ -139,6 +139,8 @@ def main(argv=None):
 
     model_args, data_args, training_args = parse_args_into_dataclasses(
         (ModelArguments, DataTrainingArguments, TrainingArguments), argv)
+    from smb_vision_tpu.parallel.mesh import maybe_initialize_distributed
+    maybe_initialize_distributed(training_args.multihost)
     config = build_config(model_args)
     logger.info("MIM config: %s tokens, grid %s", config.seq_len, config.grid)
 

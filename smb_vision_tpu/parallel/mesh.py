@@ -76,3 +76,52 @@ def local_batch_slice(global_batch: int, mesh: Mesh) -> int:
     """Per-process batch share for multi-host feeding (the reference's
     partition_dataset equivalent, keyed on jax.process_index())."""
     return global_batch // max(mesh.shape[DATA_AXIS], 1)
+
+
+def maybe_initialize_distributed(enable=None) -> bool:
+    """Multi-host bring-up: call jax.distributed.initialize() so
+    jax.process_count()/process_index() see the whole pod (the
+    reference relies on torch.distributed init via DeepSpeed launchers;
+    scripts/training/*.sh -> deepspeed). Without this, every host of a
+    pod slice runs as its own single-process world and the CLIs'
+    partition_items() data split degenerates to "everyone reads
+    everything".
+
+    enable=None auto-detects multi-host env (an explicit coordinator
+    address, or a TPU worker-hostname list with >1 entry — a single
+    entry means one host, e.g. the dev relay's
+    TPU_WORKER_HOSTNAMES=localhost); False skips; True forces. Must run
+    before the first device access. Returns True when a multi-process
+    runtime was initialized. Safe to call twice.
+    """
+    import os
+
+    auto = enable is None
+    if auto:
+        workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        enable = bool(
+            os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS")
+            or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+            or len([w for w in workers.split(",") if w.strip()]) > 1)
+    if not enable:
+        return False
+    try:
+        jax.distributed.initialize()
+    except RuntimeError as e:
+        if "already initialized" not in str(e).lower():
+            raise
+    except ValueError:
+        # jax could not resolve a coordinator from the environment. When
+        # the user forced --multihost true that is a config error; when we
+        # merely guessed, degrade to single-process instead of killing a
+        # working single-host run.
+        if not auto:
+            raise
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "multi-host env detected but jax.distributed.initialize() "
+            "found no coordinator; continuing single-process")
+        return False
+    return jax.process_count() > 1

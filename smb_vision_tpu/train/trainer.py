@@ -83,6 +83,9 @@ class TrainingArguments:
     sharding_policy: str = "dp"      # dp | fsdp | tp | fsdp+tp
     model_parallel: int = 1
     dcn_slices: int = 1              # multi-slice: data axis spans DCN
+    # multi-host: None auto-detects pod env and calls
+    # jax.distributed.initialize(); True forces, False skips
+    multihost: Optional[bool] = None
     # perf accounting
     model_flops_per_sample: Optional[float] = None
     profile_steps: Optional[str] = None  # "A-B" (or "A"): capture a
