@@ -15,6 +15,7 @@ __version__ = "0.1.0"
 
 from smb_vision_tpu.models.configs import (  # noqa: F401
     Dinov2Config,
+    SiglipVisionConfig,
     VideoMAEConfig,
     VJEPA2Config,
 )

@@ -35,6 +35,10 @@ class EncoderArguments:
     batch_size: int = 1
     num_workers: int = 8
     resume: bool = True
+    # siglip only: "jax" runs the first-party flax tower on TPU
+    # (models/siglip.py); "torch" runs the HF model on the host
+    siglip_backend: str = field(default="jax", metadata={
+        "help": "jax | torch"})
 
 
 def main(argv=None):
@@ -55,7 +59,8 @@ def main(argv=None):
         from smb_vision_tpu.inference.encoders import SiglipEncoder
 
         enc = SiglipEncoder(model_path=args.checkpoint,
-                            model_id=args.model_id or "siglip")
+                            model_id=args.model_id or "siglip",
+                            backend=args.siglip_backend)
     elif args.encoder == "merlin":
         from smb_vision_tpu.inference.encoders import MerlinEncoder
 

@@ -19,36 +19,110 @@ logger = get_logger(__name__)
 class SiglipEncoder(BaseEncoder):
     """2D X-ray embeddings from a SigLIP vision tower
     (reference run_siglip.py:49-120). Requires a *local* checkpoint path
-    (zero-egress environments cannot pull from the hub)."""
+    (zero-egress environments cannot pull from the hub).
+
+    backend="jax" (default) runs the first-party flax tower
+    (models/siglip.py) on the TPU compute path — the reference ran the
+    torch model with flash-attn-2 on GPU; the torch-on-host path remains
+    available as backend="torch"."""
 
     def __init__(self, model_path: str, model_id: str = "siglip",
-                 image_size: int = 384, batch_dtype: str = "float32"):
+                 image_size: int = 384, batch_dtype: str = "float32",
+                 backend: str = "jax", dtype: str = "bfloat16",
+                 attn_impl: str = "auto"):
+        if backend not in ("jax", "torch"):
+            raise ValueError(f"unknown backend {backend!r}; "
+                             "valid: 'jax', 'torch'")
         self.model_path = model_path
         self.model_id = model_id
         self.image_size = image_size
+        self.backend = backend
+        self.dtype = dtype
+        self.attn_impl = attn_impl
         self._model = None
+        self._encode = None
 
     def create_dataset(self, items: List[Dict]):
         from smb_vision_tpu.data.image2d import Image2DDataset
 
         return Image2DDataset(items, image_size=self.image_size)
 
+    def _load_vision_config(self):
+        """Parse the checkpoint's HF config.json — either a flat
+        SiglipVisionConfig or a full SiglipConfig with nested
+        vision_config."""
+        import json
+        import os
+
+        from smb_vision_tpu.models.configs import SiglipVisionConfig
+
+        path = os.path.join(self.model_path, "config.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"no config.json in {self.model_path}: SiglipEncoder needs "
+                "a local HF checkpoint directory (zero-egress environments "
+                "cannot pull from the hub)")
+        with open(path) as fh:
+            d = json.load(fh)
+        d = d.get("vision_config", d)
+        cfg = SiglipVisionConfig.from_dict(d)
+        cfg.update({"dtype": self.dtype, "attn_impl": self.attn_impl})
+        self.image_size = cfg.image_size
+        return cfg
+
     def setup_model(self):
-        try:
-            import torch
-            from transformers import AutoModel
-        except ImportError as e:
-            raise RuntimeError(
-                "SiglipEncoder needs torch+transformers installed") from e
-        self._torch = torch
-        self._model = AutoModel.from_pretrained(
-            self.model_path, local_files_only=True).vision_model.eval()
+        if self.backend == "torch":
+            try:
+                import torch
+                from transformers import AutoModel
+            except ImportError as e:
+                raise RuntimeError(
+                    "SiglipEncoder(backend='torch') needs "
+                    "torch+transformers installed") from e
+            self._torch = torch
+            self._model = AutoModel.from_pretrained(
+                self.model_path, local_files_only=True).vision_model.eval()
+            return
+
+        import jax
+        import jax.numpy as jnp
+
+        from smb_vision_tpu.models.convert import (
+            convert_hf_siglip,
+            load_hf_checkpoint_numpy,
+        )
+        from smb_vision_tpu.models.siglip import SiglipVisionModel
+
+        config = self._load_vision_config()
+        model = SiglipVisionModel(config)
+        params = convert_hf_siglip(load_hf_checkpoint_numpy(self.model_path),
+                                   config.num_hidden_layers)
+        if not params:
+            raise ValueError(
+                f"no SigLIP vision tensors found in {self.model_path}")
+
+        # params as a jit ARGUMENT (HLO-constant inlining would re-ship the
+        # weights per compile through the TPU relay, runner.py:117-119)
+        @jax.jit
+        def encode(p, px):
+            tokens, pooled = model.apply(p, px)
+            # vision_use_head=False checkpoints have no MAP head: fall
+            # back to mean token pooling (HF returns pooler_output=None)
+            out = pooled if pooled is not None else jnp.mean(tokens, axis=1)
+            return out.astype(jnp.float32)
+
+        self._params = params
+        self._encode = encode
 
     def generate_embedding(self, batch: np.ndarray) -> np.ndarray:
-        torch = self._torch
-        with torch.inference_mode():
-            out = self._model(torch.from_numpy(batch))
-        return out.pooler_output.numpy()
+        if self.backend == "torch":
+            torch = self._torch
+            with torch.inference_mode():
+                out = self._model(torch.from_numpy(batch))
+            return out.pooler_output.numpy()
+        import jax.numpy as jnp
+
+        return np.asarray(self._encode(self._params, jnp.asarray(batch)))
 
 
 class MerlinEncoder(BaseEncoder):

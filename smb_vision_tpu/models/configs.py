@@ -205,6 +205,47 @@ class VJEPA2Config(BaseConfig):
 
 
 @dataclass
+class SiglipVisionConfig(BaseConfig):
+    """SigLIP vision tower (2D X-ray embeddings — the reference runs the
+    torch SiglipVisionModel on GPU via run_siglip.py:49-56; here it is a
+    first-party flax model on the TPU compute path). Field names mirror
+    transformers.SiglipVisionConfig so local HF checkpoints convert
+    weight-for-weight (models/convert.py::convert_hf_siglip)."""
+
+    model_type: str = "siglip_vision_model"
+
+    image_size: int = 384
+    patch_size: int = 16
+    num_channels: int = 3
+
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    hidden_act: str = "gelu_pytorch_tanh"
+    layer_norm_eps: float = 1e-6
+    attention_dropout: float = 0.0
+    # MAP pooling head (probe cross-attn + MLP); pooler_output path
+    vision_use_head: bool = True
+
+    # framework knobs
+    dtype: str = "bfloat16"
+    attn_impl: str = "auto"
+    mlp_impl: str = "auto"
+    gradient_checkpointing: bool = False
+
+    @property
+    def grid(self) -> Tuple[int, int]:
+        g = self.image_size // self.patch_size
+        return (g, g)
+
+    @property
+    def seq_len(self) -> int:
+        h, w = self.grid
+        return h * w
+
+
+@dataclass
 class Dinov2Config(BaseConfig):
     """DINOv2 adapted to 3D (Conv3d patch embed + learned 3D pos-emb),
     per reference modeling_dinov2.py:121-158. The reference's trilinear

@@ -87,6 +87,7 @@ def _block_map(flat: Dict[str, np.ndarray], hf_prefix: str, layer: int,
     'videomae' — attention.attention.{query,key,value}, output.dense,
                   intermediate.dense / output.dense, layernorm_before/after
     'vjepa'    — attention.{query,key,value,proj}, mlp.fc1/fc2, norm1/norm2
+    'siglip'   — self_attn.{q,k,v,out}_proj, mlp.fc1/fc2, layer_norm1/2
     """
     p = f"{hf_prefix}.{layer}."
     o = f"{our_prefix}.layer_{layer}."
@@ -107,6 +108,25 @@ def _block_map(flat: Dict[str, np.ndarray], hf_prefix: str, layer: int,
             (p + "layernorm_before.bias", o + "norm1.bias", np.asarray),
             (p + "layernorm_after.weight", o + "norm2.scale", np.asarray),
             (p + "layernorm_after.bias", o + "norm2.bias", np.asarray),
+        ]
+    elif hf_style == "siglip":
+        pairs = [
+            (p + "self_attn.q_proj.weight", o + "attention.query.kernel", _t),
+            (p + "self_attn.q_proj.bias", o + "attention.query.bias", np.asarray),
+            (p + "self_attn.k_proj.weight", o + "attention.key.kernel", _t),
+            (p + "self_attn.k_proj.bias", o + "attention.key.bias", np.asarray),
+            (p + "self_attn.v_proj.weight", o + "attention.value.kernel", _t),
+            (p + "self_attn.v_proj.bias", o + "attention.value.bias", np.asarray),
+            (p + "self_attn.out_proj.weight", o + "attention.proj.kernel", _t),
+            (p + "self_attn.out_proj.bias", o + "attention.proj.bias", np.asarray),
+            (p + "mlp.fc1.weight", o + "mlp.fc1.kernel", _t),
+            (p + "mlp.fc1.bias", o + "mlp.fc1.bias", np.asarray),
+            (p + "mlp.fc2.weight", o + "mlp.fc2.kernel", _t),
+            (p + "mlp.fc2.bias", o + "mlp.fc2.bias", np.asarray),
+            (p + "layer_norm1.weight", o + "norm1.scale", np.asarray),
+            (p + "layer_norm1.bias", o + "norm1.bias", np.asarray),
+            (p + "layer_norm2.weight", o + "norm2.scale", np.asarray),
+            (p + "layer_norm2.bias", o + "norm2.bias", np.asarray),
         ]
     else:  # vjepa
         pairs = [
@@ -351,6 +371,25 @@ def _invert_block(flat: Dict[str, np.ndarray], our_prefix: str, layer: int,
             (o + "norm2.scale", p + "layernorm_after.weight", np.asarray),
             (o + "norm2.bias", p + "layernorm_after.bias", np.asarray),
         ]
+    elif hf_style == "siglip":
+        pairs = [
+            (o + "attention.query.kernel", p + "self_attn.q_proj.weight", _t),
+            (o + "attention.query.bias", p + "self_attn.q_proj.bias", np.asarray),
+            (o + "attention.key.kernel", p + "self_attn.k_proj.weight", _t),
+            (o + "attention.key.bias", p + "self_attn.k_proj.bias", np.asarray),
+            (o + "attention.value.kernel", p + "self_attn.v_proj.weight", _t),
+            (o + "attention.value.bias", p + "self_attn.v_proj.bias", np.asarray),
+            (o + "attention.proj.kernel", p + "self_attn.out_proj.weight", _t),
+            (o + "attention.proj.bias", p + "self_attn.out_proj.bias", np.asarray),
+            (o + "mlp.fc1.kernel", p + "mlp.fc1.weight", _t),
+            (o + "mlp.fc1.bias", p + "mlp.fc1.bias", np.asarray),
+            (o + "mlp.fc2.kernel", p + "mlp.fc2.weight", _t),
+            (o + "mlp.fc2.bias", p + "mlp.fc2.bias", np.asarray),
+            (o + "norm1.scale", p + "layer_norm1.weight", np.asarray),
+            (o + "norm1.bias", p + "layer_norm1.bias", np.asarray),
+            (o + "norm2.scale", p + "layer_norm2.weight", np.asarray),
+            (o + "norm2.bias", p + "layer_norm2.bias", np.asarray),
+        ]
     else:
         pairs = [
             (o + "attention.query.kernel", p + "attention.query.weight", _t),
@@ -565,6 +604,99 @@ def export_hf_dinov2(params, num_layers: int) -> Dict[str, np.ndarray]:
     put(enc + "layernorm.bias", base + "layernorm.bias")
     put("params.classifier.kernel", "classifier.weight", _t)
     put("params.classifier.bias", "classifier.bias")
+    return out
+
+
+def convert_hf_siglip(hf_state: Dict[str, np.ndarray], num_layers: int
+                      ) -> Dict:
+    """HF SiglipVisionModel (or full SiglipModel) torch state ->
+    our models/siglip.py pytree. The MAP head's torch
+    nn.MultiheadAttention packs q/k/v into in_proj_weight/bias
+    ((3D, D)/(3D,)) — split row-wise into the three Dense params."""
+    out: Dict[str, np.ndarray] = {}
+    f = hf_state
+
+    def put(src, dst, fn=np.asarray):
+        if src in f:
+            out[dst] = fn(f[src])
+
+    v = "vision_model." if any(k.startswith("vision_model.") for k in f) \
+        else ""
+    put(v + "embeddings.patch_embedding.weight", "params.patch_embedding")
+    put(v + "embeddings.patch_embedding.bias", "params.patch_bias")
+    put(v + "embeddings.position_embedding.weight",
+        "params.position_embedding")
+    for i in range(num_layers):
+        _block_map(f, v + "encoder.layers", i, out, "params.encoder",
+                   "siglip")
+    put(v + "post_layernorm.weight", "params.post_layernorm.scale")
+    put(v + "post_layernorm.bias", "params.post_layernorm.bias")
+
+    h = v + "head."
+    if any(k.startswith(h) for k in f):
+        o = "params.head."
+        put(h + "probe", o + "probe")
+        if h + "attention.in_proj_weight" in f:
+            w3 = np.asarray(f[h + "attention.in_proj_weight"])
+            b3 = np.asarray(f[h + "attention.in_proj_bias"])
+            d = w3.shape[0] // 3
+            for j, name in enumerate(("query", "key", "value")):
+                out[o + f"attention.{name}.kernel"] = _t(
+                    w3[j * d:(j + 1) * d])
+                out[o + f"attention.{name}.bias"] = b3[j * d:(j + 1) * d]
+        put(h + "attention.out_proj.weight", o + "attention.proj.kernel",
+            _t)
+        put(h + "attention.out_proj.bias", o + "attention.proj.bias")
+        put(h + "layernorm.weight", o + "layernorm.scale")
+        put(h + "layernorm.bias", o + "layernorm.bias")
+        put(h + "mlp.fc1.weight", o + "mlp.fc1.kernel", _t)
+        put(h + "mlp.fc1.bias", o + "mlp.fc1.bias")
+        put(h + "mlp.fc2.weight", o + "mlp.fc2.kernel", _t)
+        put(h + "mlp.fc2.bias", o + "mlp.fc2.bias")
+    return unflatten_params(out)
+
+
+def export_hf_siglip(params, num_layers: int) -> Dict[str, np.ndarray]:
+    """Inverse of convert_hf_siglip (vision_model.* namespace, q/k/v
+    re-packed into nn.MultiheadAttention's in_proj_weight/bias)."""
+    flat = flatten_params(params)
+    out: Dict[str, np.ndarray] = {}
+
+    def put(src, dst, fn=np.asarray):
+        if src in flat:
+            out[dst] = fn(flat[src])
+
+    v = "vision_model."
+    put("params.patch_embedding", v + "embeddings.patch_embedding.weight")
+    put("params.patch_bias", v + "embeddings.patch_embedding.bias")
+    put("params.position_embedding",
+        v + "embeddings.position_embedding.weight")
+    for i in range(num_layers):
+        _invert_block(flat, "params.encoder", i, out,
+                      v + "encoder.layers", "siglip")
+    put("params.post_layernorm.scale", v + "post_layernorm.weight")
+    put("params.post_layernorm.bias", v + "post_layernorm.bias")
+
+    o = "params.head."
+    if any(k.startswith(o) for k in flat):
+        h = v + "head."
+        put(o + "probe", h + "probe")
+        if o + "attention.query.kernel" in flat:
+            out[h + "attention.in_proj_weight"] = np.concatenate(
+                [_t(flat[o + f"attention.{n}.kernel"])
+                 for n in ("query", "key", "value")], axis=0)
+            out[h + "attention.in_proj_bias"] = np.concatenate(
+                [np.asarray(flat[o + f"attention.{n}.bias"])
+                 for n in ("query", "key", "value")], axis=0)
+        put(o + "attention.proj.kernel", h + "attention.out_proj.weight",
+            _t)
+        put(o + "attention.proj.bias", h + "attention.out_proj.bias")
+        put(o + "layernorm.scale", h + "layernorm.weight")
+        put(o + "layernorm.bias", h + "layernorm.bias")
+        put(o + "mlp.fc1.kernel", h + "mlp.fc1.weight", _t)
+        put(o + "mlp.fc1.bias", h + "mlp.fc1.bias")
+        put(o + "mlp.fc2.kernel", h + "mlp.fc2.weight", _t)
+        put(o + "mlp.fc2.bias", h + "mlp.fc2.bias")
     return out
 
 

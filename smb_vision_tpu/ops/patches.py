@@ -53,6 +53,32 @@ def patch_embed(pixel_values: jnp.ndarray, kernel: jnp.ndarray,
     return out.astype(dtype)
 
 
+def patch_embed_2d(pixel_values: jnp.ndarray, kernel: jnp.ndarray,
+                   bias: jnp.ndarray | None, *, dtype=jnp.bfloat16
+                   ) -> jnp.ndarray:
+    """2D patch projection for the SigLIP tower: (B, C, H, W) x
+    (hidden, C, ps, ps) -> (B, N, hidden). Same conv-as-matmul identity as
+    `patch_embed` (stride == kernel size); weight layout stays
+    HF-Conv2d-compatible ((out, in, kh, kw),
+    transformers SiglipVisionEmbeddings.patch_embedding) so converted
+    checkpoints drop in unchanged. Sequence order row-major (h, then w),
+    patch vector channel-major (c, dh, dw) — the Conv2d contraction order."""
+    hidden, c, ps, _ = kernel.shape
+    b, c_in, h, w = pixel_values.shape
+    if c_in != c:
+        raise ValueError(f"input has {c_in} channels, kernel expects {c}")
+    x = pixel_values.reshape(b, c, h // ps, ps, w // ps, ps)
+    x = x.transpose(0, 2, 4, 1, 3, 5)           # (B, H', W', C, ps, ps)
+    n = (h // ps) * (w // ps)
+    patches = x.reshape(b, n, c * ps * ps)
+    wmat = kernel.reshape(hidden, c * ps * ps).T
+    out = jnp.dot(patches.astype(dtype), wmat.astype(dtype),
+                  preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(dtype)
+
+
 def normalize_pixel_targets(patches: jnp.ndarray,
                             eps: float = 1e-6) -> jnp.ndarray:
     """Per-patch normalisation for norm_pix_loss
