@@ -58,6 +58,11 @@ def main(argv=None):
     elif args.encoder == "siglip":
         from smb_vision_tpu.inference.encoders import SiglipEncoder
 
+        if not args.checkpoint:
+            raise SystemExit(
+                "--checkpoint is required for siglip: pass a local HF "
+                "checkpoint directory (zero-egress environments cannot "
+                "pull from the hub)")
         enc = SiglipEncoder(model_path=args.checkpoint,
                             model_id=args.model_id or "siglip",
                             backend=args.siglip_backend)

@@ -32,10 +32,17 @@ class Image2DDataset:
         self.std = np.asarray(std, np.float32).reshape(-1, 1, 1)
         self.image_key = image_key
         self.preprocess_fn = preprocess_fn
-        self.items = (self._validate(items, num_workers) if validate
-                      else list(items))
+        self.items = list(items)
+        # index -> validation error. Unreadable items are NOT dropped:
+        # __getitem__ raises instead, so index pairing with the caller's
+        # manifest is preserved and BaseEncoderRunner quarantines the
+        # failure under the RIGHT uid (dropping would shift every later
+        # dataset index off by one against runner.todo).
+        self.invalid: Dict[int, str] = (
+            self._validate(self.items, num_workers) if validate else {})
 
-    def _validate(self, items: List[Dict], num_workers: int) -> List[Dict]:
+    def _validate(self, items: List[Dict],
+                  num_workers: int) -> Dict[int, str]:
         """Threaded openability sweep (reference load.py:199-209)."""
         from PIL import Image
 
@@ -43,20 +50,19 @@ class Image2DDataset:
             try:
                 with Image.open(it[self.image_key]) as im:
                     im.verify()
-                return it, None
+                return None
             except Exception as e:  # noqa: BLE001
-                return it, str(e)
+                return str(e)
 
-        good, bad = [], 0
+        invalid = {}
         with ThreadPoolExecutor(num_workers) as pool:
-            for it, err in pool.map(check, items):
-                if err is None:
-                    good.append(it)
-                else:
-                    bad += 1
-        if bad:
-            logger.warning("dropped %d unreadable images", bad)
-        return good
+            for i, err in enumerate(pool.map(check, items)):
+                if err is not None:
+                    invalid[i] = err
+        if invalid:
+            logger.warning("%d unreadable images (quarantined at access)",
+                           len(invalid))
+        return invalid
 
     def __len__(self) -> int:
         return len(self.items)
@@ -64,6 +70,10 @@ class Image2DDataset:
     def __getitem__(self, idx: int) -> Dict:
         from PIL import Image
 
+        if idx in self.invalid:
+            raise ValueError(
+                f"unreadable image {self.items[idx].get(self.image_key)}: "
+                f"{self.invalid[idx]}")
         item = dict(self.items[idx])
         with Image.open(item[self.image_key]) as im:
             im = im.convert("RGB").resize(

@@ -71,6 +71,17 @@ class SiglipEncoder(BaseEncoder):
         return cfg
 
     def setup_model(self):
+        # config first regardless of backend: image_size must come from the
+        # checkpoint (the runner calls setup_model before create_dataset,
+        # so this is what keeps both backends preprocessing identically)
+        config = self._load_vision_config()
+        if not config.vision_use_head:
+            logger.warning(
+                "%s has vision_use_head=False (no MAP pooling head): "
+                "embeddings fall back to MEAN token pooling — a different "
+                "embedding space from MAP-pooled checkpoints",
+                self.model_path)
+
         if self.backend == "torch":
             try:
                 import torch
@@ -93,7 +104,6 @@ class SiglipEncoder(BaseEncoder):
         )
         from smb_vision_tpu.models.siglip import SiglipVisionModel
 
-        config = self._load_vision_config()
         model = SiglipVisionModel(config)
         params = convert_hf_siglip(load_hf_checkpoint_numpy(self.model_path),
                                    config.num_hidden_layers)
@@ -102,7 +112,9 @@ class SiglipEncoder(BaseEncoder):
                 f"no SigLIP vision tensors found in {self.model_path}")
 
         # params as a jit ARGUMENT (HLO-constant inlining would re-ship the
-        # weights per compile through the TPU relay, runner.py:117-119)
+        # weights per compile through the TPU relay, runner.py:117-119);
+        # device_put ONCE — numpy jit arguments re-transfer host->device
+        # every call, which at tower size would dominate each batch
         @jax.jit
         def encode(p, px):
             tokens, pooled = model.apply(p, px)
@@ -111,7 +123,7 @@ class SiglipEncoder(BaseEncoder):
             out = pooled if pooled is not None else jnp.mean(tokens, axis=1)
             return out.astype(jnp.float32)
 
-        self._params = params
+        self._params = jax.device_put(params)
         self._encode = encode
 
     def generate_embedding(self, batch: np.ndarray) -> np.ndarray:
@@ -119,6 +131,10 @@ class SiglipEncoder(BaseEncoder):
             torch = self._torch
             with torch.inference_mode():
                 out = self._model(torch.from_numpy(batch))
+            if out.pooler_output is None:
+                # head-less checkpoint: mirror the jax backend's mean-pool
+                # fallback instead of crashing on None
+                return out.last_hidden_state.mean(dim=1).numpy()
             return out.pooler_output.numpy()
         import jax.numpy as jnp
 

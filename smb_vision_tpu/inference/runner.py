@@ -183,6 +183,14 @@ class BaseEncoderRunner:
             logger.info("resume: skipping %d processed uids", len(done))
         self.encoder.setup_model()
         ds = self.encoder.create_dataset(todo)
+        if hasattr(ds, "__len__") and len(ds) != len(todo):
+            # the batch loop pairs todo[i] with ds[i]; a dataset that drops
+            # items at construction would silently write embeddings under
+            # shifted uids — refuse instead (datasets must defer per-item
+            # failures to __getitem__, where they are quarantined per uid)
+            raise ValueError(
+                f"create_dataset returned {len(ds)} items for {len(todo)} "
+                "manifest entries; datasets must preserve 1:1 index pairing")
 
         errors: List[Dict] = []
         n_ok = 0
@@ -216,8 +224,16 @@ class BaseEncoderRunner:
         return stats
 
     def _flush(self, items, pixels, errors) -> int:
+        px = np.stack(pixels)
+        if len(items) < self.batch_size:
+            # pad the ragged final batch to the compiled batch shape: a
+            # smaller batch would re-trace the whole model (minutes per
+            # compile on TPU through the relay). process_batch slices
+            # emb[:len(items)], so the pad rows are discarded.
+            pad = np.repeat(px[-1:], self.batch_size - len(items), axis=0)
+            px = np.concatenate([px, pad], axis=0)
         try:
-            embs = self.encoder.process_batch(items, np.stack(pixels))
+            embs = self.encoder.process_batch(items, px)
         except Exception as e:  # noqa: BLE001
             errors.extend({"item": it, "error": str(e)} for it in items)
             return 0

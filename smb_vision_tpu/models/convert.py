@@ -702,20 +702,29 @@ def export_hf_siglip(params, num_layers: int) -> Dict[str, np.ndarray]:
 
 def load_hf_checkpoint_numpy(path: str) -> Dict[str, np.ndarray]:
     """Load an HF checkpoint directory/file to a flat numpy dict
-    (safetensors preferred, torch .bin fallback)."""
+    (safetensors preferred, torch .bin fallback). Directories merge ALL
+    shards (model-00001-of-0000N.safetensors): large checkpoints are saved
+    sharded, and loading only one shard would silently yield a partial
+    param tree."""
     from pathlib import Path
 
     path = Path(path)
+    files = [path]
     if path.is_dir():
-        cands = list(path.glob("*.safetensors")) + list(path.glob("*.bin"))
-        if not cands:
+        files = sorted(path.glob("*.safetensors")) or sorted(
+            path.glob("*.bin"))
+        if not files:
             raise FileNotFoundError(f"no checkpoint files in {path}")
-        path = cands[0]
-    if path.suffix == ".safetensors":
-        from safetensors.numpy import load_file
+    out: Dict[str, np.ndarray] = {}
+    for f in files:
+        if f.suffix == ".safetensors":
+            from safetensors.numpy import load_file
 
-        return load_file(str(path))
-    import torch
+            out.update(load_file(str(f)))
+        else:
+            import torch
 
-    state = torch.load(str(path), map_location="cpu", weights_only=True)
-    return {k: v.numpy() for k, v in state.items()}
+            state = torch.load(str(f), map_location="cpu",
+                               weights_only=True)
+            out.update({k: v.numpy() for k, v in state.items()})
+    return out

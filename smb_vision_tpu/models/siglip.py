@@ -67,9 +67,13 @@ class SiglipMAPHead(nn.Module):
                       name="attention")(probe.astype(self.dtype), kv=x)
         ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                           param_dtype=jnp.float32, name="layernorm")
+        # 1-token rows: XLA is the right default (the pallas kernel pads
+        # rows to the sublane tile for nothing), but an explicit
+        # cfg.mlp_impl is honored so precision A/Bs cover the head too
+        mlp_impl = "xla" if cfg.mlp_impl == "auto" else cfg.mlp_impl
         h = h + Mlp(cfg.hidden_size, cfg.intermediate_size,
                     act=_act(cfg.hidden_act), dtype=self.dtype,
-                    name="mlp")(ln(h))
+                    mlp_impl=mlp_impl, name="mlp")(ln(h))
         return h[:, 0]
 
 

@@ -57,26 +57,28 @@ def patch_embed_2d(pixel_values: jnp.ndarray, kernel: jnp.ndarray,
                    bias: jnp.ndarray | None, *, dtype=jnp.bfloat16
                    ) -> jnp.ndarray:
     """2D patch projection for the SigLIP tower: (B, C, H, W) x
-    (hidden, C, ps, ps) -> (B, N, hidden). Same conv-as-matmul identity as
-    `patch_embed` (stride == kernel size); weight layout stays
+    (hidden, C, ps, ps) -> (B, N, hidden). Weight layout stays
     HF-Conv2d-compatible ((out, in, kh, kw),
     transformers SiglipVisionEmbeddings.patch_embedding) so converted
     checkpoints drop in unchanged. Sequence order row-major (h, then w),
-    patch vector channel-major (c, dh, dw) — the Conv2d contraction order."""
+    patch vector channel-major (c, dh, dw) — the Conv2d contraction order.
+
+    Non-divisible image sizes (e.g. so400m-patch14-384: 384 % 14 == 6) crop
+    the trailing rows/cols first — exactly HF Conv2d's valid padding, whose
+    stride-ps windows never touch pixels past floor(H/ps)*ps.
+
+    Implemented as `patch_embed` with a unit time axis: ts=1 collapses the
+    (c, dt, dh, dw) patch-vector order to (c, dh, dw) and t-major sequence
+    order to row-major, so the two are bit-identical."""
     hidden, c, ps, _ = kernel.shape
     b, c_in, h, w = pixel_values.shape
     if c_in != c:
         raise ValueError(f"input has {c_in} channels, kernel expects {c}")
-    x = pixel_values.reshape(b, c, h // ps, ps, w // ps, ps)
-    x = x.transpose(0, 2, 4, 1, 3, 5)           # (B, H', W', C, ps, ps)
-    n = (h // ps) * (w // ps)
-    patches = x.reshape(b, n, c * ps * ps)
-    wmat = kernel.reshape(hidden, c * ps * ps).T
-    out = jnp.dot(patches.astype(dtype), wmat.astype(dtype),
-                  preferred_element_type=jnp.float32)
-    if bias is not None:
-        out = out + bias.astype(jnp.float32)
-    return out.astype(dtype)
+    gh, gw = h // ps, w // ps
+    if (gh * ps, gw * ps) != (h, w):
+        pixel_values = pixel_values[:, :, :gh * ps, :gw * ps]
+    return patch_embed(pixel_values[:, None], kernel[:, :, None], bias,
+                       dtype=dtype)
 
 
 def normalize_pixel_targets(patches: jnp.ndarray,

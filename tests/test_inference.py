@@ -182,3 +182,96 @@ def test_build_encoder_manifest_script(tmp_path):
     # the produced manifest is directly consumable by the runner's loader
     items = BaseEncoderRunner.load_input_json(str(out))
     assert [i["uid"] for i in items] == ["u1"]
+
+class _StubEncoder:
+    """Records batch shapes; embedding = per-image mean so uid->content
+    pairing is checkable."""
+
+    model_id = "stub"
+
+    def __init__(self, image_size=8):
+        self.image_size = image_size
+        self.batch_shapes = []
+
+    def create_dataset(self, items):
+        from smb_vision_tpu.data.image2d import Image2DDataset
+
+        return Image2DDataset(items, image_size=self.image_size)
+
+    def setup_model(self):
+        pass
+
+    def generate_embedding(self, batch):
+        self.batch_shapes.append(batch.shape)
+        return batch.reshape(batch.shape[0], -1).mean(axis=1, keepdims=True)
+
+    def process_batch(self, batch_items, pixels):
+        emb = np.asarray(self.generate_embedding(pixels))
+        return [emb[i] for i in range(len(batch_items))]
+
+
+def _mk_pngs(tmp_path, uids, corrupt=()):
+    from PIL import Image
+
+    items = []
+    for i, uid in enumerate(uids):
+        p = tmp_path / f"{uid}.png"
+        if uid in corrupt:
+            p.write_bytes(b"not a png at all")
+        else:
+            Image.fromarray(
+                np.full((8, 8, 3), 10 * (i + 1), np.uint8)).save(p)
+        items.append({"uid": uid, "image_path": str(p)})
+    return items
+
+
+def test_runner_corrupt_item_keeps_uid_pairing(tmp_path):
+    """A corrupt image mid-manifest must be quarantined under ITS uid and
+    must not shift later items' embeddings onto wrong uids (Image2DDataset
+    used to drop unreadable items at construction, desynchronising the
+    runner's todo[i] <-> ds[i] pairing)."""
+    items = _mk_pngs(tmp_path, ["a", "b", "c"], corrupt=("b",))
+    enc = _StubEncoder()
+    runner = BaseEncoderRunner(enc, str(tmp_path / "out"), fmt="npy",
+                               batch_size=1, num_workers=2)
+    stats = runner.run(items)
+    assert stats == {"embedded": 2, "failed": 1, "skipped": 0}
+
+    errors = json.loads(
+        (tmp_path / "out" / "error_files.json").read_text())
+    assert [e["item"]["uid"] for e in errors] == ["b"]
+
+    # content check: 'c' must hold image c's embedding, not image b's.
+    # pixel value 30/255 normalised by (x-0.5)/0.5 -> mean 2*(30/255)-1
+    emb_c = np.load(tmp_path / "out" / "c.npy")
+    np.testing.assert_allclose(emb_c, [2 * (30 / 255) - 1], atol=1e-6)
+
+
+def test_runner_pads_ragged_final_batch(tmp_path):
+    """The trailing short batch is padded to batch_size (a smaller batch
+    would re-trace the compiled model) and pad rows are discarded."""
+    items = _mk_pngs(tmp_path, ["a", "b", "c"])
+    enc = _StubEncoder()
+    runner = BaseEncoderRunner(enc, str(tmp_path / "out"), fmt="npy",
+                               batch_size=2, num_workers=2)
+    stats = runner.run(items)
+    assert stats["embedded"] == 3
+    assert enc.batch_shapes == [(2, 3, 8, 8), (2, 3, 8, 8)]
+    assert sorted(f.name for f in (tmp_path / "out").glob("*.npy")) == \
+        ["a.npy", "b.npy", "c.npy"]
+
+
+def test_runner_rejects_item_dropping_dataset(tmp_path):
+    """Datasets that silently drop items break uid pairing -> hard error."""
+
+    class DroppingEncoder(_StubEncoder):
+        def create_dataset(self, items):
+            ds = super().create_dataset(items)
+            ds.items = ds.items[1:]
+            return ds
+
+    items = _mk_pngs(tmp_path, ["a", "b"])
+    runner = BaseEncoderRunner(DroppingEncoder(), str(tmp_path / "out"),
+                               fmt="npy", batch_size=1)
+    with pytest.raises(ValueError, match="1:1 index pairing"):
+        runner.run(items)

@@ -174,3 +174,64 @@ def test_run_encoders_siglip_cli(tmp_path, siglip_pair):
     # resume: second run embeds nothing new
     main(argv)  # must not raise; existing uids skipped
 
+
+def test_patch_embed_2d_non_divisible_matches_conv2d():
+    """image_size % patch_size != 0 (so400m-patch14-384 has 384 % 14 == 6):
+    HF Conv2d valid padding floors the grid and never touches the trailing
+    pixels; patch_embed_2d must crop identically instead of crashing."""
+    from smb_vision_tpu.ops.patches import patch_embed_2d
+
+    rng = np.random.default_rng(7)
+    px = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    kernel = rng.normal(size=(16, 3, 12, 12)).astype(np.float32) * 0.05
+    bias = rng.normal(size=(16,)).astype(np.float32)
+
+    conv = torch.nn.Conv2d(3, 16, kernel_size=12, stride=12)
+    with torch.no_grad():
+        conv.weight.copy_(torch.from_numpy(kernel))
+        conv.bias.copy_(torch.from_numpy(bias))
+        ref = conv(torch.from_numpy(px))          # (2, 16, 2, 2)
+    ref = ref.flatten(2).transpose(1, 2).numpy()  # (2, 4, 16)
+
+    out = np.asarray(patch_embed_2d(jnp.asarray(px), jnp.asarray(kernel),
+                                    jnp.asarray(bias), dtype=jnp.float32))
+    assert out.shape == (2, 4, 16)
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_siglip_non_divisible_geometry_matches_hf():
+    """Full tower at a non-divisible geometry (grid floors to 2x2)."""
+    from transformers import SiglipVisionConfig as HFConfig
+    from transformers import SiglipVisionModel as HFModel
+
+    tiny = dict(TINY, patch_size=12)              # 32 % 12 == 8
+    hf = HFModel(HFConfig(**tiny)).eval()
+    cfg = SiglipVisionConfig(dtype="float32", attn_impl="xla", **tiny)
+    assert cfg.seq_len == 4
+    ours = SiglipVisionModel(cfg)
+    params = convert_hf_siglip(_hf_state_numpy(hf), num_layers=2)
+    x = torch.randn(1, 3, 32, 32)
+    with torch.no_grad():
+        ref = hf(x)
+    tokens, pooled = ours.apply(params, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(tokens),
+                               ref.last_hidden_state.numpy(), **TOL)
+    np.testing.assert_allclose(np.asarray(pooled),
+                               ref.pooler_output.numpy(), **TOL)
+
+
+def test_sharded_checkpoint_merge(tmp_path):
+    """Directories with model-0000i-of-0000N.safetensors shards must load
+    the UNION of shards, not an arbitrary first glob hit."""
+    from safetensors.numpy import save_file
+
+    from smb_vision_tpu.models.convert import load_hf_checkpoint_numpy
+
+    a = {"vision_model.embeddings.patch_embedding.weight":
+         np.ones((4, 3, 2, 2), np.float32)}
+    b = {"vision_model.post_layernorm.weight": np.ones(4, np.float32)}
+    save_file(a, str(tmp_path / "model-00001-of-00002.safetensors"))
+    save_file(b, str(tmp_path / "model-00002-of-00002.safetensors"))
+
+    state = load_hf_checkpoint_numpy(str(tmp_path))
+    assert set(state) == set(a) | set(b)
