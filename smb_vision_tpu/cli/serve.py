@@ -142,13 +142,13 @@ class EmbeddingService:
 
         if pool not in ("mean", "none"):
             raise ValueError(f"pool must be 'mean' or 'none', got {pool!r}")
-        pixels, scales, offsets = self._preprocess(paths, cache=cache)
         bs = self.args.batch_size
         outs = []
         for i in range(0, len(paths), bs):
-            chunk = pixels[i:i + bs]
-            sc = None if scales is None else scales[i:i + bs]
-            of = None if offsets is None else offsets[i:i + bs]
+            # preprocess per chunk: a long 'images' list must not
+            # materialise every decoded volume in host RAM before the
+            # first dispatch (full-res f32 is ~336 MB/volume)
+            chunk, sc, of = self._preprocess(paths[i:i + bs], cache=cache)
             n = chunk.shape[0]
             if n < bs:                      # pad to the compiled shape
                 chunk = np.concatenate(
@@ -230,11 +230,19 @@ def make_server(args: ServeArguments) -> ThreadingHTTPServer:
                     return self._json(200, {"embeddings": emb.tolist(),
                                             "shape": list(emb.shape)})
                 req = json.loads(body or b"{}")
+                if not isinstance(req, dict):
+                    return self._json(
+                        400, {"error": "body must be a JSON object like "
+                              '{"images": [...]} or {"image": "..."}'})
                 paths = req.get("images") or (
                     [req["image"]] if "image" in req else None)
-                if not paths:
+                if isinstance(paths, str):   # single path under 'images'
+                    paths = [paths]
+                if not paths or not isinstance(paths, list) or not all(
+                        isinstance(p, str) for p in paths):
                     return self._json(
-                        400, {"error": "body needs 'image' or 'images'"})
+                        400, {"error": "body needs 'image' (str) or "
+                              "'images' (list of str)"})
                 emb = service.embed(paths, pool=req.get("pool", "mean"))
                 return self._json(200, {"embeddings": emb.tolist(),
                                         "shape": list(emb.shape)})

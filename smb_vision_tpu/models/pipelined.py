@@ -43,6 +43,21 @@ from smb_vision_tpu.parallel.pipeline import (
 )
 
 
+def _cfg_block(cfg, hidden: int, heads: int, inter: int, dt, **over):
+    """Block built from the shared config fields exactly as the dense
+    models build theirs (videomae.py:89-101, vjepa.py:70-83) — a single
+    construction site so a new Block knob (quant8, fused_qkv, ...) cannot
+    silently drift between the dense and pipelined paths."""
+    kw = dict(act=cfg.hidden_act,
+              bias_mode="qkv" if cfg.qkv_bias else "none",
+              layer_norm_eps=cfg.layer_norm_eps, dtype=dt,
+              attn_impl=cfg.attn_impl, mlp_impl=cfg.mlp_impl,
+              fused_qkv=cfg.fused_qkv,
+              initializer_range=cfg.initializer_range)
+    kw.update(over)
+    return Block(hidden, heads, inter, **kw)
+
+
 def pipelined_encoder(enc: Encoder, enc_params: dict, x, *, mesh: Mesh,
                       axis: str = "pipe", num_microbatches: int,
                       rope: Any = None, batch_axis: Optional[str] = None,
@@ -54,9 +69,10 @@ def pipelined_encoder(enc: Encoder, enc_params: dict, x, *, mesh: Mesh,
     asserted by tests/test_pipelined_models.py."""
     if not deterministic and enc.drop_path_rate > 0:
         raise ValueError(
-            "pipelined_encoder supports deterministic application only "
-            "when drop_path_rate > 0: per-layer stochastic-depth rates "
-            "are static module fields, not stackable params")
+            "pipelined_encoder cannot apply non-deterministically when "
+            "drop_path_rate > 0: per-layer stochastic-depth rates are "
+            "static module fields, not stackable params — set "
+            "drop_path_rate=0 or use deterministic=True")
     if enc.sequence_parallel:
         raise ValueError(
             "pipelined_encoder runs blocks inside shard_map; build the "
@@ -131,30 +147,20 @@ def vjepa2_pipeline_encode(config, params: dict, pixel_values_videos, *,
                            remat: bool = False):
     """VJEPA2Encoder forward (vjepa.py:48-83) with the stack pipelined;
     the shared 3D-RoPE tables ship to every stage as the pipeline's
-    layer-invariant extra operand. Matches `VJEPA2Encoder.apply`."""
+    layer-invariant extra operand. Matches `VJEPA2Encoder.apply`.
+    Dense per-layer params; the stacked view is built at dispatch and the
+    forward is shared with the pretraining path (`_vjepa_pipe_encode`)."""
     cfg = config
     p = params.get("params", params)
-    dt = jnp.dtype(cfg.dtype)
-    x = patch_embed(pixel_values_videos, p["patch_embed_kernel"],
-                    p["patch_embed_bias"], dtype=dt)
-    n = x.shape[1]
-    rope = rope3d_cos_sin(jnp.arange(n), cfg.crop_size // cfg.patch_size,
-                          cfg.head_dim, dtype=dt)
-    enc = Encoder(
-        num_layers=cfg.num_hidden_layers, hidden_size=cfg.hidden_size,
-        num_heads=cfg.num_attention_heads,
-        intermediate_size=int(cfg.hidden_size * cfg.mlp_ratio),
-        act=cfg.hidden_act, bias_mode="qkv" if cfg.qkv_bias else "none",
-        layer_norm_eps=cfg.layer_norm_eps, dtype=dt,
-        attn_impl=cfg.attn_impl, mlp_impl=cfg.mlp_impl,
-            fused_qkv=cfg.fused_qkv,
-        initializer_range=cfg.initializer_range)
-    x = pipelined_encoder(enc, p["encoder"], x, mesh=mesh, axis=axis,
-                          num_microbatches=num_microbatches, rope=rope,
-                          batch_axis=batch_axis, remat=remat)
-    ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dt,
-                      param_dtype=jnp.float32)
-    return ln.apply({"params": p["layernorm"]}, x)
+    stacked, n_layers = stack_layer_params(p["encoder"])
+    if n_layers != cfg.num_hidden_layers:
+        raise ValueError(f"params carry {n_layers} layers, config declares "
+                         f"{cfg.num_hidden_layers}")
+    sp = {**{k: v for k, v in p.items() if k != "encoder"},
+          "encoder_stacked": stacked}
+    return _vjepa_pipe_encode(cfg, sp, pixel_values_videos, mesh=mesh,
+                              axis=axis, num_microbatches=num_microbatches,
+                              batch_axis=batch_axis, remat=remat)
 
 
 def dinov2_pipeline_encode(config, params: dict, pixel_values, *,
@@ -287,13 +293,12 @@ def videomae_pipeline_pretrain(config, params: dict, pixel_values,
     x = x + jnp.take_along_axis(pos_b, vis_idx[..., None], axis=1)
 
     # --- encoder stack through the pipeline ---
-    enc_block = Block(cfg.hidden_size, cfg.num_attention_heads,
-                      cfg.intermediate_size, act=cfg.hidden_act,
-                      bias_mode="qv" if cfg.qkv_bias else "none",
-                      layer_norm_eps=cfg.layer_norm_eps, dtype=dt,
-                      attn_impl=cfg.attn_impl, mlp_impl=cfg.mlp_impl,
-            fused_qkv=cfg.fused_qkv,
-                      initializer_range=cfg.initializer_range)
+    # quant8 follows the dense encoder (videomae.py:100); the dense
+    # decoder below does not take it (videomae.py:146-158)
+    enc_block = _cfg_block(cfg, cfg.hidden_size, cfg.num_attention_heads,
+                           cfg.intermediate_size, dt,
+                           bias_mode="qv" if cfg.qkv_bias else "none",
+                           quant8=cfg.quant8)
     layer_fn = lambda pp, h: enc_block.apply(  # noqa: E731
         {"params": pp}, h, None, True)
     x = pipeline_apply(layer_fn, vm["encoder_stacked"], x, mesh=mesh,
@@ -315,14 +320,10 @@ def videomae_pipeline_pretrain(config, params: dict, pixel_values,
     x_full = jnp.concatenate(
         [x + pos_vis, p["mask_token"].astype(dt) + pos_mask], axis=1)
 
-    dec_block = Block(cfg.decoder_hidden_size,
-                      cfg.decoder_num_attention_heads,
-                      cfg.decoder_intermediate_size, act=cfg.hidden_act,
-                      bias_mode="qv" if cfg.qkv_bias else "none",
-                      layer_norm_eps=cfg.layer_norm_eps, dtype=dt,
-                      attn_impl=cfg.attn_impl, mlp_impl=cfg.mlp_impl,
-            fused_qkv=cfg.fused_qkv,
-                      initializer_range=cfg.initializer_range)
+    dec_block = _cfg_block(cfg, cfg.decoder_hidden_size,
+                           cfg.decoder_num_attention_heads,
+                           cfg.decoder_intermediate_size, dt,
+                           bias_mode="qv" if cfg.qkv_bias else "none")
     dec_fn = lambda pp, h: dec_block.apply(  # noqa: E731
         {"params": pp}, h, None, True)
     x_full = pipeline_apply(dec_fn, p["decoder_stacked"], x_full, mesh=mesh,
@@ -402,13 +403,8 @@ def _vjepa_pipe_encode(cfg, enc_params, pixel_values_videos, *, mesh, axis,
     n = x.shape[1]
     rope = rope3d_cos_sin(jnp.arange(n), cfg.crop_size // cfg.patch_size,
                           cfg.head_dim, dtype=dt)
-    block = Block(cfg.hidden_size, cfg.num_attention_heads,
-                  int(cfg.hidden_size * cfg.mlp_ratio), act=cfg.hidden_act,
-                  bias_mode="qkv" if cfg.qkv_bias else "none",
-                  layer_norm_eps=cfg.layer_norm_eps, dtype=dt,
-                  attn_impl=cfg.attn_impl, mlp_impl=cfg.mlp_impl,
-            fused_qkv=cfg.fused_qkv,
-                  initializer_range=cfg.initializer_range)
+    block = _cfg_block(cfg, cfg.hidden_size, cfg.num_attention_heads,
+                       int(cfg.hidden_size * cfg.mlp_ratio), dt)
     layer_fn = lambda pp, h, rp: block.apply(  # noqa: E731
         {"params": pp}, h, rp, True)
     x = pipeline_apply(layer_fn, enc_params["encoder_stacked"], x,
@@ -464,14 +460,9 @@ def vjepa2_pipeline_pretrain(config, params: dict, teacher: dict,
     n = x.shape[1]
     rope = rope3d_cos_sin(jnp.arange(n), cfg.crop_size // cfg.patch_size,
                           cfg.pred_head_dim, dtype=dt)
-    pblock = Block(cfg.pred_hidden_size, cfg.pred_num_attention_heads,
-                   int(cfg.pred_hidden_size * cfg.pred_mlp_ratio),
-                   act=cfg.hidden_act,
-                   bias_mode="qkv" if cfg.qkv_bias else "none",
-                   layer_norm_eps=cfg.layer_norm_eps, dtype=dt,
-                   attn_impl=cfg.attn_impl, mlp_impl=cfg.mlp_impl,
-            fused_qkv=cfg.fused_qkv,
-                   initializer_range=cfg.initializer_range)
+    pblock = _cfg_block(cfg, cfg.pred_hidden_size,
+                        cfg.pred_num_attention_heads,
+                        int(cfg.pred_hidden_size * cfg.pred_mlp_ratio), dt)
     pfn = lambda pp, h, rp: pblock.apply(  # noqa: E731
         {"params": pp}, h, rp, True)
     x = pipeline_apply(pfn, prd["stack_stacked"], x, extra=rope, **kw)

@@ -73,9 +73,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def local_batch_slice(global_batch: int, mesh: Mesh) -> int:
-    """Per-process batch share for multi-host feeding (the reference's
-    partition_dataset equivalent, keyed on jax.process_index())."""
-    return global_batch // max(mesh.shape[DATA_AXIS], 1)
+    """Per-PROCESS batch share for multi-host feeding (the reference's
+    partition_dataset equivalent, keyed on jax.process_index()). Each host
+    feeds global_batch / process_count examples — NOT global_batch /
+    data-device-count, which would be the per-DEVICE share (a process
+    usually owns several data-parallel devices)."""
+    n_proc = max(len({d.process_index for d in mesh.devices.flat}), 1)
+    if global_batch % n_proc:
+        raise ValueError(
+            f"global batch {global_batch} does not divide over "
+            f"{n_proc} host processes")
+    return global_batch // n_proc
 
 
 def maybe_initialize_distributed(enable=None) -> bool:
@@ -109,7 +117,12 @@ def maybe_initialize_distributed(enable=None) -> bool:
     try:
         jax.distributed.initialize()
     except RuntimeError as e:
-        if "already initialized" not in str(e).lower():
+        # double-init is a no-op: jax 0.9 raises "distributed.initialize
+        # should only be called once."; older versions said "already
+        # initialized"
+        msg = str(e).lower()
+        if ("already initialized" not in msg
+                and "only be called once" not in msg):
             raise
     except ValueError:
         # jax could not resolve a coordinator from the environment. When

@@ -61,3 +61,49 @@ def test_auto_degrades_when_no_coordinator():
             pass
         else:  # pragma: no cover
             raise AssertionError("forced init should propagate the error")
+
+
+def test_double_init_is_noop():
+    """jax 0.9 raises 'distributed.initialize should only be called once.'
+    on a second init — the guard must swallow it (the promised 'safe to
+    call twice' contract), not kill the run."""
+
+    def second_init(*a, **k):
+        raise RuntimeError("distributed.initialize should only be called "
+                           "once.")
+
+    with mock.patch.object(jax.distributed, "initialize", second_init):
+        assert maybe_initialize_distributed(True) is False  # 1 process
+
+    def other_error(*a, **k):
+        raise RuntimeError("something actually broke")
+
+    with mock.patch.object(jax.distributed, "initialize", other_error):
+        try:
+            maybe_initialize_distributed(True)
+            raise AssertionError("unrelated RuntimeError swallowed")
+        except RuntimeError as e:
+            assert "actually broke" in str(e)
+
+
+def test_local_batch_slice_is_per_process():
+    """Per-PROCESS share: on a single-process 8-device mesh the whole
+    global batch stays on this host (per-device slicing is GSPMD's job)."""
+    import pytest
+
+    from smb_vision_tpu.parallel.mesh import create_mesh, local_batch_slice
+
+    mesh = create_mesh()
+    assert local_batch_slice(16, mesh) == 16
+    with pytest.raises(ValueError, match="divide"):
+        # single process: any batch divides by 1 — fake a 3-process world
+        class FakeDev:
+            def __init__(self, p):
+                self.process_index = p
+
+        import numpy as np
+
+        from jax.sharding import Mesh
+        fake = mock.MagicMock()
+        fake.devices.flat = [FakeDev(0), FakeDev(1), FakeDev(2)]
+        local_batch_slice(16, fake)

@@ -158,3 +158,19 @@ def test_embed_errors(server):
     assert status in (400, 404) and "nonexistent" in out["error"]
     status, _ = _request(srv, "GET", "/nope")
     assert status == 404
+
+
+def test_embed_malformed_bodies(server):
+    """Client mistakes must be 400s, not 500s: non-object JSON bodies; a
+    bare string under 'images' is accepted as a single path."""
+    srv, paths = server
+    status, out = _request(srv, "POST", "/embed", [{"image": paths[0]}])
+    assert status == 400 and "JSON object" in out["error"]
+    status, out = _request(srv, "POST", "/embed", "just a string")
+    assert status == 400
+    status, out = _request(srv, "POST", "/embed", {"images": 17})
+    assert status == 400
+    status, out = _request(srv, "POST", "/embed", {"images": [1, 2]})
+    assert status == 400
+    status, out = _request(srv, "POST", "/embed", {"images": paths[0]})
+    assert status == 200 and out["shape"][0] == 1
