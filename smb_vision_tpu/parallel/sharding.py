@@ -119,13 +119,45 @@ def opt_state_shardings(opt_state: Any, params_sharding: Any,
         for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
             shapes[_path_str(path)] = leaf.shape
 
+    def quantized_spec(cand, leaf):
+        """int8 blockwise moments (train/quantized.py::_Quantized): codes
+        (nb, block) / scales (nb, 1) are FLAT layouts — the param's own
+        spec cannot apply. Shard the block axis (dim 0) over the same mesh
+        axes the param is sharded over, so 8-bit state is distributed
+        under fsdp instead of silently replicating (which would cost ~2x
+        MORE per-device optimizer HBM than sharded exact Adam)."""
+        axes = []
+        for entry in cand.spec:
+            if entry is None:
+                continue
+            axes.extend(entry if isinstance(entry, (tuple, list))
+                        else [entry])
+        shape = getattr(leaf, "shape", ())
+        if not axes or not shape:
+            return replicated
+        n = 1
+        for a in axes:
+            n *= mesh.shape[a]
+        if shape[0] % n:
+            return replicated
+        return NamedSharding(mesh, P(tuple(axes)))
+
     flat, treedef = jax.tree_util.tree_flatten_with_path(opt_state)
     out = []
     for path, leaf in flat:
         ps = _path_str(path)
+        base, quant = ps, False
+        # NamedTuple fields stringify as attr keys ('/.codes', '/.scales')
+        for tail in ("/.codes", "/.scales"):
+            if ps.endswith(tail):
+                base, quant = ps[:-len(tail)], True
+                break
         sh = replicated
         for suffix, cand in by_suffix.items():
-            if ps == suffix or ps.endswith("/" + suffix):
+            if base == suffix or base.endswith("/" + suffix):
+                if quant:
+                    sh = quantized_spec(cand, leaf)
+                    break
                 if suffix in shapes and getattr(leaf, "shape", None) \
                         != shapes[suffix]:
                     continue

@@ -25,24 +25,22 @@ def concordance_index(durations, risk_scores, events) -> float:
     risk = np.asarray(risk_scores, dtype=np.float64).reshape(-1)
     events = np.asarray(events).reshape(-1).astype(bool)
 
-    num, den = 0.0, 0.0
-    n = len(durations)
-    for i in range(n):
-        if not events[i]:
-            continue
-        for j in range(n):
-            if i == j:
-                continue
-            # i has an event; comparable if j survived longer (or censored
-            # at a later time)
-            if durations[i] < durations[j] or (
-                    durations[i] == durations[j] and not events[j]):
-                den += 1.0
-                if risk[i] > risk[j]:
-                    num += 1.0
-                elif risk[i] == risk[j]:
-                    num += 0.5
-    return num / den if den else 0.5
+    # vectorised over (event i, any j) pairs — the O(n^2) Python loop this
+    # replaces took minutes at realistic cohort sizes
+    di = durations[events][:, None]                 # (n_events, 1)
+    ri = risk[events][:, None]
+    # i has an event; comparable if j survived longer (or was censored at
+    # the same time — j's event is known to be later)
+    comparable = (di < durations[None, :]) | (
+        (di == durations[None, :]) & ~events[None, :])
+    # i == j pairs have durations[i] == durations[j] and events[j]=True ->
+    # never comparable, so no self-pair exclusion is needed
+    den = float(comparable.sum())
+    if den == 0.0:
+        return 0.5
+    num = float((comparable & (ri > risk[None, :])).sum()) \
+        + 0.5 * float((comparable & (ri == risk[None, :])).sum())
+    return num / den
 
 
 def _micro_prf(y_true: np.ndarray, y_pred: np.ndarray):
@@ -104,8 +102,14 @@ def compute_metrics(task_type: str, predictions, labels) -> Dict[str, float]:
         labels = np.asarray(labels)
         preds = predictions.argmax(axis=1)
         result = {"accuracy": float((preds == labels).mean())}
-        scores = predictions[:, 1] if predictions.ndim > 1 else predictions
-        result["roc_auc"] = roc_auc_binary(scores, labels)
+        if predictions.ndim > 1 and predictions.shape[1] == 2:
+            # rank by the logit MARGIN z1 - z0 (the softmax-probability
+            # ordering); the raw z1 column is a different, wrong ordering
+            # — and for >2 classes binary AUC is meaningless, so skip it
+            result["roc_auc"] = roc_auc_binary(
+                predictions[:, 1] - predictions[:, 0], labels)
+        elif predictions.ndim == 1:
+            result["roc_auc"] = roc_auc_binary(predictions, labels)
         return _with_combined(result)
 
     # regression

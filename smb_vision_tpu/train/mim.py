@@ -49,10 +49,11 @@ def make_mim_workload(config: VideoMAEConfig, *, mask_patch_size: int,
             key, px, mask, num_masked)
         return train_state(params, tx.init(params))
 
-    def loss_fn(params, batch, key):
+    def loss_fn(params, batch, key, deterministic=False):
         px = batch["pixel_values"]
         mask = gen_mask(key, px.shape[0])
-        out = model.apply(params, px, mask, num_masked, deterministic=False)
+        out = model.apply(params, px, mask, num_masked,
+                          deterministic=deterministic)
         return out["loss"], None
 
     def step_fn(state, batch, key):
@@ -70,7 +71,10 @@ def make_mim_workload(config: VideoMAEConfig, *, mask_patch_size: int,
     @jax.jit
     def eval_fn(state, batch):
         key = jax.random.PRNGKey(0)  # fixed eval mask for determinism
-        loss, _ = loss_fn(state["params"], batch, key)
+        # deterministic=True: eval must run the model in eval mode (today
+        # the flax VideoMAE has no stochastic modules, but the contract
+        # matches the vjepa/classification eval paths)
+        loss, _ = loss_fn(state["params"], batch, key, deterministic=True)
         return {"loss": loss}
 
     return model, init_fn, step_fn, eval_fn

@@ -76,15 +76,20 @@ def make_optimizer(*, learning_rate: float, total_steps: int,
         if optim == "adamw8bit":
             from smb_vision_tpu.train.quantized import adamw8bit
 
-            tx = adamw8bit(lr_sched, b1=b1, b2=b2, eps=eps,
-                           weight_decay=weight_decay, mask=decay_mask)
-        elif optim == "adamw":
-            tx = optax.adamw(lr_sched, b1=b1, b2=b2, eps=eps,
+            return adamw8bit(lr_sched, b1=b1, b2=b2, eps=eps,
                              weight_decay=weight_decay, mask=decay_mask)
-        else:
-            raise ValueError(f"unknown optim {optim!r}")
+        elif optim == "adamw":
+            return optax.adamw(lr_sched, b1=b1, b2=b2, eps=eps,
+                               weight_decay=weight_decay, mask=decay_mask)
+        raise ValueError(f"unknown optim {optim!r}")
+
+    def clipped(tx):
+        # clipping wraps the WHOLE transformation so the norm is the true
+        # global norm — clipping inside each multi_transform group would
+        # scale the head and the backbone by different factors (diverging
+        # from HF max_grad_norm semantics whenever clipping is active)
         if grad_clip:
-            tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+            return optax.chain(optax.clip_by_global_norm(grad_clip), tx)
         return tx
 
     if vision_lr is not None and merger_lr is not None:
@@ -98,18 +103,18 @@ def make_optimizer(*, learning_rate: float, total_steps: int,
                     "/".join(str(getattr(q, "key", q)) for q in p))
                 else "vision", params)
 
-        tx = optax.multi_transform(
+        return clipped(optax.multi_transform(
             {"vision": adamw(make_schedule(vision_lr, total_steps,
                                            warmup_ratio, warmup_steps,
                                            schedule, min_lr)),
              "head": adamw(make_schedule(merger_lr, total_steps,
                                          warmup_ratio, warmup_steps,
                                          schedule, min_lr))},
-            labels)
-        return tx
+            labels))
 
-    return adamw(make_schedule(learning_rate, total_steps, warmup_ratio,
-                               warmup_steps, schedule, min_lr))
+    return clipped(adamw(make_schedule(learning_rate, total_steps,
+                                       warmup_ratio, warmup_steps,
+                                       schedule, min_lr)))
 
 
 def ema_update(teacher_params, student_params, momentum: float):

@@ -145,8 +145,13 @@ class Trainer:
             step_fn = lambda s, b, k: inner_step(  # noqa: E731
                 s, dequantize_batch(b, jnp.bfloat16), k)
             if eval_fn is not None:
-                self.eval_fn = jax.jit(lambda s, b: inner_eval(
-                    s, dequantize_batch(b, jnp.bfloat16)))
+                # decode in its own small jit, THEN call eval_fn: the
+                # classification/survival eval_fn is deliberately host
+                # code (np.asarray on labels) and must not be traced
+                _deq = jax.jit(
+                    lambda b: dequantize_batch(b, jnp.bfloat16))
+                self.eval_fn = lambda s, b: inner_eval(  # noqa: E731
+                    s, _deq(b))
         self.step_fn = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
         self._ckpt_mgr = self._make_ckpt_manager()
 
@@ -210,12 +215,20 @@ class Trainer:
                 self.state = self._apply_shardings(dict(restored))
         elif self.args.overwrite_output_dir:
             # HF semantic: start fresh even when output_dir already holds
-            # checkpoints (they will be overwritten as training saves)
+            # checkpoints. The stale steps must be DELETED, not ignored:
+            # orbax raises StepAlreadyExistsError when a fresh run's save
+            # lands on a step number the old run already wrote.
             step = self._ckpt_mgr.latest_step()
             if step is not None:
-                logger.info("overwrite_output_dir: ignoring existing "
-                            "checkpoint at step %s, training from scratch",
-                            step)
+                logger.info("overwrite_output_dir: deleting existing "
+                            "checkpoints (latest step %s), training from "
+                            "scratch", step)
+                import shutil
+
+                self._ckpt_mgr.close()
+                shutil.rmtree(self.out_dir / "checkpoints",
+                              ignore_errors=True)
+                self._ckpt_mgr = self._make_ckpt_manager()
             step = None
         else:
             step = self._ckpt_mgr.latest_step()
@@ -280,14 +293,13 @@ class Trainer:
             except ValueError:   # not the main thread
                 pass
 
-        key = jax.random.PRNGKey(args.seed)
+        base_key = jax.random.PRNGKey(args.seed)
         step = start
         t_last = time.perf_counter()
         samples_per_step = (args.per_device_train_batch_size
                             * self.mesh.shape["data"]
                             * args.gradient_accumulation_steps)
         window_losses = []
-        epoch = 0
         logger.info("training: %d -> %d steps, %d samples/step",
                     start, total, samples_per_step)
 
@@ -297,6 +309,19 @@ class Trainer:
                 f"({len(self.train_loader.ds)} items) — no full batch can "
                 f"be formed; reduce per_device_train_batch_size / "
                 f"grad-accum or add data")
+
+        # resume at the right point in the DATA STREAM, not just the right
+        # step count: restore the epoch, skip the batches this epoch
+        # already consumed, and key each step's RNG by its global step
+        # (fold_in) — otherwise a resumed run replays exactly the batches
+        # and mask keys it already trained on (HF resume-with-skip
+        # semantics)
+        steps_per_epoch = len(self.train_loader)
+        epoch = start // steps_per_epoch
+        skip_batches = start % steps_per_epoch
+        if skip_batches:
+            logger.info("resume: fast-forwarding %d consumed batches of "
+                        "epoch %d", skip_batches, epoch)
 
         # grad-accum batches are pre-split into (n_accum, micro, ...) on the
         # HOST and device_put with the data axis on the MICRO dim: splitting
@@ -341,10 +366,11 @@ class Trainer:
             return accum_sh if ACCUM_SPLIT_KEY in batch else self.batch_sh
 
         in_dt = jnp.dtype(args.input_dtype)
-        # pixel-family dtypes to re-cast to in_dt; f64 label/duration
-        # columns ship unchanged (Cox durations must not round)
-        _px_dts = {np.dtype(np.float32), np.dtype(np.float16),
-                   jnp.dtype(jnp.bfloat16)}
+        # ONLY pixel columns re-cast to in_dt: label/duration/feature
+        # columns ship unchanged (bf16 spacing at duration ~2048 days is
+        # 16 — casting Cox durations would collapse distinct survival
+        # times into ties and reorder the risk sets)
+        _px_keys = ("pixel_values", "pixel_values_videos")
 
         def cast_inputs(batch):
             # cast float arrays on the HOST before device_put — on
@@ -360,7 +386,9 @@ class Trainer:
 
                 return quantize_batch(batch)
             return {k: (np.asarray(v).astype(in_dt)
-                        if (np.asarray(v).dtype in _px_dts
+                        if (k in _px_keys
+                            and np.issubdtype(np.asarray(v).dtype,
+                                              np.floating)
                             and np.asarray(v).dtype != in_dt) else v)
                     for k, v in batch.items()}
 
@@ -373,7 +401,13 @@ class Trainer:
         while step < total:
             self.train_loader.set_epoch(epoch)
             from smb_vision_tpu.data.dataset import prefetch_to_device
-            data_iter = map(presplit, map(cast_inputs, self.train_loader))
+            src = iter(self.train_loader)
+            if skip_batches:
+                import itertools
+
+                src = itertools.islice(src, skip_batches, None)
+                skip_batches = 0
+            data_iter = map(presplit, map(cast_inputs, src))
             for batch in prefetch_to_device(data_iter,
                                             sharding_fn=batch_sharding_fn):
                 if step >= total:
@@ -382,7 +416,9 @@ class Trainer:
                         and step + 1 >= prof_range[0]):
                     jax.profiler.start_trace(str(self.out_dir / "profile"))
                     prof_active = True
-                key, sub = jax.random.split(key)
+                # step-keyed RNG: reproducible across resume (the split
+                # chain would restart from the seed and replay mask keys)
+                sub = jax.random.fold_in(base_key, step)
                 self.state, metrics = self.step_fn(self.state, batch, sub)
                 step += 1
                 if prof_active and step >= prof_range[1]:
@@ -397,11 +433,15 @@ class Trainer:
                 if step % args.logging_steps == 0:
                     losses = [float(x) for x in window_losses]
                     dt = time.perf_counter() - t_last
-                    sps = args.logging_steps * samples_per_step / dt
+                    # the window can be shorter than logging_steps (first
+                    # window after a resume at an unaligned step) — meter
+                    # by the steps actually taken
+                    n_win = max(len(losses), 1)
+                    sps = n_win * samples_per_step / dt
                     rec = {"step": step,
                            "loss": float(np.mean(losses)),
                            "samples_per_sec": sps,
-                           "step_time_ms": dt / args.logging_steps * 1e3}
+                           "step_time_ms": dt / n_win * 1e3}
                     if args.model_flops_per_sample:
                         peak = _device_peak_flops()
                         if peak:
@@ -424,7 +464,11 @@ class Trainer:
 
         if prof_active:          # profile window ran past the last step
             jax.profiler.stop_trace()
-        self.save_checkpoint(step)
+        # final save unless this exact step is already on disk (a
+        # save_steps-aligned stop, or a relaunch of a completed run):
+        # orbax raises StepAlreadyExistsError on a duplicate step
+        if self._ckpt_mgr.latest_step() != step:
+            self.save_checkpoint(step)
         self._ckpt_mgr.wait_until_finished()
         for sig, h in prev_handlers.items():
             signal.signal(sig, h)

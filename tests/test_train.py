@@ -535,16 +535,18 @@ def test_vjepa_eval_deterministic_under_droppath(rng):
 
 
 def test_trainer_ships_input_dtype_batches(tmp_path):
-    """TrainingArguments.input_dtype=bfloat16 casts float batch arrays on
-    the host before device_put (halves H2D bytes); integer arrays ship
-    unchanged."""
+    """TrainingArguments.input_dtype=bfloat16 casts PIXEL batch arrays on
+    the host before device_put (halves H2D bytes); every other column —
+    integer labels, float durations/regression labels/features — ships
+    unchanged (bf16 spacing at duration ~2048 days is 16: rounding Cox
+    durations would collapse distinct survival times into ties)."""
     from smb_vision_tpu.train.trainer import Trainer, TrainingArguments
 
     class ListLoader:
         def __init__(self, batches):
             self.batches = batches
             self.ds = list(range(sum(
-                b["x"].shape[0] for b in batches)))
+                b["pixel_values"].shape[0] for b in batches)))
 
         def __iter__(self):
             return iter(self.batches)
@@ -555,14 +557,14 @@ def test_trainer_ships_input_dtype_batches(tmp_path):
         def set_epoch(self, e):
             pass
 
-    batches = [{"x": np.ones((8, 4), np.float32) * i,
+    batches = [{"pixel_values": np.ones((8, 4), np.float32) * i,
                 "labels": np.arange(8, dtype=np.int32)} for i in range(3)]
     seen = {}
 
     def step_fn(state, batch, key):
-        seen["x"] = batch["x"].dtype
+        seen["pixel_values"] = batch["pixel_values"].dtype
         seen["labels"] = batch["labels"].dtype
-        return state, {"loss": jnp.mean(batch["x"])}
+        return state, {"loss": jnp.mean(batch["pixel_values"])}
 
     state = {"params": {"w": jnp.zeros(())}, "opt_state": (),
              "step": jnp.asarray(0)}
@@ -572,14 +574,16 @@ def test_trainer_ships_input_dtype_batches(tmp_path):
     tr = Trainer(args=args, state=state, step_fn=step_fn,
                  train_loader=ListLoader(batches))
     tr.train()
-    assert seen["x"] == jnp.bfloat16
+    assert seen["pixel_values"] == jnp.bfloat16
     assert seen["labels"] == jnp.int32
 
-    # half-precision sources also re-cast to input_dtype (the CTDataset
-    # out_dtype path delivers f16 straight from an f16 cache), and f64
-    # label columns (Cox durations) ship unchanged
-    batches16 = [{"x": np.ones((8, 4), np.float16) * i,
-                  "duration": np.arange(8, dtype=np.float64)}
+    # half-precision pixel sources also re-cast to input_dtype (the
+    # CTDataset out_dtype path delivers f16 straight from an f16 cache);
+    # f32 Cox durations and f32 tabular features must NOT round to bf16
+    batches16 = [{"pixel_values": np.ones((8, 4), np.float16) * i,
+                  "duration": np.asarray([2048.0 + j for j in range(8)],
+                                         np.float32),
+                  "additional_features": np.ones((8, 3), np.float32)}
                  for i in range(3)]
     state2 = {"params": {"w": jnp.zeros(())}, "opt_state": (),
               "step": jnp.asarray(0)}
@@ -587,18 +591,20 @@ def test_trainer_ships_input_dtype_batches(tmp_path):
                               num_train_steps=3, input_dtype="bfloat16",
                               logging_steps=1, save_steps=100)
     def step_fn16(state, batch, key):
-        seen["x"] = batch["x"].dtype
+        seen["pixel_values"] = batch["pixel_values"].dtype
         seen["duration"] = batch["duration"].dtype
-        return state, {"loss": jnp.mean(batch["x"])}
+        seen["features"] = batch["additional_features"].dtype
+        return state, {"loss": jnp.mean(batch["pixel_values"])}
 
     tr2 = Trainer(args=args2, state=state2, step_fn=step_fn16,
                   train_loader=ListLoader(batches16))
     seen.clear()
     tr2.train()
-    assert seen["x"] == jnp.bfloat16
-    # f64 host column: not bf16-rounded by cast_inputs (device_put narrows
-    # to f32 under default x64-off config)
+    assert seen["pixel_values"] == jnp.bfloat16
+    # f32 preserved == distinct survival times stay distinct (bf16 would
+    # collapse 2048+j for j<8 into one value)
     assert seen["duration"] == jnp.float32
+    assert seen["features"] == jnp.float32
 
 
 def test_trainer_profile_steps_writes_trace(tmp_path):
@@ -718,3 +724,274 @@ def test_load_params_into_partial_checkpoint(tmp_path):
         np.asarray(new["params"]["encoder"]["b"]), np.zeros((3,)))
     np.testing.assert_array_equal(
         np.asarray(new["params"]["predictor"]["w"]), np.zeros((2, 2)))
+
+
+class _RecordingLoader:
+    """4-batch epoch; records (epoch, batch_index) of every batch served."""
+
+    def __init__(self, n_batches=4, bs=8):
+        self.n = n_batches
+        self.bs = bs
+        self.ds = list(range(n_batches * bs))
+        self.epoch = 0
+        self.served = []
+
+    def set_epoch(self, e):
+        self.epoch = e
+
+    def __len__(self):
+        return self.n
+
+    def __iter__(self):
+        for i in range(self.n):
+            self.served.append((self.epoch, i))
+            yield {"pixel_values": np.full((self.bs, 2), i, np.float32)}
+
+
+def _counting_state():
+    return {"params": {"w": jnp.zeros(())}, "opt_state": (),
+            "step": jnp.asarray(0)}
+
+
+def test_trainer_resume_skips_consumed_batches(tmp_path):
+    """Auto-resume must restore the data-stream position and the per-step
+    RNG, not just the step count: a run killed at step 6 of 8 (4
+    batches/epoch) resumes with batches (1,2),(1,3) — NOT a replay of
+    epoch 0 — and each step's key is fold_in(seed, step), so resumed
+    steps draw the keys the original schedule would have."""
+    from smb_vision_tpu.train.trainer import Trainer, TrainingArguments
+
+    def step_fn(state, batch, key):
+        # stash the step's key in the (checkpointable) state so the host
+        # can read it back without tracing host ops into the jitted step
+        return dict(state, step=state["step"] + 1, last_key=key), \
+            {"loss": jnp.mean(batch["pixel_values"])}
+
+    def fresh_state():
+        return dict(_counting_state(),
+                    last_key=jnp.zeros((2,), jnp.uint32))
+
+    args = dict(output_dir=str(tmp_path), logging_steps=1, save_steps=3)
+    ld1 = _RecordingLoader()
+    tr1 = Trainer(args=TrainingArguments(num_train_steps=6, **args),
+                  state=fresh_state(), step_fn=step_fn, train_loader=ld1)
+    tr1.train()
+    # prefetch_to_device may read ahead past the stop step; the TRAINED
+    # batches are the served prefix
+    assert ld1.served[:6] == [(0, 0), (0, 1), (0, 2), (0, 3), (1, 0),
+                              (1, 1)]
+    key_step5 = np.asarray(tr1.state["last_key"]).tolist()
+
+    ld2 = _RecordingLoader()
+    tr2 = Trainer(args=TrainingArguments(num_train_steps=8, **args),
+                  state=fresh_state(), step_fn=step_fn, train_loader=ld2)
+    tr2.train()                      # resumes at step 6
+    # epoch restored to 1; batches (1,0),(1,1) are pulled-but-discarded by
+    # the fast-forward, and the TRAINED batches are (1,2),(1,3) — loss
+    # equals the batch index by construction, so read it from the metrics
+    assert ld2.served[0][0] == 1     # epoch 1, not an epoch-0 replay
+    import json as _json
+
+    recs = [_json.loads(line) for line in
+            (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    trained = [r["loss"] for r in recs if r.get("step", 0) in (7, 8)]
+    assert trained == [2.0, 3.0], recs
+    key_step7_resumed = np.asarray(tr2.state["last_key"]).tolist()
+
+    # the resumed step-7 key must be exactly what an UNINTERRUPTED run
+    # draws at step 7: fold_in(seed, step) is step-keyed, not history-keyed
+    ld3 = _RecordingLoader()
+    tr3 = Trainer(args=TrainingArguments(num_train_steps=8,
+                                         output_dir=str(tmp_path / "f"),
+                                         logging_steps=1, save_steps=100),
+                  state=fresh_state(), step_fn=step_fn, train_loader=ld3)
+    tr3.train()
+    key_step7_fresh = np.asarray(tr3.state["last_key"]).tolist()
+    assert key_step7_resumed == key_step7_fresh
+    assert key_step7_resumed != key_step5
+
+
+def test_trainer_final_save_no_step_collision(tmp_path):
+    """num_train_steps aligned to save_steps: the in-loop save and the
+    final save land on the same step — must not raise
+    StepAlreadyExistsError; relaunching a COMPLETED run must also be a
+    no-op instead of a crash."""
+    from smb_vision_tpu.train.trainer import Trainer, TrainingArguments
+
+    def step_fn(state, batch, key):
+        return dict(state, step=state["step"] + 1), {"loss": jnp.zeros(())}
+
+    args = TrainingArguments(output_dir=str(tmp_path), num_train_steps=4,
+                             logging_steps=2, save_steps=2)
+    tr = Trainer(args=args, state=_counting_state(), step_fn=step_fn,
+                 train_loader=_RecordingLoader())
+    tr.train()                       # save at 2, 4, then final save at 4
+
+    # relaunch of the finished run: restores step 4, loop body never runs
+    tr2 = Trainer(args=args, state=_counting_state(), step_fn=step_fn,
+                  train_loader=_RecordingLoader())
+    out = tr2.train()
+    assert out == {"train_steps": 4}
+
+
+def test_trainer_overwrite_output_dir_deletes_stale_steps(tmp_path):
+    """overwrite_output_dir must delete the old run's checkpoints: orbax
+    refuses to re-save a step number that already exists on disk."""
+    from smb_vision_tpu.train.trainer import Trainer, TrainingArguments
+
+    def step_fn(state, batch, key):
+        return dict(state, step=state["step"] + 1), {"loss": jnp.zeros(())}
+
+    args = TrainingArguments(output_dir=str(tmp_path), num_train_steps=2,
+                             logging_steps=2, save_steps=2)
+    Trainer(args=args, state=_counting_state(), step_fn=step_fn,
+            train_loader=_RecordingLoader()).train()
+    args2 = TrainingArguments(output_dir=str(tmp_path), num_train_steps=2,
+                              logging_steps=2, save_steps=2,
+                              overwrite_output_dir=True)
+    out = Trainer(args=args2, state=_counting_state(), step_fn=step_fn,
+                  train_loader=_RecordingLoader()).train()
+    assert out == {"train_steps": 2}   # trained from scratch, saved step 2
+
+
+def test_two_tier_clipping_uses_global_norm(rng):
+    """max_grad_norm under two-tier LR must clip by the GLOBAL norm: with
+    vision_lr == merger_lr the two-tier optimizer must produce exactly the
+    single-group updates even when clipping binds (per-group clipping
+    would scale head and backbone by different factors)."""
+    from smb_vision_tpu.train.optim import make_optimizer
+
+    params = {"backbone": {"kernel": jnp.asarray(rng.normal(size=(4, 4)),
+                                                 jnp.float32)},
+              "classifier": {"kernel": jnp.asarray(
+                  rng.normal(size=(4, 2)), jnp.float32)}}
+    # backbone grads huge, head grads tiny -> clipping binds globally
+    grads = {"backbone": {"kernel": jnp.full((4, 4), 10.0)},
+             "classifier": {"kernel": jnp.full((4, 2), 0.01)}}
+
+    kw = dict(total_steps=10, warmup_ratio=0.0, schedule="constant",
+              grad_clip=1.0, weight_decay=0.0)
+    two = make_optimizer(learning_rate=1e-3, vision_lr=1e-3, merger_lr=1e-3,
+                         **kw)
+    one = make_optimizer(learning_rate=1e-3, **kw)
+    u2, _ = two.update(grads, two.init(params), params)
+    u1, _ = one.update(grads, one.init(params), params)
+    for a, b in zip(jax.tree_util.tree_leaves(u2),
+                    jax.tree_util.tree_leaves(u1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6)
+
+
+def test_concordance_index_matches_bruteforce(rng):
+    """The vectorised C-index must equal the definitional O(n^2) loop."""
+    from smb_vision_tpu.train.metrics import concordance_index
+
+    n = 60
+    dur = rng.integers(1, 20, n).astype(float)     # many ties
+    risk = rng.normal(size=n).round(1)             # some risk ties
+    ev = rng.integers(0, 2, n).astype(bool)
+
+    num = den = 0.0
+    for i in range(n):
+        if not ev[i]:
+            continue
+        for j in range(n):
+            if i == j:
+                continue
+            if dur[i] < dur[j] or (dur[i] == dur[j] and not ev[j]):
+                den += 1
+                num += 1.0 if risk[i] > risk[j] else \
+                    (0.5 if risk[i] == risk[j] else 0.0)
+    expect = num / den if den else 0.5
+    assert abs(concordance_index(dur, risk, ev) - expect) < 1e-12
+
+
+def test_roc_auc_ranks_by_probability_not_raw_logit():
+    """Binary AUC must rank by the softmax ordering (z1 - z0). Sample A
+    logits (0, 1) -> p1=0.73; B (5, 2) -> p1=0.047: raw-z1 ranking would
+    invert them. Multiclass predictions get NO roc_auc."""
+    from smb_vision_tpu.train.metrics import compute_metrics
+
+    preds = np.asarray([[0.0, 1.0], [5.0, 2.0]])
+    labels = np.asarray([1, 0])
+    m = compute_metrics("classification", preds, labels)
+    assert m["roc_auc"] == 1.0
+
+    preds3 = np.asarray([[0.1, 0.2, 0.7], [0.5, 0.3, 0.2]])
+    m3 = compute_metrics("classification", preds3, np.asarray([2, 0]))
+    assert "roc_auc" not in m3
+
+
+def test_adamw8bit_state_shards_under_fsdp():
+    """The int8 moment codes/scales must inherit the param's fsdp axes on
+    their block dim — replicated 8-bit moments would cost ~2x MORE
+    per-device optimizer HBM than sharded f32 Adam, inverting the
+    feature's entire point."""
+    from jax.sharding import PartitionSpec as P
+
+    from smb_vision_tpu.parallel.mesh import create_mesh
+    from smb_vision_tpu.parallel.sharding import (
+        opt_state_shardings,
+        param_shardings,
+    )
+    from smb_vision_tpu.train.quantized import adamw8bit
+
+    params = {"enc": {"kernel": jnp.zeros((512, 512))},
+              "small": jnp.zeros((17,))}
+    mesh = create_mesh()
+    tx = adamw8bit(1e-3)
+    st = tx.init(params)
+    osh = opt_state_shardings(st, param_shardings(params, mesh, "fsdp"),
+                              mesh, params=params)
+    flat = {jax.tree_util.keystr(p): s for p, s in
+            jax.tree_util.tree_flatten_with_path(osh)[0]}
+    for mom in ("mu", "nu"):
+        assert flat[f"[0].{mom}['enc']['kernel'].codes"].spec == P("data")
+        assert flat[f"[0].{mom}['enc']['kernel'].scales"].spec == P("data")
+        # non-fsdp'd small param stays replicated
+        assert flat[f"[0].{mom}['small'].codes"].spec == P()
+    # the placed state must run a step without resharding errors
+    st2 = jax.device_put(st, osh)
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+    u, _ = jax.jit(tx.update)(g, st2, params)
+    assert jax.tree_util.tree_leaves(u)[0].shape == (512, 512)
+
+
+def test_trainer_uint8_eval_supports_host_eval_fn(tmp_path):
+    """input_dtype=uint8 must NOT jit-wrap the workload eval_fn: the
+    classification/survival eval path is host code (np.asarray on labels)
+    and crashes under trace. The decode runs in its own jit; eval_fn sees
+    concrete decoded arrays."""
+    from smb_vision_tpu.train.trainer import Trainer, TrainingArguments
+
+    def step_fn(state, batch, key):
+        return dict(state, step=state["step"] + 1), \
+            {"loss": jnp.mean(batch["pixel_values"])}
+
+    def host_eval_fn(state, batch):
+        px = batch["pixel_values"]
+        assert px.dtype == jnp.bfloat16          # decoded on device
+        labels = np.asarray(batch["labels"])     # host op: must not trace
+        return {"loss": jnp.mean(px),
+                "logits": jnp.zeros((labels.shape[0], 2)),
+                "labels": labels}
+
+    class EvalLoader(_RecordingLoader):
+        def __iter__(self):
+            from smb_vision_tpu.data.quantization import quantize_batch
+
+            for i in range(self.n):
+                yield quantize_batch(
+                    {"pixel_values": np.full((self.bs, 2), float(i),
+                                             np.float32),
+                     "labels": np.arange(self.bs, dtype=np.int32)})
+
+    args = TrainingArguments(output_dir=str(tmp_path), num_train_steps=2,
+                             input_dtype="uint8", logging_steps=2,
+                             save_steps=100)
+    tr = Trainer(args=args, state=_counting_state(), step_fn=step_fn,
+                 train_loader=EvalLoader(), eval_loader=EvalLoader(n_batches=2),
+                 eval_fn=host_eval_fn)
+    tr.train()
+    rec = tr.evaluate()
+    assert np.isfinite(rec["eval_loss"])
