@@ -170,6 +170,15 @@ bool parse_nifti(const std::vector<uint8_t>& raw, Nifti& out,
   out.shape[0] = shape[0];
   out.shape[1] = ndim > 1 ? shape[1] : 1;
   out.shape[2] = ndim > 2 ? shape[2] : 1;
+  for (int i = 0; i < 3; ++i) {
+    if (out.shape[i] < 1) {
+      // a zero/negative dim would pass the size check (nspatial==0) and
+      // reach axis_table with in_n==0, whose clamp yields index -1 -> OOB
+      err = "bad dim[" + std::to_string(i + 1) + "]=" +
+            std::to_string(out.shape[i]);
+      return false;
+    }
+  }
   size_t nvox = 1;
   for (int i = 0; i < ndim && i < 7; ++i)
     nvox *= static_cast<size_t>(shape[i] > 0 ? shape[i] : 1);
@@ -182,7 +191,13 @@ bool parse_nifti(const std::vector<uint8_t>& raw, Nifti& out,
   for (int i = 0; i < 4; ++i) pixdim[i] = rdf(76 + 4 * i);
   int vox_offset = static_cast<int>(rdf(108));
   float slope = rdf(112), inter = rdf(116);
-  if (slope == 0.0f) slope = 1.0f;
+  // NIfTI spec: scl_slope == 0 means "no scaling" — ignore BOTH fields
+  // (nibabel behavior); non-finite values are uninitialized header bytes
+  // and must not poison the volume (NaN slope -> all-NaN output)
+  if (slope == 0.0f || !std::isfinite(slope) || !std::isfinite(inter)) {
+    slope = 1.0f;
+    inter = 0.0f;
+  }
   int16_t qform = rd16(252), sform = rd16(254);
 
   if (sform > 0) {
@@ -223,8 +238,8 @@ bool parse_nifti(const std::vector<uint8_t>& raw, Nifti& out,
   switch (datatype) {
     case 2: case 256: elem = 1; break;
     case 4: case 512: elem = 2; break;
-    case 8: case 16: elem = 4; break;
-    case 64: elem = 8; break;
+    case 8: case 16: case 768: elem = 4; break;
+    case 64: case 1024: case 1280: elem = 8; break;
     default:
       err = "unsupported datatype " + std::to_string(datatype);
       return false;
@@ -369,6 +384,21 @@ void reorient_dispatch(const Nifti& img, const Orient& o,
                                  img.slope, img.inter, dst, out_shape,
                                  out_spacing);
       break;
+    case 768:
+      reorient_convert<uint32_t>(img.payload, img.shape, o, img.swap,
+                                 img.slope, img.inter, dst, out_shape,
+                                 out_spacing);
+      break;
+    case 1024:
+      reorient_convert<int64_t>(img.payload, img.shape, o, img.swap,
+                                img.slope, img.inter, dst, out_shape,
+                                out_spacing);
+      break;
+    case 1280:
+      reorient_convert<uint64_t>(img.payload, img.shape, o, img.swap,
+                                 img.slope, img.inter, dst, out_shape,
+                                 out_spacing);
+      break;
   }
 }
 
@@ -498,8 +528,14 @@ struct Pool {
   std::condition_variable cv;
   bool stop = false;
 
-  explicit Pool(int n) {
-    for (int i = 0; i < n; ++i)
+  explicit Pool(int n) { grow(n); }
+
+  // append workers up to n total (callers serialize via pool_mu). The pool
+  // was previously pinned to the FIRST caller's size — CTDataset's
+  // single-volume path passes num_threads=1, which silently serialized
+  // every later batch call on one worker.
+  void grow(int n) {
+    while (static_cast<int>(threads.size()) < n)
       threads.emplace_back([this] {
         for (;;) {
           std::function<void()> task;
@@ -595,16 +631,22 @@ int ctloader_load_batch(const char** paths, int n, int64_t t0, int64_t t1,
   static std::unique_ptr<Pool> pool;
   {
     std::lock_guard<std::mutex> lk(pool_mu);
-    if (!pool) pool.reset(new Pool(num_threads > 0 ? num_threads : 4));
+    int want = num_threads > 0 ? num_threads : 4;
+    if (!pool)
+      pool.reset(new Pool(want));
+    else
+      pool->grow(want);
   }
   for (int i = 0; i < n; ++i) {
     pool->submit([&, i] {
       std::string err;
       status[i] = process_one(paths[i], fp, out + i * vol_elems, err);
-      if (--remaining == 0) {
-        std::lock_guard<std::mutex> lk(done_mu);
-        done_cv.notify_one();
-      }
+      // decrement AND notify under done_mu: decrementing outside lets the
+      // waiter observe remaining==0 on a spurious wakeup, return, and
+      // destroy done_mu/done_cv while this thread is still about to lock/
+      // notify them (use-after-free of stack sync objects)
+      std::lock_guard<std::mutex> lk(done_mu);
+      if (--remaining == 0) done_cv.notify_one();
     });
   }
   std::unique_lock<std::mutex> lk(done_mu);

@@ -26,7 +26,18 @@ def load_data(file_path: Union[str, Path],
                     f"no split named '{split}' in {file_path.name}; "
                     f"the file defines: {sorted(data.keys())}")
             return data[split]
-        return data if isinstance(data, list) else list(data.values())
+        if isinstance(data, list):
+            return data
+        # dict-of-splits with split=None: flatten to one item list —
+        # list(values()) would return a list of split-LISTS, which blows
+        # up far downstream in __getitem__ with a confusing TypeError
+        flat = []
+        for v in data.values():
+            if isinstance(v, list):
+                flat.extend(v)
+            else:
+                flat.append(v)
+        return flat
 
     import pandas as pd
 

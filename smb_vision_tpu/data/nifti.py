@@ -90,9 +90,13 @@ def load_nifti(path: Union[str, Path]) -> NiftiImage:
     data = np.frombuffer(raw, dtype=dt, count=count, offset=vox_offset)
     data = data.reshape(shape, order="F")
 
-    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
-        slope = scl_slope if scl_slope != 0.0 else 1.0
-        data = data.astype(np.float32) * slope + scl_inter
+    # NIfTI spec: scl_slope == 0 means "no scaling" — ignore BOTH fields
+    # (nibabel behavior); non-finite values are uninitialized header bytes
+    # (a NaN slope would silently turn the whole volume into NaN)
+    if (np.isfinite(scl_slope) and np.isfinite(scl_inter)
+            and scl_slope != 0.0
+            and (scl_slope != 1.0 or scl_inter != 0.0)):
+        data = data.astype(np.float32) * scl_slope + scl_inter
 
     if sform_code > 0:
         affine = np.eye(4)
@@ -127,9 +131,13 @@ def _load_nifti2(raw: bytes) -> NiftiImage:
     dt = np.dtype(_DTYPES[datatype]).newbyteorder(endian)
     data = np.frombuffer(raw, dtype=dt, count=int(np.prod(shape)),
                          offset=int(vox_offset)).reshape(shape, order="F")
-    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
-        slope = scl_slope if scl_slope != 0.0 else 1.0
-        data = data.astype(np.float32) * slope + scl_inter
+    # NIfTI spec: scl_slope == 0 means "no scaling" — ignore BOTH fields
+    # (nibabel behavior); non-finite values are uninitialized header bytes
+    # (a NaN slope would silently turn the whole volume into NaN)
+    if (np.isfinite(scl_slope) and np.isfinite(scl_inter)
+            and scl_slope != 0.0
+            and (scl_slope != 1.0 or scl_inter != 0.0)):
+        data = data.astype(np.float32) * scl_slope + scl_inter
     if sform_code > 0:
         affine = np.eye(4)
         affine[:3] = srow

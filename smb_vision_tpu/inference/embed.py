@@ -33,6 +33,16 @@ def build_json_from_nifti_files(data_dir: str, out_path: Optional[str] = None
     run_inference.py:24-45)."""
     paths = sorted(str(p) for p in Path(data_dir).rglob("*.nii*"))
     items = [{"image": p} for p in paths]
+    # recursive globs can hit same-named files in different directories
+    # (per-patient layouts: patientA/scan.nii.gz, patientB/scan.nii.gz);
+    # the filename-stem uid would silently overwrite one with the other —
+    # disambiguate with the relative path when stems collide
+    stems = [EmbeddingWriter.stem_of(p) for p in paths]
+    if len(set(stems)) != len(stems):
+        for it, p in zip(items, paths):
+            rel = Path(p).relative_to(data_dir)
+            it["uid"] = str(rel.parent / EmbeddingWriter.stem_of(p)
+                            ).replace("/", "__")
     if out_path:
         with open(out_path, "w") as f:
             json.dump(items, f, indent=2)
@@ -51,14 +61,18 @@ class EmbeddingWriter:
         self.out_dir.mkdir(parents=True, exist_ok=True)
         self._meta: Dict[str, Dict] = {}
 
-    def uid_of(self, item: Dict) -> str:
-        if "uid" in item:
-            return str(item["uid"])
-        stem = Path(item["image"]).name
+    @staticmethod
+    def stem_of(path) -> str:
+        stem = Path(path).name
         for suf in (".nii.gz", ".nii"):
             if stem.endswith(suf):
                 stem = stem[: -len(suf)]
         return stem
+
+    def uid_of(self, item: Dict) -> str:
+        if "uid" in item:
+            return str(item["uid"])
+        return self.stem_of(item["image"])
 
     def existing_uids(self) -> set:
         """Resume support: skip already-written outputs
@@ -71,7 +85,16 @@ class EmbeddingWriter:
     def write(self, item: Dict, embedding: np.ndarray) -> None:
         uid = self.uid_of(item)
         if self.fmt == "npy":
-            np.save(self.out_dir / f"{uid}.npy", embedding)
+            # atomic: a crash mid-np.save would leave a truncated
+            # {uid}.npy that resume counts as done forever (the same
+            # tempfile+replace discipline as the dataset cache)
+            dest = self.out_dir / f"{uid}.npy"
+            tmp = self.out_dir / f"{uid}.npy.tmp"
+            with open(tmp, "wb") as f:   # file object: np.save must not
+                np.save(f, embedding)    # append .npy to the tmp name
+            import os
+
+            os.replace(tmp, dest)
             self._meta[uid] = {"image": item.get("image"),
                                "shape": list(embedding.shape),
                                "model_id": self.model_id}
@@ -86,14 +109,30 @@ class EmbeddingWriter:
                 "embedding_shape": list(embedding.shape),
                 "model_id": self.model_id,
             }])
-            df.to_parquet(part / f"{uid}.parquet")
+            import os
+
+            tmp = part / f"{uid}.parquet.tmp"
+            df.to_parquet(tmp)
+            os.replace(tmp, part / f"{uid}.parquet")
         else:
             raise ValueError(f"unknown format {self.fmt}")
 
     def finalize(self, errors: List[Dict]) -> None:
         if self._meta:
-            with open(self.out_dir / "metadata.json", "w") as f:
-                json.dump(self._meta, f, indent=2)
+            # merge with prior runs: a resumed run that embeds a few
+            # stragglers must not destroy the records of everything the
+            # first run wrote
+            meta_path = self.out_dir / "metadata.json"
+            merged: Dict[str, Dict] = {}
+            if meta_path.exists():
+                try:
+                    with open(meta_path) as f:
+                        merged = json.load(f)
+                except (json.JSONDecodeError, OSError):
+                    logger.warning("unreadable metadata.json; rewriting")
+            merged.update(self._meta)
+            with open(meta_path, "w") as f:
+                json.dump(merged, f, indent=2)
         if errors:
             with open(self.out_dir / "error_files.json", "w") as f:
                 json.dump(errors, f, indent=2)

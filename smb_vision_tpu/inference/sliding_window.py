@@ -209,20 +209,26 @@ def sliding_window_embed(volume: jnp.ndarray, roi_size: Sequence[int],
 _SW_RUNNERS = weakref.WeakKeyDictionary()
 
 
+def _cached_runner(fn, geo, make):
+    """Memoise a jitted runner per (callable, geometry) — weak on the
+    callable (see _SW_RUNNERS note above)."""
+    try:
+        per_fn = _SW_RUNNERS.setdefault(fn, {})
+    except TypeError:          # non-weakrefable callable: no caching
+        return make()
+    if geo not in per_fn:
+        per_fn[geo] = make()
+    return per_fn[geo]
+
+
 def _build_sw_runner(embedder, roi_size, n_chunks, sw_batch_size, n_win,
                      mode, pool, cval):
-    geo = (roi_size, n_chunks, sw_batch_size, n_win, mode, pool, cval)
-    try:
-        per_embedder = _SW_RUNNERS.setdefault(embedder, {})
-    except TypeError:          # non-weakrefable callable: no caching
-        per_embedder = None
-    if per_embedder is not None and geo in per_embedder:
-        return per_embedder[geo]
-    run_all = _make_sw_runner(embedder, roi_size, n_chunks, sw_batch_size,
-                              n_win, mode, pool, cval)
-    if per_embedder is not None:
-        per_embedder[geo] = run_all
-    return run_all
+    geo = ("swe", roi_size, n_chunks, sw_batch_size, n_win, mode, pool,
+           cval)
+    return _cached_runner(
+        embedder, geo,
+        lambda: _make_sw_runner(embedder, roi_size, n_chunks,
+                                sw_batch_size, n_win, mode, pool, cval))
 
 
 def _make_sw_runner(embedder, roi_size, n_chunks, sw_batch_size, n_win,
@@ -299,6 +305,21 @@ def sliding_window_inference(volume: jnp.ndarray, roi_size: Sequence[int],
     valid = jnp.asarray(valid_np)
     imap = importance_map(roi_size, mode, sigma_scale)
 
+    # the jitted runner is cached per (predictor, geometry) like the embed
+    # path — a fresh @jax.jit closure per call would recompile for EVERY
+    # volume (minutes per compile on TPU)
+    geo = ("swi", tuple(roi_size), b, c_in, c_out, sw_batch_size,
+           float(cval), tuple(orig_spatial))
+    run = _cached_runner(
+        predictor, geo,
+        lambda: _make_swi_runner(predictor, tuple(roi_size), b, c_in,
+                                 c_out, sw_batch_size, float(cval),
+                                 tuple(orig_spatial)))
+    return run(state, volume, chunked, valid, imap)
+
+
+def _make_swi_runner(predictor, roi_size, b, c_in, c_out, sw_batch_size,
+                     cval, orig_spatial):
     @jax.jit
     def run(st, vol, chunked_starts, valid, imap):
         vol = _pad_to_min(vol, roi_size, cval)
@@ -341,4 +362,4 @@ def sliding_window_inference(volume: jnp.ndarray, roi_size: Sequence[int],
             crops.append(slice(start, start + orig))
         return out[(slice(None), slice(None), *crops)]
 
-    return run(state, volume, chunked, valid, imap)
+    return run

@@ -275,3 +275,84 @@ def test_runner_rejects_item_dropping_dataset(tmp_path):
                                fmt="npy", batch_size=1)
     with pytest.raises(ValueError, match="1:1 index pairing"):
         runner.run(items)
+
+
+def test_embedding_writer_metadata_merges_across_runs(tmp_path, rng):
+    """A resumed run writing a few stragglers must MERGE metadata.json,
+    not clobber the first run's records; npy writes are atomic (no .tmp
+    residue, no truncated file counted as done)."""
+    from smb_vision_tpu.inference.embed import EmbeddingWriter
+
+    w1 = EmbeddingWriter(tmp_path, fmt="npy", model_id="m")
+    w1.write({"uid": "a"}, rng.normal(size=(2, 2)).astype(np.float32))
+    w1.write({"uid": "b"}, rng.normal(size=(2, 2)).astype(np.float32))
+    w1.finalize([])
+
+    w2 = EmbeddingWriter(tmp_path, fmt="npy", model_id="m")
+    w2.write({"uid": "c"}, rng.normal(size=(2, 2)).astype(np.float32))
+    w2.finalize([])
+
+    meta = json.loads((tmp_path / "metadata.json").read_text())
+    assert set(meta) == {"a", "b", "c"}
+    assert not list(tmp_path.glob("*.tmp"))
+    assert w2.existing_uids() == {"a", "b", "c"}
+
+
+def test_build_json_disambiguates_colliding_stems(tmp_path):
+    """patientA/scan.nii.gz and patientB/scan.nii.gz must not share the
+    uid 'scan' (one embedding would silently overwrite the other)."""
+    from smb_vision_tpu.data.nifti import save_nifti
+    from smb_vision_tpu.inference.embed import (
+        EmbeddingWriter,
+        build_json_from_nifti_files,
+    )
+
+    for pat in ("patientA", "patientB"):
+        d = tmp_path / pat
+        d.mkdir()
+        save_nifti(d / "scan.nii.gz",
+                   np.zeros((4, 4, 4), np.float32), np.eye(4))
+    items = build_json_from_nifti_files(str(tmp_path))
+    w = EmbeddingWriter(tmp_path / "out", fmt="npy")
+    uids = [w.uid_of(it) for it in items]
+    assert len(set(uids)) == 2, uids
+
+
+def test_load_data_dict_of_splits_flattens_without_split(tmp_path):
+    """split=None on a dict-of-splits JSON must flatten to one item list,
+    not return a list of split-lists."""
+    from smb_vision_tpu.data.load import load_data
+
+    spec = tmp_path / "spec.json"
+    spec.write_text(json.dumps({
+        "train": [{"image": "a.nii"}, {"image": "b.nii"}],
+        "validation": [{"image": "c.nii"}]}))
+    items = load_data(str(spec))
+    assert len(items) == 3
+    assert all(isinstance(it, dict) and "image" in it for it in items)
+
+
+def test_sliding_window_inference_compiles_once(rng):
+    """Same predictor + geometry across volumes must reuse one compiled
+    runner (a fresh @jax.jit closure per call recompiled every volume)."""
+    from smb_vision_tpu.inference.sliding_window import (
+        sliding_window_inference,
+    )
+
+    traces = {"n": 0}
+
+    def predictor(x):
+        traces["n"] += 1          # python body runs only while tracing
+        return x * 2.0
+
+    n_after_first = None
+    for i in range(3):
+        vol = jnp.asarray(rng.normal(size=(1, 1, 16, 16, 8))
+                          .astype(np.float32))
+        out = sliding_window_inference(vol, (8, 8, 8), predictor,
+                                       overlap=0.25, sw_batch_size=2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(vol) * 2.0,
+                                   atol=1e-5)
+        if n_after_first is None:
+            n_after_first = traces["n"]   # c_out probe + runner trace
+    assert traces["n"] == n_after_first, traces

@@ -95,3 +95,64 @@ def test_ctdataset_native_backend(tmp_path, rng):
     ds_py = CTDataset(items=[{"image": p}], pipeline=cfg, backend="python")
     np.testing.assert_allclose(ds_nat[0]["image"], ds_py[0]["image"],
                                atol=1e-4)
+
+
+def test_native_rejects_zero_dim_header(tmp_path, rng):
+    """dim[i]==0 passed the truncation check (nspatial==0) and reached the
+    resampler with negative clamped indices -> OOB read. Must be a clean
+    per-item error status instead."""
+    vol = rng.normal(0, 100, (8, 8, 8)).astype(np.float32)
+    p = tmp_path / "zdim.nii"
+    save_nifti(p, vol, np.eye(4))
+    raw = bytearray(p.read_bytes())
+    import struct
+    struct.pack_into("<h", raw, 42, 0)      # dim[1] = 0
+    p.write_bytes(bytes(raw))
+    nat, status = native_load_batch([str(p)], target_size=(8, 8, 8),
+                                    target_spacing=(1.0, 1.0, 1.0))
+    assert status[0] != 0
+
+
+def test_native_nan_scl_slope_ignored(tmp_path, rng):
+    """NaN scl_slope bytes (uninitialized headers in the wild) must not
+    turn the volume into NaN — spec says non-finite/zero slope = no
+    scaling."""
+    vol = rng.normal(0, 100, (12, 12, 8)).astype(np.float32)
+    p = tmp_path / "nans.nii"
+    save_nifti(p, vol, np.eye(4))
+    raw = bytearray(p.read_bytes())
+    import struct
+    struct.pack_into("<f", raw, 112, float("nan"))   # scl_slope
+    struct.pack_into("<f", raw, 116, 5.0)            # scl_inter
+    p.write_bytes(bytes(raw))
+    nat, status = native_load_batch([str(p)], target_size=(12, 12, 8),
+                                    target_spacing=(1.0, 1.0, 1.0))
+    assert status == [0]
+    assert np.isfinite(nat[0]).all()
+
+    # the python loader must agree
+    from smb_vision_tpu.data.nifti import load_nifti
+    img = load_nifti(p)
+    assert np.isfinite(img.data).all()
+    np.testing.assert_array_equal(img.data, vol)
+
+
+def test_native_uint32_datatype(tmp_path, rng):
+    """datatype 768 (uint32) is in the Python loader's table and must load
+    on the native backend too (the default backend has no per-file python
+    fallback)."""
+    vol = rng.integers(0, 2000, (16, 16, 12)).astype(np.int32)
+    p = tmp_path / "u32.nii"
+    save_nifti(p, vol, np.eye(4))
+    raw = bytearray(p.read_bytes())
+    import struct
+    struct.pack_into("<h", raw, 70, 768)     # datatype: int32 -> uint32
+    p.write_bytes(bytes(raw))                # (same bytes for 0..2000)
+    nat, status = native_load_batch([str(p)], target_size=(16, 16, 12),
+                                    target_spacing=(1.0, 1.0, 1.0))
+    assert status == [0]
+    assert np.isfinite(nat[0]).all()
+
+    from smb_vision_tpu.data.nifti import load_nifti
+    np.testing.assert_array_equal(load_nifti(p).data.astype(np.int64),
+                                  vol.astype(np.int64))
