@@ -87,11 +87,22 @@ def main(argv=None):
     if data_args.additional_feature_columns == [""]:
         data_args.additional_feature_columns = []
 
+    cfg_file = None
+    if model_args.config_name_or_path:
+        import json as _json
+
+        with open(model_args.config_name_or_path) as fh:
+            cfg_file = _json.load(fh)
+
     mtype = model_args.model_type
     if mtype == "auto":
-        name = (model_args.model_name_or_path or "").lower()
-        mtype = ("dinov2" if "dino" in name
-                 else "vjepa2" if "vjepa" in name else "videomae")
+        if cfg_file and cfg_file.get("model_type") in (
+                "videomae", "dinov2", "vjepa2"):
+            mtype = cfg_file["model_type"]
+        else:
+            name = (model_args.model_name_or_path or "").lower()
+            mtype = ("dinov2" if "dino" in name
+                     else "vjepa2" if "vjepa" in name else "videomae")
     survival = data_args.task_type in ("survival", "cox_regression")
     num_labels = 1 if survival or data_args.task_type == "regression" \
         else (len(data_args.label_columns)
@@ -109,47 +120,86 @@ def main(argv=None):
     feat = dict(
         additional_features_size=len(data_args.additional_feature_columns),
         problem_type=problem_type_for(data_args.task_type, num_labels))
+    if mtype != "videomae" and model_args.intermediate_size != 3072:
+        logger.warning(
+            "--intermediate_size is only consumed by the videomae route; "
+            "the %s config sizes its MLP from mlp_ratio — use "
+            "--config_name_or_path or that field instead", mtype)
+
     if mtype == "dinov2":
-        config = Dinov2Config(depth=model_args.depth, **common, **feat)
+        if cfg_file is not None:
+            config = Dinov2Config.from_dict(cfg_file)
+            config.update({"num_labels": num_labels, **feat,
+                           "dtype": model_args.dtype,
+                           "attn_impl": model_args.attn_impl,
+                           "gradient_checkpointing":
+                               model_args.gradient_checkpointing})
+        else:
+            config = Dinov2Config(depth=model_args.depth, **common, **feat)
         model = Dinov2ForImageClassification(config)
         pipeline_key = "dinov2"
+        img_size, vol_depth = config.image_size, config.depth
     elif mtype == "vjepa2":
         from smb_vision_tpu.models.configs import VJEPA2Config
         from smb_vision_tpu.models.vjepa import VJEPA2ForVideoClassification
 
-        cm = dict(common)
-        cm["crop_size"] = cm.pop("image_size")
-        config = VJEPA2Config(
-            frames_per_clip=model_args.depth, in_chans=1,
-            tubelet_size=model_args.patch_size, **cm)
+        if cfg_file is not None:
+            config = VJEPA2Config.from_dict(cfg_file)
+            config.update({"num_labels": num_labels,
+                           "problem_type": feat["problem_type"],
+                           "dtype": model_args.dtype,
+                           "attn_impl": model_args.attn_impl,
+                           "gradient_checkpointing":
+                               model_args.gradient_checkpointing})
+        else:
+            cm = dict(common)
+            cm["crop_size"] = cm.pop("image_size")
+            config = VJEPA2Config(
+                frames_per_clip=model_args.depth, in_chans=1,
+                tubelet_size=model_args.patch_size, **cm)
         model = VJEPA2ForVideoClassification(config)
         pipeline_key = "smb-vision"
+        img_size, vol_depth = config.crop_size, config.frames_per_clip
         if data_args.additional_feature_columns:
             logger.warning("vjepa2 route pools with an attentive pooler and "
                            "does not fuse tabular features; ignoring "
                            "additional_feature_columns")
             data_args.additional_feature_columns = []
     else:
-        config = VideoMAEConfig(
-            num_frames=model_args.depth, num_channels=1,
-            tubelet_size=model_args.patch_size,
-            intermediate_size=model_args.intermediate_size,
-            **common, **feat)
+        if cfg_file is not None:
+            config = VideoMAEConfig.from_dict(cfg_file)
+            config.update({"num_labels": num_labels, **feat,
+                           "dtype": model_args.dtype,
+                           "attn_impl": model_args.attn_impl,
+                           "gradient_checkpointing":
+                               model_args.gradient_checkpointing})
+        else:
+            config = VideoMAEConfig(
+                num_frames=model_args.depth, num_channels=1,
+                tubelet_size=model_args.patch_size,
+                intermediate_size=model_args.intermediate_size,
+                **common, **feat)
         model = VideoMAEForVideoClassification(config)
         pipeline_key = "smb-vision"
+        img_size, vol_depth = config.image_size, config.num_frames
 
     pipe = PreprocessConfig(
         target_spacing=CT_PIPELINES[pipeline_key].target_spacing,
-        target_size=(model_args.image_size, model_args.image_size,
-                     model_args.depth),
+        target_size=(img_size, img_size, vol_depth),
         layout=CT_PIPELINES[pipeline_key].layout)
 
     out_dt = training_args.input_dtype    # no host f16->f32->bf16 trip
-    train_ds = CTDataset(data_args.train_data_path, split="train",
-                         pipeline=pipe, cache_dir=data_args.cache_data_dir,
-                         cache_dtype=data_args.cache_dtype,
-                         out_dtype=out_dt,
-                         max_samples=data_args.max_train_samples)
+    train_ds = None
+    if training_args.do_train:
+        if not data_args.train_data_path:
+            raise SystemExit("--train_data_path is required with "
+                             "--do_train")
+        train_ds = CTDataset(data_args.train_data_path, split="train",
+                             pipeline=pipe,
+                             cache_dir=data_args.cache_data_dir,
+                             cache_dtype=data_args.cache_dtype,
+                             out_dtype=out_dt,
+                             max_samples=data_args.max_train_samples)
     eval_ds = (CTDataset(data_args.val_data_path, split="validation",
                          pipeline=pipe, cache_dir=data_args.cache_data_dir,
                          cache_dtype=data_args.cache_dtype,
@@ -161,7 +211,7 @@ def main(argv=None):
         collate_classification, task_type=data_args.task_type,
         label_columns=data_args.label_columns,
         additional_feature_columns=data_args.additional_feature_columns)
-    if jax.process_count() > 1:
+    if jax.process_count() > 1 and train_ds is not None:
         # multi-host data sharding (the reference's partition_dataset over
         # world size, mim.py:190-204)
         from smb_vision_tpu.data.dataset import partition_items
@@ -174,7 +224,8 @@ def main(argv=None):
         train_ds, training_args.per_device_train_batch_size
         * n_data * training_args.gradient_accumulation_steps,
         shuffle=True, seed=training_args.seed,
-        num_workers=data_args.num_workers, collate=collate)
+        num_workers=data_args.num_workers,
+        collate=collate) if train_ds is not None else None
     eval_loader = (BatchLoader(eval_ds,
                                training_args.per_device_eval_batch_size
                                * n_data, collate=collate,
@@ -183,7 +234,8 @@ def main(argv=None):
                    if eval_ds and len(eval_ds) else None)
 
     total_steps = training_args.num_train_steps or int(
-        len(train_loader) * training_args.num_train_epochs)
+        (len(train_loader) if train_loader is not None else 1)
+        * training_args.num_train_epochs) or 1
     tx = make_optimizer(
         learning_rate=training_args.learning_rate, total_steps=total_steps,
         weight_decay=training_args.weight_decay,
@@ -194,7 +246,13 @@ def main(argv=None):
         min_lr=training_args.min_lr, grad_clip=training_args.max_grad_norm,
         vision_lr=training_args.vision_lr, merger_lr=training_args.merger_lr)
 
-    example = collate([train_ds[0]])
+    if train_ds is not None:
+        example = collate([train_ds[0]])
+    elif eval_ds is not None and len(eval_ds):
+        example = collate([eval_ds[0]])   # eval-only: init from val data
+    else:
+        raise SystemExit("nothing to do: need --train_data_path with "
+                         "--do_train, or --val_data_path with --do_eval")
     key = jax.random.PRNGKey(training_args.seed)
 
     if model_args.lora_enable:
@@ -203,11 +261,12 @@ def main(argv=None):
             make_lora_classification_workload,
         )
 
-        # base params: full init (+ optional backbone graft), then frozen
-        base_init, _, _ = make_classification_workload(
-            model, config, task_type=data_args.task_type, tx=tx)
-        base_state = base_init(key, example)
-        base_params = base_state["params"]
+        # base params ONLY (+ optional backbone graft), then frozen — the
+        # workload init would also materialise a full-model AdamW state
+        # (2x the model in f32) just to discard it
+        from smb_vision_tpu.train.classification import init_model_params
+
+        base_params = init_model_params(model, config, key, example)
         if model_args.model_name_or_path:
             from smb_vision_tpu.models.convert import load_backbone_into
 

@@ -96,7 +96,10 @@ class ModelArguments:
 def build_config(model_args: ModelArguments):
     from smb_vision_tpu.models.configs import VideoMAEConfig
 
-    if model_args.config_name_or_path:
+    from dataclasses import fields as dc_fields
+
+    from_file = bool(model_args.config_name_or_path)
+    if from_file:
         config = VideoMAEConfig.from_json(model_args.config_name_or_path)
     else:
         config = VideoMAEConfig(
@@ -105,19 +108,32 @@ def build_config(model_args: ModelArguments):
             num_attention_heads=model_args.num_attention_heads,
             intermediate_size=model_args.intermediate_size)
     # 3D adaptation (reference run_mim.py:322-330): 1 channel,
-    # depth-as-frames, cubic tubelets
-    config.update({
-        "image_size": model_args.image_size,
-        "num_frames": model_args.depth,
-        "num_channels": 1,
-        "tubelet_size": model_args.patch_size,
-        "patch_size": model_args.patch_size,
+    # depth-as-frames, cubic tubelets. When the config comes from a FILE,
+    # its geometry is authoritative: a CLI default must not silently
+    # rebuild a 384^2x256/p32 checkpointed model at 224/160/16 — only
+    # explicitly-changed flags (values differing from the dataclass
+    # defaults) override the file.
+    defaults = {f.name: f.default for f in dc_fields(type(model_args))}
+    geometry = {
+        "image_size": ("image_size", model_args.image_size),
+        "num_frames": ("depth", model_args.depth),
+        "tubelet_size": ("patch_size", model_args.patch_size),
+        "patch_size": ("patch_size", model_args.patch_size),
+        "decoder_num_attention_heads": (
+            "decoder_num_attention_heads",
+            model_args.decoder_num_attention_heads),
+    }
+    upd = {k: v for k, (arg, v) in geometry.items()
+           if not from_file or v != defaults[arg]}
+    if not from_file:
+        upd["num_channels"] = 1
+    upd.update({
         "dtype": model_args.dtype,
         "attn_impl": model_args.attn_impl,
         "gradient_checkpointing": model_args.gradient_checkpointing,
         "sequence_parallel": model_args.sequence_parallel,
-        "decoder_num_attention_heads": model_args.decoder_num_attention_heads,
     })
+    config.update(upd)
     if model_args.config_overrides:
         for kv in model_args.config_overrides.split(","):
             k, v = kv.split("=", 1)
@@ -145,6 +161,7 @@ def main(argv=None):
     logger.info("MIM config: %s tokens, grid %s", config.seq_len, config.grid)
 
     pipelined = model_args.pipeline_stages > 1
+    eval_mb = 1
     if pipelined:
         if training_args.gradient_accumulation_steps > 1:
             raise SystemExit(
@@ -154,7 +171,8 @@ def main(argv=None):
         # stages ride the mesh model axis; stacked layer params shard
         # their leading layer axis over it (sharding policy "pipeline")
         training_args.model_parallel = model_args.pipeline_stages
-        if training_args.sharding_policy != "pipeline":
+        if "pipeline" not in training_args.sharding_policy:
+            # composites like "pipeline+fsdp" pass through unchanged
             logger.info("pipeline_stages=%d: sharding_policy -> 'pipeline'",
                         model_args.pipeline_stages)
             training_args.sharding_policy = "pipeline"
@@ -260,8 +278,9 @@ def main(argv=None):
             config, mask_patch_size=data_args.mask_patch_size,
             mask_ratio=data_args.mask_ratio, tx=tx, mesh=mesh,
             num_microbatches=n_microbatches,
-            eval_microbatches=math.gcd(
-                n_microbatches, training_args.per_device_eval_batch_size))
+            eval_microbatches=(eval_mb := math.gcd(
+                n_microbatches,
+                training_args.per_device_eval_batch_size)))
         logger.info("pipelined pretraining: %d stages x %d microbatches "
                     "(bubble %.0f%%)", model_args.pipeline_stages,
                     n_microbatches,
@@ -284,18 +303,37 @@ def main(argv=None):
     with jax.set_mesh(mesh):
         state = init_fn(key)
     if model_args.model_name_or_path:
-        from smb_vision_tpu.utils.serialization import (
-            load_params_safetensors)
-        loaded = {"params": load_params_safetensors(
-            model_args.model_name_or_path)["params"]}
+        # graft matching tensors (flat name + shape) instead of replacing
+        # the whole tree: a wrong-architecture or encoder-only checkpoint
+        # must fail loudly here, not as a pytree mismatch at the first
+        # optimizer update (and grafting keeps the f32-params invariant —
+        # a bf16 export must not become the train dtype)
+        from smb_vision_tpu.utils.serialization import load_params_into
+
         if pipelined:
             from smb_vision_tpu.models.pipelined import (
-                to_pipeline_pretrain_params)
-            loaded = to_pipeline_pretrain_params(loaded)
-        state["params"] = loaded
-        logger.info("initialised from %s", model_args.model_name_or_path)
+                from_pipeline_pretrain_params,
+                to_pipeline_pretrain_params,
+            )
+            dense = from_pipeline_pretrain_params(state["params"])
+            dense, loaded, skipped = load_params_into(
+                dense, model_args.model_name_or_path)
+            state["params"] = to_pipeline_pretrain_params(dense)
+        else:
+            state["params"], loaded, skipped = load_params_into(
+                state["params"], model_args.model_name_or_path)
+        if not loaded:
+            raise ValueError(
+                f"no tensor in {model_args.model_name_or_path} matches "
+                "the MIM parameter tree (checked flat names + shapes) — "
+                "wrong checkpoint for this architecture?")
+        logger.info("initialised %d tensors from %s (%d checkpoint "
+                    "tensors unused)", len(loaded),
+                    model_args.model_name_or_path, len(skipped))
 
     trainer = Trainer(args=training_args, state=state, step_fn=step_fn,
+                      eval_batch_multiple=(eval_mb if pipelined
+                                           else 1),
                       train_loader=train_loader, eval_loader=eval_loader,
                       eval_fn=eval_fn, mesh=mesh)
     if training_args.do_train:

@@ -71,7 +71,10 @@ class ModelArguments:
 def build_config(model_args: ModelArguments):
     from smb_vision_tpu.models.configs import VJEPA2Config
 
-    if model_args.config_name_or_path:
+    from dataclasses import fields as dc_fields
+
+    from_file = bool(model_args.config_name_or_path)
+    if from_file:
         config = VJEPA2Config.from_json(model_args.config_name_or_path)
     else:
         config = VJEPA2Config(
@@ -81,19 +84,29 @@ def build_config(model_args: ModelArguments):
             pred_hidden_size=model_args.pred_hidden_size,
             pred_num_hidden_layers=model_args.pred_num_hidden_layers,
             pred_num_attention_heads=model_args.pred_num_attention_heads)
-    # reference config mutation (run_vjepa.py:221-233)
-    config.update({
-        "image_size": model_args.image_size,
-        "crop_size": model_args.image_size,
-        "patch_size": model_args.patch_size,
-        "in_chans": 1,
-        "frames_per_clip": model_args.depth,
-        "tubelet_size": model_args.patch_size,
+    # reference config mutation (run_vjepa.py:221-233). A config FILE's
+    # geometry is authoritative — only explicitly-changed CLI flags
+    # (values differing from the dataclass defaults) override it (see
+    # run_mim.build_config).
+    defaults = {f.name: f.default for f in dc_fields(type(model_args))}
+    geometry = {
+        "image_size": ("image_size", model_args.image_size),
+        "crop_size": ("image_size", model_args.image_size),
+        "patch_size": ("patch_size", model_args.patch_size),
+        "frames_per_clip": ("depth", model_args.depth),
+        "tubelet_size": ("patch_size", model_args.patch_size),
+    }
+    upd = {k: v for k, (arg, v) in geometry.items()
+           if not from_file or v != defaults[arg]}
+    if not from_file:
+        upd["in_chans"] = 1
+    upd.update({
         "dtype": model_args.dtype,
         "attn_impl": model_args.attn_impl,
         "gradient_checkpointing": model_args.gradient_checkpointing,
         "sequence_parallel": model_args.sequence_parallel,
     })
+    config.update(upd)
     return config
 
 
@@ -115,6 +128,7 @@ def main(argv=None):
                 config.grid)
 
     pipelined = model_args.pipeline_stages > 1
+    eval_mb = 1
     if pipelined:
         if training_args.gradient_accumulation_steps > 1:
             raise SystemExit(
@@ -126,7 +140,8 @@ def main(argv=None):
                 "--teacher_attn_impl is not supported with "
                 "--pipeline_stages (measured flat anyway, BENCHMARKS.md)")
         training_args.model_parallel = model_args.pipeline_stages
-        if training_args.sharding_policy != "pipeline":
+        if "pipeline" not in training_args.sharding_policy:
+            # composites like "pipeline+fsdp" pass through unchanged
             logger.info("pipeline_stages=%d: sharding_policy -> 'pipeline'",
                         model_args.pipeline_stages)
             training_args.sharding_policy = "pipeline"
@@ -204,8 +219,9 @@ def main(argv=None):
                           or training_args.per_device_train_batch_size)
         model, init_fn, step_fn, eval_fn = make_pipelined_vjepa_workload(
             config, tx=tx, mesh=mesh, num_microbatches=n_microbatches,
-            eval_microbatches=math.gcd(
-                n_microbatches, training_args.per_device_eval_batch_size),
+            eval_microbatches=(eval_mb := math.gcd(
+                n_microbatches,
+                training_args.per_device_eval_batch_size)),
             ema_momentum=model_args.ema_momentum,
             num_blocks=data_args.num_mask_blocks,
             inv_block=data_args.inv_block)
@@ -263,6 +279,8 @@ def main(argv=None):
                     "unused)", len(loaded), model_args.model_name_or_path,
                     len(skipped))
     trainer = Trainer(args=training_args, state=state, step_fn=step_fn,
+                      eval_batch_multiple=(eval_mb if pipelined
+                                           else 1),
                       train_loader=train_loader, eval_loader=eval_loader,
                       eval_fn=eval_fn, mesh=mesh)
     if training_args.do_train:

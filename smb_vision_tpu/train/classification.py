@@ -26,6 +26,24 @@ TASK_TYPES = ("classification", "multilabel_classification", "regression",
               "survival", "cox_regression")
 
 
+def init_model_params(model, config, key, example_batch):
+    """Jitted model.init over a 1-sample slice of the example batch —
+    params ONLY, no optimizer state. The LoRA path uses this to build the
+    frozen base: calling the workload init there would materialise a full
+    AdamW mu/nu (2x the model in f32) just to throw it away — exactly the
+    transient that can OOM the configs LoRA exists for."""
+    supports_features = config.model_type == "videomae"
+
+    def init(k, b):
+        kwargs = {}
+        if supports_features and "additional_features" in b:
+            kwargs["additional_features"] = b["additional_features"]
+        return model.init(k, b["pixel_values"], labels=None, **kwargs)
+
+    return jax.jit(init)(key, jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x)[:1], example_batch))
+
+
 def problem_type_for(task_type: str, num_labels: int) -> Optional[str]:
     """config mutation logic of run_classification.py:452-476."""
     if task_type == "classification":
@@ -109,13 +127,7 @@ def make_classification_workload(model, config, *, task_type: str,
                            deterministic=deterministic, **kwargs)
 
     def init_fn(key, example_batch):
-        def init(k, b):
-            kwargs = {}
-            if supports_features and "additional_features" in b:
-                kwargs["additional_features"] = b["additional_features"]
-            return model.init(k, b["pixel_values"], labels=None, **kwargs)
-        params = jax.jit(init)(key, jax.tree_util.tree_map(
-            lambda x: jnp.asarray(x)[:1], example_batch))
+        params = init_model_params(model, config, key, example_batch)
         return train_state(params, tx.init(params))
 
     def loss_of(params, batch, deterministic=False, key=None):

@@ -26,7 +26,9 @@ import jax
 import jax.numpy as jnp
 
 DEFAULT_TARGETS = (r"attention/(query|key|value|proj)/kernel$"
-                   r"|mlp/(fc1|fc2)/kernel$")
+                   r"|mlp/(fc1|fc2|weights_in|weights_out)/kernel$")
+# weights_in/weights_out are the SwiGLU MLP kernels (models/layers.py) —
+# the TP sharding rules in parallel/sharding.py name the same set
 
 
 def _paths(params):
@@ -53,6 +55,11 @@ def init_lora(params, key, rank: int = 8,
                                        jnp.float32) / jnp.sqrt(rank),
                 "b": jnp.zeros((rank, fan_out), jnp.float32),
             }
+    if not lora:
+        raise ValueError(
+            f"no parameters matched LoRA targets {targets!r} — adapters "
+            "would train nothing; check the target regex against the "
+            "model's param paths")
     return lora
 
 

@@ -118,8 +118,12 @@ class Trainer:
                  step_fn: Callable, train_loader, eval_loader=None,
                  eval_fn: Optional[Callable] = None,
                  compute_metrics: Optional[Callable] = None,
-                 mesh=None, donate: bool = True):
+                 mesh=None, donate: bool = True,
+                 eval_batch_multiple: int = 1):
         self.args = args
+        # eval batches pad up to a multiple of this (x the data axis):
+        # pipelined eval_fns need the batch divisible into microbatches
+        self.eval_batch_multiple = max(int(eval_batch_multiple), 1)
         self.mesh = mesh or create_mesh(model=args.model_parallel,
                                         dcn=args.dcn_slices)
         self.train_loader = train_loader
@@ -501,9 +505,12 @@ class Trainer:
             first = jax.tree_util.tree_leaves(batch)[0]
             n = first.shape[0]
             if target_b["n"] is None:
-                # divisible by the data axis even if the whole dataset is
-                # smaller than one eval batch
-                target_b["n"] = -(-n // n_data) * n_data
+                # divisible by microbatches x data axis: a pipelined
+                # eval_fn splits the batch into eval_batch_multiple
+                # microbatches and EACH microbatch must still shard over
+                # the data axis (lcm would not guarantee that)
+                m = n_data * self.eval_batch_multiple
+                target_b["n"] = -(-n // m) * m
             tb = target_b["n"]
             if n == tb:
                 return batch, n

@@ -44,7 +44,16 @@ def _add_field(parser: argparse.ArgumentParser, f: dataclasses.Field,
 def _str2bool(v) -> bool:
     if isinstance(v, bool):
         return v
-    return str(v).lower() in ("1", "true", "yes", "y")
+    s = str(v).lower()
+    if s in ("1", "true", "yes", "y"):
+        return True
+    if s in ("0", "false", "no", "n", ""):
+        return False
+    # argparse type-callable contract: raise on bad values — silently
+    # mapping a typo ('ture') to False would e.g. skip training entirely
+    import argparse
+
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
 
 
 def parse_args_into_dataclasses(classes: Sequence[Type],

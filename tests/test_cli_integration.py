@@ -481,3 +481,156 @@ def test_inference_pipeline_parallel_matches_plain(dataset, tmp_path):
     for f in npys:
         a, b = np.load(f), np.load(piped / f.name)
         np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-5)
+
+
+def test_build_config_file_geometry_is_authoritative(tmp_path):
+    """--config_name_or_path geometry must survive CLI defaults: a
+    384^2x256/p32 checkpointed config relaunched without re-passing
+    --image_size/--depth/--patch_size must rebuild the SAME model;
+    explicitly-changed flags still override."""
+    from smb_vision_tpu.cli.run_mim import ModelArguments, build_config
+    from smb_vision_tpu.models.configs import VideoMAEConfig
+
+    saved = VideoMAEConfig(image_size=384, num_frames=256, patch_size=32,
+                           tubelet_size=32, num_channels=1, hidden_size=64,
+                           num_hidden_layers=2, num_attention_heads=2,
+                           intermediate_size=128)
+    cfg_path = tmp_path / "config.json"
+    saved.save_json(cfg_path)
+
+    cfg = build_config(ModelArguments(config_name_or_path=str(cfg_path)))
+    assert (cfg.image_size, cfg.num_frames, cfg.patch_size,
+            cfg.hidden_size) == (384, 256, 32, 64)
+
+    cfg2 = build_config(ModelArguments(config_name_or_path=str(cfg_path),
+                                       image_size=64))
+    assert cfg2.image_size == 64 and cfg2.num_frames == 256
+
+    # vjepa analog
+    from smb_vision_tpu.cli.run_vjepa import (
+        ModelArguments as VModelArguments,
+        build_config as vjepa_build_config,
+    )
+    from smb_vision_tpu.models.configs import VJEPA2Config
+
+    vsaved = VJEPA2Config(crop_size=384, frames_per_clip=128, patch_size=32,
+                          tubelet_size=32, hidden_size=64,
+                          num_hidden_layers=2, num_attention_heads=2)
+    vpath = tmp_path / "vjepa.json"
+    vsaved.save_json(vpath)
+    vcfg = vjepa_build_config(VModelArguments(
+        config_name_or_path=str(vpath)))
+    assert (vcfg.crop_size, vcfg.frames_per_clip, vcfg.patch_size) == \
+        (384, 128, 32)
+
+
+def test_run_mim_rejects_mismatched_checkpoint(dataset, tmp_path):
+    """--model_name_or_path with a wrong-architecture safetensors must fail
+    loudly at load (it used to replace the whole tree and crash later as a
+    pytree mismatch in the optimizer)."""
+    from smb_vision_tpu.cli.run_mim import main as run_mim
+    from smb_vision_tpu.utils.serialization import save_params_safetensors
+
+    root, ds_json = dataset
+    bogus = tmp_path / "bogus.safetensors"
+    save_params_safetensors(
+        {"params": {"something": {"kernel": np.zeros((3, 3), np.float32)}}},
+        bogus)
+    with pytest.raises(ValueError, match="no tensor"):
+        run_mim(["--json_path", ds_json,
+                 "--output_dir", str(tmp_path / "out"), *ARGS_MODEL,
+                 "--mask_patch_size", "16",
+                 "--model_name_or_path", str(bogus),
+                 "--num_train_steps", "1"])
+
+
+def test_classification_eval_only_with_saved_config(dataset, tmp_path):
+    """Eval-only relaunch: --do_train false --do_eval with
+    --config_name_or_path/--model_name_or_path from a previous fine-tune
+    must evaluate the SAME architecture (config file authoritative) without
+    touching train data."""
+    from smb_vision_tpu.cli.run_classification import main as run_cls
+
+    root, ds_json = dataset
+    out = tmp_path / "cls"
+    common = ["--task_type", "classification", "--num_labels", "2",
+              "--image_size", "32", "--depth", "32", "--patch_size", "16",
+              "--hidden_size", "32", "--num_hidden_layers", "1",
+              "--num_attention_heads", "2", "--intermediate_size", "64",
+              "--dtype", "float32", "--attn_impl", "xla",
+              "--per_device_eval_batch_size", "2"]
+    run_cls(["--train_data_path", ds_json, "--val_data_path", ds_json,
+             "--output_dir", str(out), *common,
+             "--per_device_train_batch_size", "1",
+             "--num_train_steps", "2", "--logging_steps", "1",
+             "--save_steps", "100", "--do_eval"])
+    assert (out / "model.safetensors").exists()
+    assert (out / "config.json").exists()
+
+    out2 = tmp_path / "cls_eval"
+    run_cls(["--val_data_path", ds_json, "--output_dir", str(out2),
+             "--task_type", "classification",
+             "--do_train", "false", "--do_eval",
+             "--dtype", "float32", "--attn_impl", "xla",
+             "--per_device_eval_batch_size", "2",
+             "--config_name_or_path", str(out / "config.json"),
+             "--model_name_or_path", str(out / "model.safetensors")])
+    recs = [json.loads(line) for line in
+            (out2 / "metrics.jsonl").read_text().splitlines()]
+    assert any("eval_loss" in r for r in recs), recs
+
+
+def test_str2bool_rejects_typos():
+    import argparse
+
+    from smb_vision_tpu.utils.args import _str2bool
+
+    assert _str2bool("true") and not _str2bool("0")
+    with pytest.raises(argparse.ArgumentTypeError):
+        _str2bool("ture")
+
+
+def test_lora_targets_cover_swiglu():
+    import jax
+    import jax.numpy as jnp
+
+    from smb_vision_tpu.train.lora import init_lora
+
+    params = {"params": {"encoder": {"layer_0": {"mlp": {
+        "weights_in": {"kernel": jnp.zeros((8, 16))},
+        "weights_out": {"kernel": jnp.zeros((8, 8))}}}}}}
+    lora = init_lora(params, jax.random.PRNGKey(0), rank=2)
+    assert len(lora) == 2
+
+    with pytest.raises(ValueError, match="no parameters matched"):
+        init_lora({"params": {"head": {"kernel": jnp.zeros((4, 4))}}},
+                  jax.random.PRNGKey(0), rank=2)
+
+
+def test_mim_pipeline_composite_policy_and_ragged_eval(dataset, tmp_path):
+    """--sharding_policy pipeline+fsdp must survive the pipeline-stages
+    override (it was reset to plain 'pipeline'), and eval must pad ragged
+    validation splits to a microbatches x data-axis multiple (2 val items,
+    eval batch 16, 2 microbatches over data=4 used to crash)."""
+    from smb_vision_tpu.cli.run_mim import main as run_mim
+
+    root, ds_json = dataset
+    out = tmp_path / "mim_pipe_fsdp"
+    run_mim([
+        "--json_path", ds_json, "--output_dir", str(out), *ARGS_MODEL,
+        "--num_hidden_layers", "2",
+        "--config_overrides",
+        "decoder_num_hidden_layers=2,decoder_hidden_size=32,"
+        "decoder_intermediate_size=64,decoder_num_attention_heads=2",
+        "--mask_patch_size", "16", "--mask_ratio", "0.5",
+        "--per_device_train_batch_size", "2", "--pipeline_stages", "2",
+        "--pipeline_microbatches", "2",
+        "--sharding_policy", "pipeline+fsdp",
+        "--per_device_eval_batch_size", "4",
+        "--logging_steps", "1", "--save_steps", "10", "--do_eval",
+        "--num_train_steps", "2",
+    ])
+    recs = [json.loads(line) for line in
+            (out / "metrics.jsonl").read_text().splitlines()]
+    assert any("eval_loss" in r and np.isfinite(r["eval_loss"])
+               for r in recs), recs
