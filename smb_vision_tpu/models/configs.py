@@ -286,13 +286,19 @@ class Dinov2Config(BaseConfig):
 
     @property
     def grid(self) -> Tuple[int, int, int]:
+        # DINOv2's token order is (h, w, d) — h-major, depth FASTEST
+        # (models/dinov2.py::_patchify_chw; the dinov2 pipeline feeds
+        # (B, C, H, W, D) unpermuted) — unlike the depth-major (t, h, w)
+        # grids of VideoMAE/VJEPA2. Consumers that reorder by grid (e.g.
+        # sliding-window token weights, pos-emb resize) must use THIS
+        # order.
         return (
+            self.image_size // self.patch_size,
+            self.image_size // self.patch_size,
             self.depth // self.patch_size,
-            self.image_size // self.patch_size,
-            self.image_size // self.patch_size,
         )
 
     @property
     def seq_len(self) -> int:
-        t, h, w = self.grid
-        return t * h * w  # patches; +1 CLS handled by the model
+        h, w, d = self.grid
+        return h * w * d  # patches; +1 CLS handled by the model

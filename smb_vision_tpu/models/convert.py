@@ -14,7 +14,7 @@
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import numpy as np
 
@@ -276,7 +276,8 @@ def convert_hf_vjepa2(hf_state: Dict[str, np.ndarray], num_layers: int,
 
 
 def convert_hf_dinov2(hf_state: Dict[str, np.ndarray], num_layers: int,
-                      depth_patch: Optional[int] = None) -> Dict:
+                      depth_patch: Optional[int] = None,
+                      depth_grid: Optional[int] = None) -> Dict:
     """HF DINOv2 checkpoint -> our Dinov2ForImageClassification pytree.
 
     Accepts both the reference's 3D Conv3d patch embed (5D weight,
@@ -284,7 +285,9 @@ def convert_hf_dinov2(hf_state: Dict[str, np.ndarray], num_layers: int,
     upstream 2D checkpoints (4D weight): 2D weights are depth-inflated by
     replicating across `depth_patch` taps scaled by 1/depth_patch (I3D
     inflation — a depth-constant input then reproduces the 2D activations
-    exactly; verified in tests/test_hf_parity.py)."""
+    exactly; verified in tests/test_hf_parity.py). For 2D checkpoints,
+    pass `depth_grid` (= config.depth // patch_size) so the learned 2D
+    position table is tiled across depth too."""
     out: Dict[str, np.ndarray] = {}
     f = hf_state
 
@@ -295,12 +298,14 @@ def convert_hf_dinov2(hf_state: Dict[str, np.ndarray], num_layers: int,
     base = "dinov2." if any(k.startswith("dinov2.") for k in f) else ""
     e = base + "embeddings."
     proj = e + "patch_embeddings.projection.weight"
+    was_2d = False
     if proj in f:
         w = np.asarray(f[proj])
         if w.ndim == 4:
             if not depth_patch:
                 raise ValueError("2D DINOv2 checkpoint needs depth_patch "
                                  "for Conv3d inflation")
+            was_2d = True
             w = np.repeat(w[..., None], depth_patch, axis=-1) / depth_patch
         out["params.dinov2.patch_embed_kernel"] = w
     put(e + "patch_embeddings.projection.bias",
@@ -309,6 +314,18 @@ def convert_hf_dinov2(hf_state: Dict[str, np.ndarray], num_layers: int,
     put(e + "mask_token", "params.dinov2.mask_token")
     put(e + "position_embeddings", "params.dinov2.position_embeddings_3d")
     put(e + "position_embeddings_3d", "params.dinov2.position_embeddings_3d")
+    pos_key = "params.dinov2.position_embeddings_3d"
+    if was_2d and pos_key in out and depth_grid:
+        # inflate the 2D (1, 1+H'W', D) table across the depth grid in the
+        # model's (h, w, d) token order (depth FASTEST, dinov2.py::
+        # _patchify_chw) — every depth slice starts from the 2D spatial
+        # position, mirroring the I3D conv inflation. Without this, any
+        # depth_grid > 1 target got a size-mismatched pos table that
+        # either crashed apply or silently kept random init.
+        pos = np.asarray(out[pos_key])
+        cls_pos, patch_pos = pos[:, :1], pos[:, 1:]
+        out[pos_key] = np.concatenate(
+            [cls_pos, np.repeat(patch_pos, depth_grid, axis=1)], axis=1)
 
     for i in range(num_layers):
         p = f"{base}encoder.layer.{i}."
@@ -420,13 +437,16 @@ def export_hf_videomae(params, num_layers: int, decoder_layers: int = 0
     ...ForVideoClassification namespaces) -> HF torch state dict arrays
     (the push_to_hub round-trip, reference run_mim.py:464-467)."""
     flat = flatten_params(params)
-    # accept both bare-encoder and videomae-wrapped namespaces
+    # accept both bare-encoder and videomae-wrapped namespaces; a wrapped
+    # tree WITHOUT head params exports bare (hf VideoMAEModel layout) —
+    # keeping the videomae. prefix there would make load_state_dict match
+    # zero keys
     if any(k.startswith("params.videomae.") for k in flat):
         enc = "params.videomae"
         base = "videomae." if any(
             k.startswith("params.encoder_to_decoder") or
             k.startswith("params.fc_norm") or
-            k.startswith("params.classifier") for k in flat) else "videomae."
+            k.startswith("params.classifier") for k in flat) else ""
     else:
         enc = "params"
         base = ""

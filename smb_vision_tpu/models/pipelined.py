@@ -293,8 +293,6 @@ def videomae_pipeline_pretrain(config, params: dict, pixel_values,
     x = x + jnp.take_along_axis(pos_b, vis_idx[..., None], axis=1)
 
     # --- encoder stack through the pipeline ---
-    # quant8 follows the dense encoder (videomae.py:100); the dense
-    # decoder below does not take it (videomae.py:146-158)
     enc_block = _cfg_block(cfg, cfg.hidden_size, cfg.num_attention_heads,
                            cfg.intermediate_size, dt,
                            bias_mode="qv" if cfg.qkv_bias else "none",
@@ -323,7 +321,8 @@ def videomae_pipeline_pretrain(config, params: dict, pixel_values,
     dec_block = _cfg_block(cfg, cfg.decoder_hidden_size,
                            cfg.decoder_num_attention_heads,
                            cfg.decoder_intermediate_size, dt,
-                           bias_mode="qv" if cfg.qkv_bias else "none")
+                           bias_mode="qv" if cfg.qkv_bias else "none",
+                           quant8=cfg.quant8)
     dec_fn = lambda pp, h: dec_block.apply(  # noqa: E731
         {"params": pp}, h, None, True)
     x_full = pipeline_apply(dec_fn, p["decoder_stacked"], x_full, mesh=mesh,

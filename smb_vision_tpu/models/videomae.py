@@ -153,7 +153,7 @@ class VideoMAEForPreTraining(nn.Module):
             remat=cfg.gradient_checkpointing,
             initializer_range=cfg.initializer_range,
             sequence_parallel=cfg.sequence_parallel,
-            sp_variant=cfg.sp_variant,
+            sp_variant=cfg.sp_variant, quant8=cfg.quant8,
             name="decoder")(x_full, deterministic=deterministic)
 
         h = x_full[:, -num_masked:]

@@ -42,6 +42,11 @@ def mim_mask_counts(input_size: int, depth: int, mask_patch_size: int,
         raise ValueError(
             f"mask_patch_size ({mask_patch_size}) must be divisible by "
             f"model_patch_size ({model_patch_size})")
+    if not 0.0 < mask_ratio <= 1.0:
+        # >1 would over-report num_masked_tokens while mim_mask's argsort
+        # slice clamps — desynchronising the mask from the model's
+        # fixed-shape gathers with no error
+        raise ValueError(f"mask_ratio must be in (0, 1], got {mask_ratio}")
     rs = input_size // mask_patch_size
     rd = depth // mask_patch_size
     scale = mask_patch_size // model_patch_size

@@ -75,8 +75,16 @@ def vjepa_flops_per_sample(config) -> float:
 
 def encoder_flops_per_sample(config) -> float:
     """Inference (fwd-only) FLOPs for the bare encoder."""
+    inter = getattr(config, "intermediate_size", None)
+    if inter is None:
+        # mlp_ratio configs (VJEPA2/DINOv2) size the MLP from the ratio —
+        # a flat 4x fallback would misreport MFU by up to ~20%. DINOv2
+        # SwiGLU uses its 2/3-rounded sizing rule (models/dinov2.py)
+        ratio = getattr(config, "mlp_ratio", 4)
+        if getattr(config, "use_swiglu_ffn", False):
+            inter = (int(config.hidden_size * ratio * 2 / 3) + 7) // 8 * 8
+        else:
+            inter = int(config.hidden_size * ratio)
     return transformer_flops(config.seq_len, config.hidden_size,
-                             config.num_hidden_layers,
-                             getattr(config, "intermediate_size",
-                                     int(config.hidden_size * 4)),
+                             config.num_hidden_layers, inter,
                              fwd_only=True)

@@ -27,8 +27,19 @@ def unflatten_params(flat: Dict[str, np.ndarray], sep: str = "."):
     for key, val in flat.items():
         parts = key.split(sep)
         node = tree
-        for p in parts[:-1]:
+        for i, p in enumerate(parts[:-1]):
             node = node.setdefault(p, {})
+            if not isinstance(node, dict):
+                # foreign checkpoints can carry both "head" and
+                # "head.bias" — insertion order would silently decide
+                # which survives; refuse the ambiguity instead
+                raise ValueError(
+                    f"ambiguous flat keys: {sep.join(parts[:i + 1])!r} is "
+                    f"both a tensor and a prefix of {key!r}")
+        if isinstance(node.get(parts[-1]), dict):
+            raise ValueError(
+                f"ambiguous flat keys: {key!r} is both a tensor and a "
+                "prefix of other keys")
         node[parts[-1]] = val
     return tree
 

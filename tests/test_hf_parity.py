@@ -429,3 +429,47 @@ def test_dinov2_export_roundtrip():
         np.testing.assert_allclose(np.asarray(theirs[k]),
                                    np.asarray(ours[k]), atol=1e-7,
                                    err_msg=k)
+
+
+def test_dinov2_2d_pos_embeddings_inflate_across_depth():
+    """convert_hf_dinov2(depth_grid=) must tile the 2D position table
+    across the depth grid in the model's (h, w, d) token order — without
+    it any depth_grid > 1 target got a size-mismatched table (crash at
+    apply, or silent random-init pos under grafting)."""
+    from transformers import Dinov2Config as HFConfig
+    from transformers import Dinov2ForImageClassification as HFModel
+
+    from smb_vision_tpu.models.configs import Dinov2Config
+    from smb_vision_tpu.models.convert import convert_hf_dinov2
+    from smb_vision_tpu.models.dinov2 import Dinov2ForImageClassification
+
+    hf = HFModel(HFConfig(
+        image_size=32, patch_size=8, num_channels=1, hidden_size=32,
+        num_hidden_layers=2, num_attention_heads=2, mlp_ratio=2,
+        layerscale_value=0.7, num_labels=3)).eval()
+    cfg = Dinov2Config(
+        image_size=32, patch_size=8, num_channels=1, depth=16,  # gd = 2
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        mlp_ratio=2, layerscale_value=0.7, num_labels=3,
+        problem_type="single_label_classification",
+        dtype="float32", attn_impl="xla")
+    assert cfg.grid == (4, 4, 2) and cfg.seq_len == 32
+    params = convert_hf_dinov2(_hf_state_numpy(hf), num_layers=2,
+                               depth_patch=8, depth_grid=2)
+
+    pos3d = np.asarray(
+        params["params"]["dinov2"]["position_embeddings_3d"])
+    pos2d = hf.dinov2.embeddings.position_embeddings.detach().numpy()
+    assert pos3d.shape == (1, 33, 32)
+    # token order (h, w, d): depth fastest -> each spatial position's two
+    # depth copies carry the same 2D embedding
+    for t in range(16):
+        np.testing.assert_array_equal(pos3d[0, 1 + 2 * t],
+                                      pos2d[0, 1 + t])
+        np.testing.assert_array_equal(pos3d[0, 1 + 2 * t + 1],
+                                      pos2d[0, 1 + t])
+
+    # the converted tree must run (the old behavior shape-crashed here)
+    out = Dinov2ForImageClassification(cfg).apply(
+        params, jnp.zeros((1, 1, 32, 32, 16)))
+    assert np.asarray(out["logits"]).shape == (1, 3)

@@ -356,3 +356,15 @@ def test_sliding_window_inference_compiles_once(rng):
         if n_after_first is None:
             n_after_first = traces["n"]   # c_out probe + runner trace
     assert traces["n"] == n_after_first, traces
+
+
+def test_unflatten_rejects_prefix_ambiguity():
+    """A flat dict where one key prefixes another must error, not
+    order-dependently clobber a subtree."""
+    from smb_vision_tpu.utils.serialization import unflatten_params
+
+    a = np.zeros(2, np.float32)
+    with pytest.raises(ValueError, match="ambiguous"):
+        unflatten_params({"head": a, "head.bias": a})
+    with pytest.raises(ValueError, match="ambiguous"):
+        unflatten_params({"head.bias": a, "head": a})

@@ -78,3 +78,16 @@ def test_vjepa_mask_per_sample_distinct():
                            num_blocks=3)
     tb = np.asarray(tb)
     assert any(not np.array_equal(tb[0], tb[i]) for i in range(1, 8))
+
+
+def test_mask_ratio_out_of_range_raises():
+    """mask_ratio > 1 would over-report num_masked_tokens while mim_mask
+    clamps — the exact-static-count contract requires a hard error."""
+    import pytest
+
+    from smb_vision_tpu.ops.masking import num_masked_tokens
+
+    with pytest.raises(ValueError, match="mask_ratio"):
+        num_masked_tokens(32, 32, 16, 16, 1.2)
+    with pytest.raises(ValueError, match="mask_ratio"):
+        num_masked_tokens(32, 32, 16, 16, 0.0)
