@@ -72,6 +72,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def init_batch_size() -> int:
+    """Batch size for dummy inputs in workload init_fns: the ambient
+    mesh's data-axis size when one is set, else 1. Parameter shapes never
+    depend on batch, but under sequence_parallel the attention shard_map
+    pins the batch dim to the "data" axis (parallel/context.py:61) — a
+    batch-1 dummy then fails the divisibility check on any data>1 mesh,
+    so init must trace with one row per data shard."""
+    mesh = jax.sharding.get_abstract_mesh()
+    if not mesh.empty and DATA_AXIS in mesh.shape:
+        return mesh.shape[DATA_AXIS]
+    return 1
+
+
 def local_batch_slice(global_batch: int, mesh: Mesh) -> int:
     """Per-PROCESS batch share for multi-host feeding (the reference's
     partition_dataset equivalent, keyed on jax.process_index()). Each host

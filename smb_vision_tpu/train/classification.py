@@ -134,7 +134,10 @@ def make_classification_workload(model, config, *, task_type: str,
         out = _apply(params, batch, deterministic, key)
         if survival:
             risk = out["logits"].squeeze(-1)
-            return cox_loss(risk, batch["duration"], batch["event"]), out
+            # valid_mask is injected by the trainer's eval padding (absent
+            # in train batches): padded rows must leave the Cox risk sets
+            return cox_loss(risk, batch["duration"], batch["event"],
+                            valid=batch.get("valid_mask")), out
         return out["loss"], out
 
     def loss_fn(params, b, key):

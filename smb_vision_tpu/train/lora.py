@@ -166,7 +166,10 @@ def make_lora_classification_workload(model, config, *, task_type: str, tx,
         out = _apply(eff, batch, deterministic, key)
         if survival:
             risk = out["logits"].squeeze(-1)
-            return cox_loss(risk, batch["duration"], batch["event"]), out
+            # valid_mask comes from the trainer's eval padding: padded rows
+            # must not sit in the Cox risk sets (train batches lack the key)
+            return cox_loss(risk, batch["duration"], batch["event"],
+                            valid=batch.get("valid_mask")), out
         return out["loss"], out
 
     def step_fn(state, batch, key):

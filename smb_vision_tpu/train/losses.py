@@ -26,7 +26,22 @@ def cox_ph_loss_sorted(log_h: jax.Array, events: jax.Array,
 
 
 def cox_loss(risk_scores: jax.Array, durations: jax.Array,
-             events: jax.Array, eps: float = 1e-7) -> jax.Array:
+             events: jax.Array, eps: float = 1e-7,
+             valid: jax.Array | None = None) -> jax.Array:
+    """`valid` (optional, same length, 1=real row / 0=padding) excludes
+    padded rows from BOTH sides of the partial likelihood: their events are
+    zeroed (no numerator term) and their risk is driven to a large negative
+    so exp() underflows to 0 in every cumulative risk set (no denominator
+    term). Needed because Cox is a batch-level nonlinear loss — the
+    trainer's repeat-last-row eval padding would otherwise inflate every
+    sample's risk denominator (no count weighting can undo that). A finite
+    sentinel (-1e30) is used instead of -inf: (-inf - logsumexp) * 0 would
+    be NaN."""
+    risk = risk_scores.reshape(-1).astype(jnp.float32)
+    events = events.reshape(-1).astype(jnp.float32)
+    if valid is not None:
+        v = valid.reshape(-1).astype(jnp.float32)
+        events = events * v
+        risk = jnp.where(v > 0, risk, jnp.float32(-1e30))
     order = jnp.argsort(-durations.reshape(-1))
-    return cox_ph_loss_sorted(risk_scores.reshape(-1)[order],
-                              events.reshape(-1)[order], eps)
+    return cox_ph_loss_sorted(risk[order], events[order], eps)

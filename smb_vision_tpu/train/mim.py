@@ -41,10 +41,13 @@ def make_mim_workload(config: VideoMAEConfig, *, mask_patch_size: int,
                         mask_ratio=mask_ratio)
 
     def init_fn(key) -> Tuple:
-        px = jnp.zeros((1, config.num_frames, config.num_channels,
+        from smb_vision_tpu.parallel.mesh import init_batch_size
+
+        b = init_batch_size()  # data-axis rows when SP pins batch to it
+        px = jnp.zeros((b, config.num_frames, config.num_channels,
                         config.image_size, config.image_size),
                        jnp.float32)
-        mask = gen_mask(key, 1)
+        mask = gen_mask(key, b)
         params = jax.jit(model.init, static_argnums=(3,))(
             key, px, mask, num_masked)
         return train_state(params, tx.init(params))
@@ -123,10 +126,13 @@ def make_pipelined_mim_workload(config: VideoMAEConfig, *,
                         mask_ratio=mask_ratio)
 
     def init_fn(key):
-        px = jnp.zeros((1, config.num_frames, config.num_channels,
+        from smb_vision_tpu.parallel.mesh import init_batch_size
+
+        b = init_batch_size()  # data-axis rows when SP pins batch to it
+        px = jnp.zeros((b, config.num_frames, config.num_channels,
                         config.image_size, config.image_size),
                        jnp.float32)
-        mask = gen_mask(key, 1)
+        mask = gen_mask(key, b)
         dense = jax.jit(model.init, static_argnums=(3,))(
             key, px, mask, num_masked)
         params = to_pipeline_pretrain_params(dense)

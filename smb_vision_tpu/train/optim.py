@@ -19,12 +19,13 @@ import optax
 
 
 def _is_no_decay(path) -> bool:
+    # HF Trainer.get_decay_parameter_names semantics (the stack the
+    # reference trains through): ONLY biases and norm-layer params are
+    # excluded from weight decay — mask/cls tokens, position tables, and
+    # LayerScale lambdas ARE decayed there, so they are decayed here too
+    # (verified end-to-end by tests/test_learning_equivalence.py).
     name = "/".join(str(getattr(p, "key", p)) for p in path).lower()
-    # biases, LayerNorm scales/offsets, tokens, position tables
-    return (name.endswith("/bias") or "norm" in name or "layernorm" in name
-            or "token" in name.split("/")[-1]
-            or name.split("/")[-1] in ("scale", "layerscale1", "layerscale2")
-            or "position_embeddings" in name)
+    return "bias" in name or "norm" in name
 
 
 def decay_mask(params):
@@ -35,7 +36,13 @@ def decay_mask(params):
 def make_schedule(learning_rate: float, total_steps: int,
                   warmup_ratio: float = 0.0, warmup_steps: int = 0,
                   schedule: str = "cosine", min_lr: float = 0.0):
-    warmup = warmup_steps or int(total_steps * warmup_ratio)
+    import math
+
+    # ceil, not floor: HF TrainingArguments.get_warmup_steps uses
+    # math.ceil(num_training_steps * warmup_ratio) — at the reference
+    # recipe's warmup_ratio=0.01 a short run floors to 0 warmup steps
+    # while the reference stack gets 1, desynchronising every step's lr
+    warmup = warmup_steps or math.ceil(total_steps * warmup_ratio)
     decay_steps = max(total_steps - warmup, 1)
     if schedule == "cosine":
         after = optax.cosine_decay_schedule(

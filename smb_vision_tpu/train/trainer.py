@@ -512,12 +512,19 @@ class Trainer:
                 m = n_data * self.eval_batch_multiple
                 target_b["n"] = -(-n // m) * m
             tb = target_b["n"]
-            if n == tb:
-                return batch, n
-            pad = tb - n
-            batch = jax.tree_util.tree_map(
-                lambda x: np.concatenate(
-                    [np.asarray(x)] + [np.asarray(x)[-1:]] * pad), batch)
+            if n != tb:
+                pad = tb - n
+                batch = jax.tree_util.tree_map(
+                    lambda x: np.concatenate(
+                        [np.asarray(x)] + [np.asarray(x)[-1:]] * pad), batch)
+            if isinstance(batch, dict):
+                # mark real vs padded rows for batch-level nonlinear losses
+                # (Cox partial likelihood: padded rows must leave the risk
+                # sets — count weighting alone cannot correct that). Added
+                # on EVERY batch so the eval_fn's jit signature is stable.
+                batch = dict(batch)
+                batch["valid_mask"] = np.concatenate(
+                    [np.ones(n, np.float32), np.zeros(tb - n, np.float32)])
             return batch, n
 
         for raw in self.eval_loader:

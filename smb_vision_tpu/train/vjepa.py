@@ -51,9 +51,12 @@ def make_vjepa_workload(config: VJEPA2Config, *,
                                  inv_block=inv_block)
 
     def init_fn(key):
-        px = jnp.zeros((1, config.frames_per_clip, config.in_chans,
+        from smb_vision_tpu.parallel.mesh import init_batch_size
+
+        b = init_batch_size()  # data-axis rows when SP pins batch to it
+        px = jnp.zeros((b, config.frames_per_clip, config.in_chans,
                         config.crop_size, config.crop_size), jnp.float32)
-        tb = gen_mask(key, 1)
+        tb = gen_mask(key, b)
         params = jax.jit(
             lambda k, x, t: model.init(k, x, target_bool=t))(key, px, tb)
         # teacher starts as a copy of the online encoder (deepcopy in the
@@ -146,9 +149,12 @@ def make_pipelined_vjepa_workload(config: VJEPA2Config, *,
                                  inv_block=inv_block)
 
     def init_fn(key):
-        px = jnp.zeros((1, config.frames_per_clip, config.in_chans,
+        from smb_vision_tpu.parallel.mesh import init_batch_size
+
+        b = init_batch_size()  # data-axis rows when SP pins batch to it
+        px = jnp.zeros((b, config.frames_per_clip, config.in_chans,
                         config.crop_size, config.crop_size), jnp.float32)
-        tb = gen_mask(key, 1)
+        tb = gen_mask(key, b)
         dense = jax.jit(
             lambda k, x, t: model.init(k, x, target_bool=t))(key, px, tb)
         params = to_pipeline_vjepa_params(dense)

