@@ -165,8 +165,21 @@ bool parse_nifti(const std::vector<uint8_t>& raw, Nifti& out,
   };
 
   int ndim = rd16(40);
+  // spec: dim[0] in 1..7. 0 would "load" a 1x1x1 scalar from garbage;
+  // >7 means a corrupt header (matches data/nifti.py::load_nifti)
+  if (ndim < 1 || ndim > 7) {
+    err = "bad dim[0]=" + std::to_string(ndim);
+    return false;
+  }
   int64_t shape[8] = {1, 1, 1, 1, 1, 1, 1, 1};
-  for (int i = 0; i < ndim && i < 7; ++i) shape[i] = rd16(42 + 2 * i);
+  for (int i = 0; i < ndim && i < 7; ++i) {
+    shape[i] = rd16(42 + 2 * i);
+    if (shape[i] < 1) {  // any declared dim, incl. time (nifti.py parity)
+      err = "bad dim[" + std::to_string(i + 1) + "]=" +
+            std::to_string(shape[i]);
+      return false;
+    }
+  }
   out.shape[0] = shape[0];
   out.shape[1] = ndim > 1 ? shape[1] : 1;
   out.shape[2] = ndim > 2 ? shape[2] : 1;
@@ -189,7 +202,15 @@ bool parse_nifti(const std::vector<uint8_t>& raw, Nifti& out,
   int16_t datatype = rd16(70);
   float pixdim[4];
   for (int i = 0; i < 4; ++i) pixdim[i] = rdf(76 + 4 * i);
-  int vox_offset = static_cast<int>(rdf(108));
+  // range-check BEFORE the float->int cast: casting NaN/inf/out-of-range
+  // floats to int is UB (caught by the -fsanitize=undefined build).
+  // !(x >= 348) also rejects NaN.
+  float vo = rdf(108);
+  if (!(vo >= 348.0f) || vo > static_cast<float>(raw.size())) {
+    err = "bad vox_offset";
+    return false;
+  }
+  int vox_offset = static_cast<int>(vo);
   float slope = rdf(112), inter = rdf(116);
   // NIfTI spec: scl_slope == 0 means "no scaling" — ignore BOTH fields
   // (nibabel behavior); non-finite values are uninitialized header bytes

@@ -11,12 +11,16 @@ library hasn't been built (scripts/build_native.py).
 from __future__ import annotations
 
 import ctypes
+import os
 from pathlib import Path
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-_LIB_PATH = Path(__file__).parent / "_native" / "libctloader.so"
+# SMB_CTLOADER_LIB selects an alternate build in _native/ (e.g.
+# libctloader_asan.so from `build_native.py --sanitize` for fuzz runs)
+_LIB_PATH = (Path(__file__).parent / "_native"
+             / os.environ.get("SMB_CTLOADER_LIB", "libctloader.so"))
 _lib = None
 
 

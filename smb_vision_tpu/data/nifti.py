@@ -73,10 +73,23 @@ def load_nifti(path: Union[str, Path]) -> NiftiImage:
     u = lambda fmt, off: struct.unpack_from(endian + fmt, raw, off)  # noqa
     dim = u("8h", 40)
     ndim = dim[0]
+    # spec: dim[0] in 1..7; out-of-range means a corrupt header (a
+    # dim[0]>7 would silently truncate the shape, 0 would "load" a
+    # scalar) — reject, matching csrc/ctloader.cpp::parse_nifti
+    if not 1 <= ndim <= 7:
+        raise ValueError(f"{path}: bad NIfTI dim[0]={ndim} (must be 1..7)")
     shape = tuple(int(x) for x in dim[1:1 + ndim])
+    if any(s < 1 for s in shape):
+        raise ValueError(f"{path}: bad NIfTI shape {shape}")
     datatype = u("h", 70)[0]
     pixdim = u("8f", 76)
-    vox_offset = int(u("f", 108)[0])
+    voff_f = u("f", 108)[0]
+    # single-file .nii: data must start at/after the 348-byte header
+    # (vox_offset 0 would silently re-read header bytes as voxels);
+    # the isfinite check keeps NaN/inf from reaching int()
+    if not (np.isfinite(voff_f) and 348 <= voff_f <= len(raw)):
+        raise ValueError(f"{path}: bad NIfTI vox_offset {voff_f}")
+    vox_offset = int(voff_f)
     scl_slope, scl_inter = u("f", 112)[0], u("f", 116)[0]
     qform_code, sform_code = u("h", 252)[0], u("h", 254)[0]
     qb, qc, qd = u("3f", 256)
@@ -117,11 +130,19 @@ def _load_nifti2(raw: bytes) -> NiftiImage:
     endian = "<" if struct.unpack_from("<i", raw, 0)[0] == 540 else ">"
     u = lambda fmt, off: struct.unpack_from(endian + fmt, raw, off)  # noqa
     datatype = u("h", 12)[0]
+    if datatype not in _DTYPES:
+        raise ValueError(f"unsupported NIfTI datatype {datatype}")
     dim = u("8q", 16)
     ndim = dim[0]
+    if not 1 <= ndim <= 7:
+        raise ValueError(f"bad NIfTI dim[0]={ndim} (must be 1..7)")
     shape = tuple(int(x) for x in dim[1:1 + ndim])
+    if any(s < 1 for s in shape):
+        raise ValueError(f"bad NIfTI shape {shape}")
     pixdim = u("8d", 104)
     vox_offset = u("q", 168)[0]
+    if not 540 <= vox_offset <= len(raw):
+        raise ValueError(f"bad NIfTI-2 vox_offset {vox_offset}")
     scl_slope, scl_inter = u("d", 176)[0], u("d", 184)[0]
     qform_code, sform_code = u("i", 344)[0], u("i", 348)[0]
     qb, qc, qd = u("3d", 352)
