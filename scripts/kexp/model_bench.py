@@ -14,13 +14,13 @@ from smb_vision_tpu.models.videomae import VideoMAEModel
 
 
 def run(heads, batch=1, iters=4, impl="auto", quant8=False,
-        mlp_impl="auto", fused_qkv=False):
+        mlp_impl="auto", fused_qkv=False, glue_impl="auto"):
     config = VideoMAEConfig(image_size=512, num_frames=320, patch_size=16,
                             tubelet_size=16, num_channels=1,
                             num_attention_heads=heads,
                             dtype="bfloat16", attn_impl=impl,
                             quant8=quant8, mlp_impl=mlp_impl,
-                            fused_qkv=fused_qkv)
+                            fused_qkv=fused_qkv, glue_impl=glue_impl)
     model = VideoMAEModel(config)
     key = jax.random.PRNGKey(0)
     px = jax.random.normal(key, (batch, 320, 1, 512, 512), jnp.bfloat16)
@@ -43,6 +43,7 @@ def run(heads, batch=1, iters=4, impl="auto", quant8=False,
     q = " w8a8" if quant8 else ""
     q += f" mlp={mlp_impl}" if mlp_impl != "auto" else ""
     q += " qkv3" if not fused_qkv else ""
+    q += f" glue={glue_impl}" if glue_impl != "auto" else ""
     print(f"heads={heads:2d} (d{768//heads}) batch={batch} {impl:13s}{q}: "
           f"{vps:.3f} vol/s  ({dt/iters*1e3:.0f} ms/call)", flush=True)
     return vps
@@ -86,6 +87,15 @@ if __name__ == "__main__":
         run(6, 4, impl="pallas_int8", fused_qkv=True)
         # NOTE: fused_qkv measured 3-5% SLOWER in-model; the default
         # above matches the shipped config default (False)
+    if which == "glue":
+        # fused attention-glue in-model A/B (same session): LN+QKV
+        # prologue and out-proj+residual epilogue as pallas kernels vs
+        # the XLA composition (isolated probe measured FLAT — this is
+        # the in-model confirmation)
+        run(12, 4, impl="pallas_int8", glue_impl="auto")
+        run(12, 4, impl="pallas_int8", glue_impl="pallas")
+        run(12, 4, impl="pallas_int8", glue_impl="auto")
+        run(12, 4, impl="pallas_int8", glue_impl="pallas")
     if which == "grid":
         for heads in (12, 6):
             for impl in ("auto", "pallas_int8"):

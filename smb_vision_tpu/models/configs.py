@@ -104,6 +104,12 @@ class VideoMAEConfig(BaseConfig):
     attn_impl: str = "auto"         # auto | pallas | xla
     # fused Pallas MLP kernel on TPU (ops/mlp.py): auto | pallas | xla
     mlp_impl: str = "auto"
+    # fused attention-glue kernels (ops/attn_glue.py): LN+QKV prologue and
+    # out-proj+residual epilogue as pallas kernels. Measured NEGATIVE:
+    # isolated A/B flat (2.70 vs 2.63 ms/layer-glue), in-model -13%
+    # (BENCHMARKS.md "attention half-block") — "auto" resolves to xla;
+    # "pallas" runs the kernels (A/B knob).
+    glue_impl: str = "auto"
     # one wide QKV matmul instead of three narrow ones — measured 3-5%
     # SLOWER in-model (XLA's dot-merger already coalesces the narrow
     # dots; BENCHMARKS.md); kept as an A/B knob
@@ -180,6 +186,12 @@ class VJEPA2Config(BaseConfig):
     dtype: str = "bfloat16"
     attn_impl: str = "auto"
     mlp_impl: str = "auto"          # fused Pallas MLP kernel on TPU
+    # fused attention-glue kernels (ops/attn_glue.py): LN+QKV prologue and
+    # out-proj+residual epilogue as pallas kernels. Measured NEGATIVE:
+    # isolated A/B flat (2.70 vs 2.63 ms/layer-glue), in-model -13%
+    # (BENCHMARKS.md "attention half-block") — "auto" resolves to xla;
+    # "pallas" runs the kernels (A/B knob).
+    glue_impl: str = "auto"
     fused_qkv: bool = False         # measured negative (BENCHMARKS.md)
     gradient_checkpointing: bool = False
     sequence_parallel: bool = False
@@ -232,6 +244,12 @@ class SiglipVisionConfig(BaseConfig):
     dtype: str = "bfloat16"
     attn_impl: str = "auto"
     mlp_impl: str = "auto"
+    # fused attention-glue kernels (ops/attn_glue.py): LN+QKV prologue and
+    # out-proj+residual epilogue as pallas kernels. Measured NEGATIVE:
+    # isolated A/B flat (2.70 vs 2.63 ms/layer-glue), in-model -13%
+    # (BENCHMARKS.md "attention half-block") — "auto" resolves to xla;
+    # "pallas" runs the kernels (A/B knob).
+    glue_impl: str = "auto"
     gradient_checkpointing: bool = False
 
     @property
@@ -281,6 +299,12 @@ class Dinov2Config(BaseConfig):
     dtype: str = "bfloat16"
     attn_impl: str = "auto"
     mlp_impl: str = "auto"          # fused Pallas MLP kernel on TPU
+    # fused attention-glue kernels (ops/attn_glue.py): LN+QKV prologue and
+    # out-proj+residual epilogue as pallas kernels. Measured NEGATIVE:
+    # isolated A/B flat (2.70 vs 2.63 ms/layer-glue), in-model -13%
+    # (BENCHMARKS.md "attention half-block") — "auto" resolves to xla;
+    # "pallas" runs the kernels (A/B knob).
+    glue_impl: str = "auto"
     fused_qkv: bool = False         # measured negative (BENCHMARKS.md)
     gradient_checkpointing: bool = False
 

@@ -115,6 +115,7 @@ class Dinov2Model(nn.Module):
             drop_path_rate=cfg.drop_path_rate,
             use_swiglu=cfg.use_swiglu_ffn, dtype=dt,
             attn_impl=cfg.attn_impl, mlp_impl=cfg.mlp_impl,
+            glue_impl=cfg.glue_impl,
             fused_qkv=cfg.fused_qkv,
             remat=cfg.gradient_checkpointing,
             initializer_range=cfg.initializer_range,

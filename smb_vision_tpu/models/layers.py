@@ -92,10 +92,14 @@ class Attention(nn.Module):
     # block, and the manual concat+slice adds copies it doesn't need.
     # Kept as a measured negative; default OFF.
     fused_qkv: bool = False
+    # fused attention-glue kernels (ops/attn_glue.py): engaged by Block
+    # via the `glue` argument when glue_impl == "pallas"
+    glue_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, rope: Optional[Tuple[jax.Array, jax.Array]] = None,
-                 kv: Optional[jax.Array] = None):
+                 kv: Optional[jax.Array] = None,
+                 glue: Optional[dict] = None):
         b, n, _ = x.shape
         h = self.hidden_size
         head_dim = h // self.num_heads
@@ -109,6 +113,39 @@ class Attention(nn.Module):
         kb = self.bias_mode == "qkv"
         vb = self.bias_mode in ("qkv", "qv")
         src = x if kv is None else kv
+        if glue is not None:
+            # whole attention half-block through the fused glue kernels:
+            # qkv_ln_forward(LN prologue + projections) -> flash core ->
+            # attn_out_residual(out-proj + LayerScale + residual). The
+            # param tree stays identical to the unfused path
+            # (_DenseParams mirrors nn.Dense's kernel/bias layout).
+            from smb_vision_tpu.ops.attn_glue import (
+                attn_out_residual,
+                qkv_ln_forward,
+            )
+
+            assert kv is None and not self.quant8 and self.out_proj
+            wq, bq_ = _DenseParams(h, kinit, qb, name="query")(h)
+            wk, bk_ = _DenseParams(h, kinit, kb, name="key")(h)
+            wv, bv_ = _DenseParams(h, kinit, vb, name="value")(h)
+            wo, bo_ = _DenseParams(h, kinit, self.out_bias,
+                                   name="proj")(h)
+            q, k, v = qkv_ln_forward(
+                x.astype(self.dtype), glue["lnw"], glue["lnb"],
+                wq, bq_, wk, bk_, wv, bv_, eps=glue["eps"],
+                impl=self.glue_impl)
+            q = q.reshape(b, n, self.num_heads, head_dim)
+            k = k.reshape(b, n, self.num_heads, head_dim)
+            v = v.reshape(b, n, self.num_heads, head_dim)
+            if rope is not None:
+                cos, sin = rope
+                q = apply_rope3d(q, cos, sin)
+                k = apply_rope3d(k, cos, sin)
+            out = self._attend(q, k, v).reshape(b, n, h)
+            bo_ = jnp.zeros((h,), jnp.float32) if bo_ is None else bo_
+            return attn_out_residual(x.astype(self.dtype), out, wo, bo_,
+                                     layerscale=glue.get("lam"),
+                                     impl=self.glue_impl)
         if self.fused_qkv and not self.quant8:
             dt = self.dtype
             wq, bq = _DenseParams(h, kinit, qb, name="query")(x.shape[-1])
@@ -149,7 +186,14 @@ class Attention(nn.Module):
             q = apply_rope3d(q, cos, sin)
             k = apply_rope3d(k, cos, sin)
 
-        if self.sequence_parallel and kv is None:
+        out = self._attend(q, k, v, cross=kv is not None)
+        out = out.reshape(b, n, self.hidden_size)
+        if not self.out_proj:
+            return out
+        return dense("proj", self.out_bias)(out)
+
+    def _attend(self, q, k, v, cross: bool = False):
+        if self.sequence_parallel and not cross:
             from smb_vision_tpu.parallel.context import (
                 context_parallel_attention,
                 ring_attention,
@@ -162,19 +206,13 @@ class Attention(nn.Module):
                     "sequence_parallel=True needs an ambient mesh: wrap the "
                     "apply/jit in `with jax.set_mesh(mesh):`")
             if self.sp_variant == "ring":
-                out = ring_attention(q, k, v, mesh=mesh, axis=MODEL_AXIS,
-                                     impl=self.attn_impl,
-                                     batch_axis=DATA_AXIS)
-            else:
-                out = context_parallel_attention(
-                    q, k, v, mesh=mesh, axis=MODEL_AXIS,
-                    impl=self.attn_impl, batch_axis=DATA_AXIS)
-        else:
-            out = attention(q, k, v, impl=self.attn_impl)
-        out = out.reshape(b, n, self.hidden_size)
-        if not self.out_proj:
-            return out
-        return dense("proj", self.out_bias)(out)
+                return ring_attention(q, k, v, mesh=mesh, axis=MODEL_AXIS,
+                                      impl=self.attn_impl,
+                                      batch_axis=DATA_AXIS)
+            return context_parallel_attention(
+                q, k, v, mesh=mesh, axis=MODEL_AXIS,
+                impl=self.attn_impl, batch_axis=DATA_AXIS)
+        return attention(q, k, v, impl=self.attn_impl)
 
 
 class _DenseParams(nn.Module):
@@ -351,6 +389,7 @@ class Block(nn.Module):
     quant8: bool = False
     mlp_impl: str = "auto"
     fused_qkv: bool = False
+    glue_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, rope=None, deterministic: bool = True):
@@ -366,15 +405,40 @@ class Block(nn.Module):
             return h * lam.astype(h.dtype)
 
         dp = DropPath(self.drop_path_rate)
-        h = Attention(self.hidden_size, self.num_heads,
-                      bias_mode=self.bias_mode, dtype=self.dtype,
-                      attn_impl=self.attn_impl,
-                      initializer_range=self.initializer_range,
-                      sequence_parallel=self.sequence_parallel,
-                      sp_variant=self.sp_variant, quant8=self.quant8,
-                      fused_qkv=self.fused_qkv,
-                      name="attention")(ln("norm1")(x), rope=rope)
-        x = x + dp(scaled("layerscale1", h), deterministic)
+        if self.glue_impl not in ("auto", "pallas", "xla"):
+            raise ValueError(f"unknown glue impl {self.glue_impl!r}; "
+                             "valid: 'auto', 'pallas', 'xla'")
+        # attention half-block through the fused glue kernels
+        # (ops/attn_glue.py) — explicit opt-in only: isolated A/B flat,
+        # in-model -13% (BENCHMARKS.md "attention half-block"), so
+        # "auto" keeps the plain path, unlike mlp_impl's auto-fuse
+        fuse_attn = (self.glue_impl == "pallas" and not self.quant8
+                     and not self.fused_qkv
+                     and (self.drop_path_rate == 0.0 or deterministic))
+        attn = Attention(self.hidden_size, self.num_heads,
+                         bias_mode=self.bias_mode, dtype=self.dtype,
+                         attn_impl=self.attn_impl,
+                         initializer_range=self.initializer_range,
+                         sequence_parallel=self.sequence_parallel,
+                         sp_variant=self.sp_variant, quant8=self.quant8,
+                         fused_qkv=self.fused_qkv,
+                         glue_impl=self.glue_impl,
+                         name="attention")
+        if fuse_attn:
+            lnw1, lnb1 = _LayerNormParams(self.hidden_size,
+                                          name="norm1")()
+            lam1 = None
+            if self.layerscale_value is not None:
+                lam1 = self.param(
+                    "layerscale1", nn.initializers.constant(
+                        self.layerscale_value),
+                    (self.hidden_size,), jnp.float32)
+            x = attn(x, rope=rope,
+                     glue=dict(lnw=lnw1, lnb=lnb1, lam=lam1,
+                               eps=self.layer_norm_eps))
+        else:
+            h = attn(ln("norm1")(x), rope=rope)
+            x = x + dp(scaled("layerscale1", h), deterministic)
 
         # the whole MLP half-block (LN -> fc1 -> gelu -> fc2
         # [-> layerscale] -> residual) fuses into ONE pallas kernel when
@@ -474,6 +538,7 @@ class Encoder(nn.Module):
     quant8: bool = False
     mlp_impl: str = "auto"
     fused_qkv: bool = False
+    glue_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, rope=None, deterministic: bool = True):
@@ -501,6 +566,7 @@ class Encoder(nn.Module):
                 sequence_parallel=self.sequence_parallel,
                 sp_variant=self.sp_variant, quant8=self.quant8,
                 mlp_impl=self.mlp_impl, fused_qkv=self.fused_qkv,
+                glue_impl=self.glue_impl,
                 name=f"layer_{i}")(x, rope, deterministic)
             if self.sequence_parallel:
                 x = constrain(x)

@@ -52,6 +52,7 @@ def _cfg_block(cfg, hidden: int, heads: int, inter: int, dt, **over):
               bias_mode="qkv" if cfg.qkv_bias else "none",
               layer_norm_eps=cfg.layer_norm_eps, dtype=dt,
               attn_impl=cfg.attn_impl, mlp_impl=cfg.mlp_impl,
+              glue_impl=cfg.glue_impl,
               fused_qkv=cfg.fused_qkv,
               initializer_range=cfg.initializer_range)
     kw.update(over)
@@ -88,6 +89,7 @@ def pipelined_encoder(enc: Encoder, enc_params: dict, x, *, mesh: Mesh,
                   layerscale_value=enc.layerscale_value,
                   use_swiglu=enc.use_swiglu, dtype=enc.dtype,
                   attn_impl=enc.attn_impl, mlp_impl=enc.mlp_impl,
+                  glue_impl=enc.glue_impl,
                   initializer_range=enc.initializer_range,
                   quant8=enc.quant8, fused_qkv=enc.fused_qkv)
 
@@ -127,7 +129,7 @@ def videomae_pipeline_encode(config, params: dict, pixel_values, *,
         bias_mode="qv" if cfg.qkv_bias else "none",
         layer_norm_eps=cfg.layer_norm_eps, dtype=dt,
         attn_impl=cfg.attn_impl, mlp_impl=cfg.mlp_impl,
-            fused_qkv=cfg.fused_qkv,
+        glue_impl=cfg.glue_impl, fused_qkv=cfg.fused_qkv,
         initializer_range=cfg.initializer_range,
         quant8=cfg.quant8)
     x = pipelined_encoder(enc, p["encoder"], x, mesh=mesh, axis=axis,
@@ -199,7 +201,8 @@ def dinov2_pipeline_encode(config, params: dict, pixel_values, *,
         layerscale_value=cfg.layerscale_value,
         drop_path_rate=cfg.drop_path_rate,
         use_swiglu=cfg.use_swiglu_ffn, dtype=dt, attn_impl=cfg.attn_impl,
-        mlp_impl=cfg.mlp_impl, fused_qkv=cfg.fused_qkv,
+        mlp_impl=cfg.mlp_impl, glue_impl=cfg.glue_impl,
+        fused_qkv=cfg.fused_qkv,
         initializer_range=cfg.initializer_range)
     x = pipelined_encoder(enc, p["encoder"], x, mesh=mesh, axis=axis,
                           num_microbatches=num_microbatches,

@@ -119,6 +119,7 @@ class SiglipVisionModel(nn.Module):
                     act=_act(cfg.hidden_act), bias_mode="qkv",
                     layer_norm_eps=cfg.layer_norm_eps, dtype=dtype,
                     attn_impl=cfg.attn_impl, mlp_impl=cfg.mlp_impl,
+                    glue_impl=cfg.glue_impl,
                     remat=cfg.gradient_checkpointing,
                     initializer_range=0.02, name="encoder")(x)
 

@@ -93,6 +93,7 @@ class VideoMAEModel(nn.Module):
             bias_mode="qv" if cfg.qkv_bias else "none",
             layer_norm_eps=cfg.layer_norm_eps, dtype=dt,
             attn_impl=cfg.attn_impl, mlp_impl=cfg.mlp_impl,
+            glue_impl=cfg.glue_impl,
             fused_qkv=cfg.fused_qkv,
             remat=cfg.gradient_checkpointing,
             initializer_range=cfg.initializer_range,
@@ -149,6 +150,7 @@ class VideoMAEForPreTraining(nn.Module):
             act=cfg.hidden_act, bias_mode="qv" if cfg.qkv_bias else "none",
             layer_norm_eps=cfg.layer_norm_eps, dtype=dt,
             attn_impl=cfg.attn_impl, mlp_impl=cfg.mlp_impl,
+            glue_impl=cfg.glue_impl,
             fused_qkv=cfg.fused_qkv,
             remat=cfg.gradient_checkpointing,
             initializer_range=cfg.initializer_range,

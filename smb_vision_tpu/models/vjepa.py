@@ -74,6 +74,7 @@ class VJEPA2Encoder(nn.Module):
             layer_norm_eps=cfg.layer_norm_eps,
             drop_path_rate=cfg.drop_path_rate, dtype=dt,
             attn_impl=cfg.attn_impl, mlp_impl=cfg.mlp_impl,
+            glue_impl=cfg.glue_impl,
             fused_qkv=cfg.fused_qkv,
             remat=cfg.gradient_checkpointing,
             initializer_range=cfg.initializer_range,
@@ -98,6 +99,7 @@ class VJEPA2Predictor(nn.Module):
             layer_norm_eps=cfg.layer_norm_eps,
             drop_path_rate=cfg.drop_path_rate, dtype=dt,
             attn_impl=cfg.attn_impl, mlp_impl=cfg.mlp_impl,
+            glue_impl=cfg.glue_impl,
             fused_qkv=cfg.fused_qkv,
             remat=cfg.gradient_checkpointing,
             initializer_range=cfg.initializer_range, name="stack")
