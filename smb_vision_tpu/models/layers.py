@@ -353,15 +353,21 @@ class SwiGLU(nn.Module):
 
 
 class DropPath(nn.Module):
-    """Stochastic depth per sample (modeling_vjepa.py:375-392)."""
+    """Stochastic depth per sample (modeling_vjepa.py:375-392).
+
+    `rate` is the static per-layer rate; `rate_override` (a traced f32
+    scalar) replaces it at call time so one shared Block can apply a
+    per-layer schedule from a scanned operand (the pipelined layout,
+    models/pipelined.py — per-layer rates ride a stacked leaf there)."""
 
     rate: float
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        if self.rate == 0.0 or deterministic:
+    def __call__(self, x, deterministic: bool = True, rate_override=None):
+        if deterministic or (rate_override is None and self.rate == 0.0):
             return x
-        keep = 1.0 - self.rate
+        r = self.rate if rate_override is None else rate_override
+        keep = 1.0 - jnp.asarray(r, x.dtype)
         rng = self.make_rng("droppath")
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jnp.floor(keep + jax.random.uniform(rng, shape, x.dtype))
@@ -392,7 +398,11 @@ class Block(nn.Module):
     glue_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x, rope=None, deterministic: bool = True):
+    def __call__(self, x, rope=None, deterministic: bool = True,
+                 dp_rate=None):
+        # dp_rate: optional TRACED f32 scalar overriding the static
+        # drop_path_rate — the pipelined layout ships the per-layer
+        # stochastic-depth schedule as a stacked leaf (pipelined_encoder)
         ln = lambda name: nn.LayerNorm(  # noqa: E731
             epsilon=self.layer_norm_eps, dtype=self.dtype,
             param_dtype=jnp.float32, name=name)
@@ -404,7 +414,10 @@ class Block(nn.Module):
                 self.layerscale_value), (self.hidden_size,), jnp.float32)
             return h * lam.astype(h.dtype)
 
-        dp = DropPath(self.drop_path_rate)
+        dp_off = deterministic or (dp_rate is None
+                                   and self.drop_path_rate == 0.0)
+        base = DropPath(self.drop_path_rate)
+        dp = lambda h, det: base(h, det, rate_override=dp_rate)  # noqa: E731
         if self.glue_impl not in ("auto", "pallas", "xla"):
             raise ValueError(f"unknown glue impl {self.glue_impl!r}; "
                              "valid: 'auto', 'pallas', 'xla'")
@@ -413,8 +426,7 @@ class Block(nn.Module):
         # in-model -13% (BENCHMARKS.md "attention half-block"), so
         # "auto" keeps the plain path, unlike mlp_impl's auto-fuse
         fuse_attn = (self.glue_impl == "pallas" and not self.quant8
-                     and not self.fused_qkv
-                     and (self.drop_path_rate == 0.0 or deterministic))
+                     and not self.fused_qkv and dp_off)
         attn = Attention(self.hidden_size, self.num_heads,
                          bias_mode=self.bias_mode, dtype=self.dtype,
                          attn_impl=self.attn_impl,
@@ -461,7 +473,7 @@ class Block(nn.Module):
         fuse_block = (not self.quant8 and route
                       and (self.use_swiglu
                            or self.act in ("gelu", "gelu_new"))
-                      and (self.drop_path_rate == 0.0 or deterministic))
+                      and dp_off)
         if fuse_block:
             from smb_vision_tpu.ops.mlp import (
                 mlp_block_forward,

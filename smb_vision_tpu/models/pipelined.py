@@ -11,11 +11,11 @@ dispatch, so the same checkpoint serves dense, sequence-parallel, and
 pipelined execution.
 
 Inference/embedding path (deterministic=True): DropPath is identity, so
-the per-layer stochastic-depth rates need no threading. Training through
-the pipeline works at the `pipeline_apply` level (see
-tests/test_pipeline.py) but per-layer drop-path schedules are not
-representable in the stacked layout — `pipelined_encoder` rejects
-non-deterministic calls when drop_path_rate > 0.
+the per-layer stochastic-depth rates need no threading. Training with
+drop_path_rate > 0 ships the per-layer rate schedule and per-layer RNG
+keys as stacked leaves next to the layer params and folds the microbatch
+index (pipeline_apply with_mb_index) into each DropPath draw — see
+`pipelined_encoder(dp_rng=...)`.
 """
 
 from __future__ import annotations
@@ -59,21 +59,61 @@ def _cfg_block(cfg, hidden: int, heads: int, inter: int, dt, **over):
     return Block(hidden, heads, inter, **kw)
 
 
+def _pipe_stack_droppath(block: Block, stacked, num_layers: int, x, rope,
+                         *, drop_path_rate: float, dp_rng, mesh: Mesh,
+                         axis: str, num_microbatches: int,
+                         batch_axis: Optional[str], remat: bool):
+    """Train-mode stack application with stochastic depth: the Encoder's
+    linear per-layer rate schedule (layers.py:557) and per-layer base
+    keys ride stacked leaves next to the layer params; each Block draws
+    its DropPath masks from fold_in(key_layer, microbatch [, data-shard])
+    so every (layer, microbatch, sample) gets an independent draw while
+    the same microbatch sees the same key on every stage."""
+    rates = jnp.asarray(
+        [drop_path_rate * i / max(num_layers - 1, 1)
+         for i in range(num_layers)], jnp.float32)
+    keys = jax.random.split(dp_rng, num_layers)       # (L, 2) uint32
+
+    def layer_fn(pk, h, rp, mb):
+        key = jax.random.fold_in(pk["key"], mb)
+        if batch_axis is not None:
+            # decorrelate DropPath masks across data-parallel shards
+            # (shard_map: each device draws its LOCAL rows' masks)
+            key = jax.random.fold_in(key, jax.lax.axis_index(batch_axis))
+        return block.apply({"params": pk["p"]}, h, rp, False, pk["rate"],
+                           rngs={"droppath": key})
+
+    return pipeline_apply(
+        layer_fn, {"p": stacked, "rate": rates, "key": keys}, x,
+        mesh=mesh, axis=axis, num_microbatches=num_microbatches,
+        batch_axis=batch_axis, remat=remat, extra=rope,
+        with_mb_index=True)
+
+
 def pipelined_encoder(enc: Encoder, enc_params: dict, x, *, mesh: Mesh,
                       axis: str = "pipe", num_microbatches: int,
                       rope: Any = None, batch_axis: Optional[str] = None,
                       remat: bool = False,
-                      deterministic: bool = True):
+                      deterministic: bool = True, dp_rng=None):
     """Apply an `Encoder` stack (its `{"layer_i": ...}` params) through the
     pipeline. Equivalent to `enc.apply({"params": enc_params}, x, rope,
     deterministic)` for the dense (non-sequence-parallel) configuration —
-    asserted by tests/test_pipelined_models.py."""
-    if not deterministic and enc.drop_path_rate > 0:
+    asserted by tests/test_pipelined_models.py.
+
+    Training with stochastic depth (drop_path_rate > 0, deterministic=
+    False) needs `dp_rng`: the Encoder's per-layer linear rate schedule
+    (layers.py:557) rides a stacked (L,) leaf next to the layer params,
+    per-layer base keys ride a stacked (L, 2) leaf, and each Block draws
+    its DropPath mask from fold_in(key_layer, microbatch [, data-shard])
+    — so every (layer, sample) pair gets an independent draw. Parity with
+    a per-layer dense loop over the identical key schedule is asserted by
+    tests/test_pipelined_models.py::test_pipelined_encoder_droppath."""
+    dp_active = (not deterministic) and enc.drop_path_rate > 0
+    if dp_active and dp_rng is None:
         raise ValueError(
-            "pipelined_encoder cannot apply non-deterministically when "
-            "drop_path_rate > 0: per-layer stochastic-depth rates are "
-            "static module fields, not stackable params — set "
-            "drop_path_rate=0 or use deterministic=True")
+            "pipelined_encoder with drop_path_rate > 0 and "
+            "deterministic=False needs dp_rng (the stochastic-depth "
+            "PRNG key)")
     if enc.sequence_parallel:
         raise ValueError(
             "pipelined_encoder runs blocks inside shard_map; build the "
@@ -92,6 +132,13 @@ def pipelined_encoder(enc: Encoder, enc_params: dict, x, *, mesh: Mesh,
                   glue_impl=enc.glue_impl,
                   initializer_range=enc.initializer_range,
                   quant8=enc.quant8, fused_qkv=enc.fused_qkv)
+
+    if dp_active:
+        return _pipe_stack_droppath(
+            block, stacked, enc.num_layers, x, rope,
+            drop_path_rate=enc.drop_path_rate, dp_rng=dp_rng, mesh=mesh,
+            axis=axis, num_microbatches=num_microbatches,
+            batch_axis=batch_axis, remat=remat)
 
     if rope is None:
         layer_fn = lambda p, h: block.apply(  # noqa: E731
@@ -397,8 +444,10 @@ def from_pipeline_vjepa_params(pparams: dict) -> dict:
 
 
 def _vjepa_pipe_encode(cfg, enc_params, pixel_values_videos, *, mesh, axis,
-                       num_microbatches, batch_axis, remat):
-    """VJEPA2Encoder forward (vjepa.py:48-82) over STACKED params."""
+                       num_microbatches, batch_axis, remat, dp_rng=None):
+    """VJEPA2Encoder forward (vjepa.py:48-82) over STACKED params.
+    dp_rng: train-mode stochastic depth when cfg.drop_path_rate > 0
+    (the student; the EMA teacher encodes without it)."""
     dt = jnp.dtype(cfg.dtype)
     x = patch_embed(pixel_values_videos, enc_params["patch_embed_kernel"],
                     enc_params["patch_embed_bias"], dtype=dt)
@@ -407,12 +456,19 @@ def _vjepa_pipe_encode(cfg, enc_params, pixel_values_videos, *, mesh, axis,
                           cfg.head_dim, dtype=dt)
     block = _cfg_block(cfg, cfg.hidden_size, cfg.num_attention_heads,
                        int(cfg.hidden_size * cfg.mlp_ratio), dt)
-    layer_fn = lambda pp, h, rp: block.apply(  # noqa: E731
-        {"params": pp}, h, rp, True)
-    x = pipeline_apply(layer_fn, enc_params["encoder_stacked"], x,
-                       mesh=mesh, axis=axis,
-                       num_microbatches=num_microbatches,
-                       batch_axis=batch_axis, remat=remat, extra=rope)
+    if dp_rng is not None and cfg.drop_path_rate > 0:
+        x = _pipe_stack_droppath(
+            block, enc_params["encoder_stacked"], cfg.num_hidden_layers,
+            x, rope, drop_path_rate=cfg.drop_path_rate, dp_rng=dp_rng,
+            mesh=mesh, axis=axis, num_microbatches=num_microbatches,
+            batch_axis=batch_axis, remat=remat)
+    else:
+        layer_fn = lambda pp, h, rp: block.apply(  # noqa: E731
+            {"params": pp}, h, rp, True)
+        x = pipeline_apply(layer_fn, enc_params["encoder_stacked"], x,
+                           mesh=mesh, axis=axis,
+                           num_microbatches=num_microbatches,
+                           batch_axis=batch_axis, remat=remat, extra=rope)
     return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dt,
                         param_dtype=jnp.float32).apply(
         {"params": enc_params["layernorm"]}, x)
@@ -423,21 +479,23 @@ def vjepa2_pipeline_pretrain(config, params: dict, teacher: dict,
                              mesh: Mesh, axis: str = "model",
                              num_microbatches: int,
                              batch_axis: Optional[str] = None,
-                             remat: bool = True, mask_index: int = 1):
+                             remat: bool = True, mask_index: int = 1,
+                             dp_rng=None):
     """V-JEPA2 pretraining loss (train/vjepa.py loss_for, dense
     target_bool formulation of vjepa.py:123-138) with the student
     encoder, EMA-teacher encoder, and predictor stacks all pipelined
     over `axis`; params/teacher in the stacked layout of
-    `to_pipeline_vjepa_params`. DropPath must be off
-    (config.drop_path_rate == 0) — per-layer rates are not representable
-    in the stacked layout."""
+    `to_pipeline_vjepa_params`. When config.drop_path_rate > 0, pass
+    dp_rng: the student encoder and predictor run with stochastic depth
+    (per-layer rates as stacked leaves, _pipe_stack_droppath) while the
+    EMA teacher encodes deterministically; dp_rng=None is eval mode
+    (DropPath off) — matching the dense workload (train/vjepa.py
+    loss_for: student rngs={'droppath': ...} in train,
+    deterministic=True in eval; teacher always eval-mode)."""
     from smb_vision_tpu.models.vjepa import vjepa_loss
 
     cfg = config
     dt = jnp.dtype(cfg.dtype)
-    if cfg.drop_path_rate > 0:
-        raise ValueError("pipelined V-JEPA supports drop_path_rate == 0 "
-                         "only (stacked layers share one Block config)")
     p = params.get("params", params)
     t = teacher.get("params", teacher)
     S = mesh.shape[axis]
@@ -449,7 +507,11 @@ def vjepa2_pipeline_pretrain(config, params: dict, teacher: dict,
     kw = dict(mesh=mesh, axis=axis, num_microbatches=num_microbatches,
               batch_axis=batch_axis, remat=remat)
 
-    enc = _vjepa_pipe_encode(cfg, p["encoder"], pixel_values_videos, **kw)
+    dp_enc = dp_prd = None
+    if dp_rng is not None and cfg.drop_path_rate > 0:
+        dp_enc, dp_prd = jax.random.split(dp_rng)
+    enc = _vjepa_pipe_encode(cfg, p["encoder"], pixel_values_videos,
+                             dp_rng=dp_enc, **kw)
     tgt = jax.lax.stop_gradient(
         _vjepa_pipe_encode(cfg, t["encoder"], pixel_values_videos, **kw))
 
@@ -465,9 +527,15 @@ def vjepa2_pipeline_pretrain(config, params: dict, teacher: dict,
     pblock = _cfg_block(cfg, cfg.pred_hidden_size,
                         cfg.pred_num_attention_heads,
                         int(cfg.pred_hidden_size * cfg.pred_mlp_ratio), dt)
-    pfn = lambda pp, h, rp: pblock.apply(  # noqa: E731
-        {"params": pp}, h, rp, True)
-    x = pipeline_apply(pfn, prd["stack_stacked"], x, extra=rope, **kw)
+    if dp_prd is not None:
+        x = _pipe_stack_droppath(
+            pblock, prd["stack_stacked"], cfg.pred_num_hidden_layers,
+            x, rope, drop_path_rate=cfg.drop_path_rate, dp_rng=dp_prd,
+            **kw)
+    else:
+        pfn = lambda pp, h, rp: pblock.apply(  # noqa: E731
+            {"params": pp}, h, rp, True)
+        x = pipeline_apply(pfn, prd["stack_stacked"], x, extra=rope, **kw)
     x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dt,
                      param_dtype=jnp.float32).apply(
         {"params": prd["layernorm"]}, x)

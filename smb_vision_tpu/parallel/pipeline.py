@@ -69,7 +69,8 @@ def pipeline_apply(layer_fn: Callable[..., jax.Array],
                    stacked_params: Any, x: jax.Array, *, mesh: Mesh,
                    axis: str = "pipe", num_microbatches: int,
                    batch_axis: Optional[str] = None,
-                   remat: bool = False, extra: Any = None) -> jax.Array:
+                   remat: bool = False, extra: Any = None,
+                   with_mb_index: bool = False) -> jax.Array:
     """Run L = leading-axis-of(stacked_params) layers over x through an
     S-stage GPipe pipeline, S = mesh.shape[axis].
 
@@ -83,6 +84,14 @@ def pipeline_apply(layer_fn: Callable[..., jax.Array],
     extra: optional pytree of layer-invariant operands (e.g. the shared
     RoPE cos/sin tables) shipped replicated to every stage; when given,
     layer_fn is called as layer_fn(params_i, x, extra).
+
+    with_mb_index: when True, layer_fn is always called as
+    layer_fn(params_i, x, extra, mb) — extra may be None — where mb is
+    the traced int32 index of the microbatch currently flowing through
+    the stage (t - stage, garbage on bubble ticks whose outputs are
+    discarded anyway). Lets stochastic layers (DropPath) fold a
+    per-microbatch value into their RNG so samples in different
+    microbatches draw independent randomness.
     """
     S = mesh.shape[axis]
     leaves = jax.tree_util.tree_leaves(stacked_params)
@@ -103,26 +112,33 @@ def pipeline_apply(layer_fn: Callable[..., jax.Array],
     x_mb = x.reshape((M, B // M) + x.shape[1:])
     mb_sds = jax.ShapeDtypeStruct(x_mb.shape[1:], x.dtype)
 
-    def stage(local_layers, act, ex):
+    def stage(local_layers, act, ex, mb):
         def one(carry, p):
+            if with_mb_index:
+                return layer_fn(p, carry, ex, mb), None
             if extra is None:
                 return layer_fn(p, carry), None
             return layer_fn(p, carry, ex), None
         out, _ = jax.lax.scan(one, act, local_layers)
         return out
 
-    extra_sds = jax.tree_util.tree_map(
-        lambda leaf: jax.ShapeDtypeStruct(jnp.shape(leaf),
-                                          jnp.result_type(leaf)), extra)
-    out_sds = jax.eval_shape(
-        stage, jax.tree_util.tree_map(
-            lambda leaf: jax.ShapeDtypeStruct((L // S,) + leaf.shape[1:],
-                                              leaf.dtype), stacked_params),
-        mb_sds, extra_sds)
-    if out_sds.shape != mb_sds.shape or out_sds.dtype != mb_sds.dtype:
-        raise ValueError(
-            f"layer_fn must preserve shape/dtype: {mb_sds.shape}/"
-            f"{mb_sds.dtype} -> {out_sds.shape}/{out_sds.dtype}")
+    if not with_mb_index:
+        # early layer_fn signature check (skipped for with_mb_index:
+        # those layer_fns may call lax.axis_index, which is unbound
+        # outside the shard_map below — XLA still shape-checks inside)
+        extra_sds = jax.tree_util.tree_map(
+            lambda leaf: jax.ShapeDtypeStruct(jnp.shape(leaf),
+                                              jnp.result_type(leaf)), extra)
+        out_sds = jax.eval_shape(
+            stage, jax.tree_util.tree_map(
+                lambda leaf: jax.ShapeDtypeStruct(
+                    (L // S,) + leaf.shape[1:], leaf.dtype),
+                stacked_params),
+            mb_sds, extra_sds, jax.ShapeDtypeStruct((), jnp.int32))
+        if out_sds.shape != mb_sds.shape or out_sds.dtype != mb_sds.dtype:
+            raise ValueError(
+                f"layer_fn must preserve shape/dtype: {mb_sds.shape}/"
+                f"{mb_sds.dtype} -> {out_sds.shape}/{out_sds.dtype}")
 
     stage_fn = jax.checkpoint(stage) if remat else stage
     perm = [(i, (i + 1) % S) for i in range(S)]
@@ -141,7 +157,10 @@ def pipeline_apply(layer_fn: Callable[..., jax.Array],
             inject = jax.lax.dynamic_index_in_dim(
                 x_loc, jnp.minimum(t, M - 1), axis=0, keepdims=False)
             act = jnp.where(s == 0, inject, act)
-            y = stage_fn(local_layers, act, ex)
+            # the microbatch flowing through stage s at tick t (negative
+            # or stale on bubble ticks — those outputs are discarded)
+            mb = jnp.asarray(t - s, jnp.int32)
+            y = stage_fn(local_layers, act, ex, mb)
             widx = jnp.where(t - (S - 1) >= 0, t - (S - 1), M)
             out = jax.lax.dynamic_update_index_in_dim(out, y, widx, 0)
             if S > 1:

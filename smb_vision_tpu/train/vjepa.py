@@ -130,10 +130,6 @@ def make_pipelined_vjepa_workload(config: VJEPA2Config, *,
     )
     from smb_vision_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
-    if config.drop_path_rate > 0:
-        raise ValueError("pipelined V-JEPA supports drop_path_rate == 0 "
-                         "only; unset it (stacked layers share one Block "
-                         "config)")
     if config.sequence_parallel:
         raise ValueError("pipeline parallelism composes with the data "
                          "axis, not sequence parallelism; unset "
@@ -161,12 +157,18 @@ def make_pipelined_vjepa_workload(config: VJEPA2Config, *,
         teacher = jax.tree_util.tree_map(jnp.copy, params)
         return train_state(params, tx.init(params), teacher=teacher)
 
-    def loss_for(params, teacher, px, key, microbatches):
-        tb = gen_mask(key, px.shape[0])
+    def loss_for(params, teacher, px, key, microbatches,
+                 deterministic=False):
+        # mask/droppath key split mirrors the dense loss_for above;
+        # stochastic depth rides the pipeline as stacked per-layer
+        # rates+keys (models/pipelined._pipe_stack_droppath)
+        mask_key, dp_key = jax.random.split(key)
+        tb = gen_mask(mask_key, px.shape[0])
+        dp_rng = None if deterministic else dp_key
         return vjepa2_pipeline_pretrain(
             config, params, teacher, px, tb, mesh=mesh, axis=MODEL_AXIS,
             num_microbatches=microbatches, batch_axis=batch_axis,
-            remat=remat)
+            remat=remat, dp_rng=dp_rng)
 
     def step_fn(state, batch, key):
         teacher = state["teacher"]
@@ -189,7 +191,8 @@ def make_pipelined_vjepa_workload(config: VJEPA2Config, *,
     def eval_fn(state, batch):
         loss = loss_for(state["params"], state["teacher"],
                         batch["pixel_values"], jax.random.PRNGKey(0),
-                        eval_microbatches or num_microbatches)
+                        eval_microbatches or num_microbatches,
+                        deterministic=True)
         return {"loss": loss}
 
     return model, init_fn, step_fn, eval_fn

@@ -343,3 +343,100 @@ def test_pipelined_encoder_layerscale_swiglu(eight_devices):
         enc, p["params"], h, mesh=mesh, num_microbatches=2))(params, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_pipelined_encoder_droppath_matches_layer_loop(eight_devices):
+    """Train-mode stochastic depth through the pipeline (round-3 VERDICT
+    #7): pipelined_encoder(deterministic=False, dp_rng=...) must equal a
+    dense per-layer loop applying the SAME Block with the identical
+    stacked rate/key schedule (rates[i] = rate*i/(L-1), key =
+    fold_in(split(dp_rng)[i], microbatch)) — proving the scan/ppermute/
+    stacking machinery preserves the computation with DropPath active."""
+    from smb_vision_tpu.models.layers import Block, Encoder
+
+    L, H, M = 4, 16, 2
+    enc = Encoder(num_layers=L, hidden_size=H, num_heads=2,
+                  intermediate_size=32, dtype=jnp.float32,
+                  attn_impl="xla", drop_path_rate=0.5)
+    x = jax.random.normal(KEY, (4, 8, H))
+    params = enc.init(KEY, x, deterministic=True)["params"]
+    dp_rng = jax.random.PRNGKey(7)
+
+    mesh = Mesh(np.array(eight_devices[:4]), ("pipe",))
+    out = jax.jit(lambda p, h: pipelined_encoder(
+        enc, p, h, mesh=mesh, num_microbatches=M, deterministic=False,
+        dp_rng=dp_rng))(params, x)
+
+    # reference: dense per-layer loop, same key/rate schedule
+    block = Block(H, 2, 32, dtype=jnp.float32, attn_impl="xla")
+    keys = jax.random.split(dp_rng, L)
+    rates = [0.5 * i / (L - 1) for i in range(L)]
+    mbs = []
+    rows = x.shape[0] // M
+    for mb in range(M):
+        h = x[mb * rows:(mb + 1) * rows]
+        for i in range(L):
+            h = block.apply(
+                {"params": params[f"layer_{i}"]}, h, None, False,
+                jnp.asarray(rates[i], jnp.float32),
+                rngs={"droppath": jax.random.fold_in(keys[i], mb)})
+        mbs.append(h)
+    ref = jnp.concatenate(mbs, axis=0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    # DropPath actually fired: train-mode output differs from eval-mode
+    det = enc.apply({"params": params}, x, deterministic=True)
+    assert float(jnp.abs(out - det).max()) > 1e-3
+    # and dropped residuals are exact: layer-0 rate is 0, later layers
+    # scale kept rows by 1/keep — just assert determinism of the draw
+    out2 = jax.jit(lambda p, h: pipelined_encoder(
+        enc, p, h, mesh=mesh, num_microbatches=M, deterministic=False,
+        dp_rng=dp_rng))(params, x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_pipelined_vjepa_droppath_trains(eight_devices):
+    """V-JEPA pipelined pretraining with drop_path_rate > 0 (previously a
+    hard error): student+predictor run stochastic depth through the
+    stacked layout, the EMA teacher stays deterministic, loss falls, and
+    eval-mode is DropPath-free (bitwise repeatable)."""
+    import dataclasses
+
+    import optax
+
+    from smb_vision_tpu.parallel.mesh import create_mesh
+    from smb_vision_tpu.parallel.sharding import (
+        opt_state_shardings,
+        param_shardings,
+        shard_params,
+    )
+    from smb_vision_tpu.train.vjepa import make_pipelined_vjepa_workload
+
+    cfg = dataclasses.replace(_tiny_vjepa_cfg(), drop_path_rate=0.3)
+    mesh = create_mesh(model=2, devices=eight_devices)
+    _, init_fn, step_fn, eval_fn = make_pipelined_vjepa_workload(
+        cfg, tx=optax.adamw(1e-3), mesh=mesh, num_microbatches=2)
+    with jax.set_mesh(mesh):
+        state = init_fn(KEY)
+    p_sh = param_shardings(state["params"], mesh, policy="pipeline")
+    state["params"] = shard_params(state["params"], p_sh)
+    state["teacher"] = shard_params(
+        state["teacher"],
+        param_shardings(state["teacher"], mesh, policy="pipeline"))
+    state["opt_state"] = jax.device_put(
+        state["opt_state"],
+        opt_state_shardings(state["opt_state"], p_sh, mesh,
+                            params=state["params"]))
+
+    batch = {"pixel_values": jax.random.normal(KEY, (8, 16, 1, 32, 32))}
+    step = jax.jit(step_fn, donate_argnums=(0,))
+    losses = []
+    with jax.set_mesh(mesh):
+        for _ in range(4):
+            state, metrics = step(state, batch, jax.random.PRNGKey(100))
+            losses.append(float(metrics["loss"]))
+        ev1 = eval_fn(state, batch)
+        ev2 = eval_fn(state, batch)
+    assert all(np.isfinite(v) for v in losses), losses
+    assert losses[-1] < losses[0], losses
+    assert float(ev1["loss"]) == float(ev2["loss"])
