@@ -10,6 +10,11 @@
   Torch Linear stores (out, in); flax Dense kernels are (in, out) -> maps
   transpose. Conv3d kernels keep the HF layout (our patch_embed consumes
   (out, in, kt, kh, kw) directly, ops/patches.py).
+- `resolve_checkpoint_source` / `convert_hf_auto`: hub interop — an
+  'org/name' repo id downloads via huggingface_hub (gated import) and
+  HF-schema checkpoints are family-detected and converted, so
+  `--model_name_or_path standardmodelbio/smb-vision-base-20250122` works
+  like the reference's from_pretrained (run_inference.py:70).
 """
 
 from __future__ import annotations
@@ -44,12 +49,116 @@ def _name_variants(key: str):
             yield tag + key[len("params."):]
 
 
+def resolve_checkpoint_source(name_or_path: str) -> str:
+    """Local path passthrough; an 'org/name' HuggingFace hub repo id
+    downloads to the local HF cache and resolves to the snapshot
+    directory (the reference pulls published checkpoints straight from
+    the hub, run_inference.py:70 `from_pretrained("standardmodelbio/
+    smb-vision-base-20250122")`). huggingface_hub is a gated import —
+    zero-egress environments get an actionable error instead of a
+    network hang."""
+    import os
+    import re
+
+    if os.path.exists(name_or_path):
+        return name_or_path
+    if re.fullmatch(r"[\w.\-]+/[\w.\-]+", name_or_path):
+        try:
+            from huggingface_hub import snapshot_download
+        except ImportError as e:
+            raise ImportError(
+                f"'{name_or_path}' is not a local path; to pull it as a "
+                "HuggingFace hub repo id install huggingface_hub "
+                "(pip install huggingface_hub), or pass a local "
+                "checkpoint path") from e
+        logger.info("downloading hub checkpoint %s", name_or_path)
+        return snapshot_download(
+            name_or_path,
+            allow_patterns=["*.safetensors", "*.bin", "*.json"])
+    raise FileNotFoundError(
+        f"{name_or_path}: not a local path and not an 'org/name' hub "
+        "repo id")
+
+
+def _layer_count(flat: Dict[str, np.ndarray], pattern: str) -> int:
+    import re
+
+    rx = re.compile(pattern)
+    idx = [int(m.group(1)) for k in flat for m in [rx.search(k)] if m]
+    return 1 + max(idx) if idx else 0
+
+
+def convert_hf_auto(flat: Dict[str, np.ndarray]) -> Dict:
+    """Detect the model family of a flat HF torch state dict by its key
+    schema and dispatch to the matching convert_hf_* with inferred layer
+    counts — the autoload path behind hub repo ids (load_backbone_into)."""
+    keys = flat.keys()
+    has = lambda frag: any(frag in k for k in keys)  # noqa: E731
+    if (has("predictor.") or has("patch_embeddings.proj.")
+            or has("patch_embeddings.proj_3d.")):
+        return convert_hf_vjepa2(
+            flat, _layer_count(flat, r"encoder\.layer\.(\d+)\."),
+            _layer_count(flat, r"predictor\.layer\.(\d+)\."))
+    if has("vision_model.") or has("embeddings.patch_embedding.weight"):
+        return convert_hf_siglip(
+            flat, _layer_count(flat, r"encoder\.layers?\.(\d+)\."))
+    if has("embeddings.cls_token"):
+        n = _layer_count(flat, r"encoder\.layer\.(\d+)\.")
+        proj = next((k for k in keys
+                     if k.endswith("patch_embeddings.projection.weight")),
+                    None)
+        if proj is not None and flat[proj].ndim == 4:
+            raise ValueError(
+                "2D DINOv2 checkpoint: depth inflation needs the target "
+                "geometry — call convert_hf_dinov2(flat, num_layers, "
+                "depth_patch=..., depth_grid=...) directly")
+        return convert_hf_dinov2(flat, n)
+    if has("embeddings.patch_embeddings.projection.weight"):
+        return convert_hf_videomae(
+            flat, _layer_count(flat, r"encoder\.layer\.(\d+)\."),
+            _layer_count(flat, r"decoder\.decoder_layers\.(\d+)\."))
+    raise ValueError(
+        "unrecognised HF checkpoint schema (no VideoMAE/VJEPA2/DINOv2/"
+        f"SigLIP markers; first keys: {list(keys)[:3]})")
+
+
+def _peek_flat_keys(path: str):
+    """Key names of a checkpoint file without materialising tensors
+    (safetensors header read; torch .bin falls back to a full load)."""
+    from pathlib import Path
+
+    p = Path(path)
+    if p.suffix == ".safetensors":
+        from safetensors import safe_open
+
+        with safe_open(str(p), framework="numpy") as f:
+            return list(f.keys())
+    return list(load_hf_checkpoint_numpy(str(p)).keys())
+
+
 def load_backbone_into(params, checkpoint_path: str, *,
                        require_match: bool = True):
     """Copy every param from `checkpoint_path` whose (wrapper-normalised)
-    flattened name and shape match into `params`."""
+    flattened name and shape match into `params`.
+
+    checkpoint_path may be: this framework's safetensors export (file),
+    an HF checkpoint file/directory (torch key schema — converted via
+    convert_hf_auto), or an 'org/name' hub repo id (downloaded first,
+    resolve_checkpoint_source)."""
+    import os
+
+    checkpoint_path = resolve_checkpoint_source(checkpoint_path)
     target = flatten_params(params)
-    source = flatten_params(load_params_safetensors(checkpoint_path))
+    if os.path.isdir(checkpoint_path) or not any(
+            k.startswith("params.")
+            for k in _peek_flat_keys(checkpoint_path)):
+        flat = load_hf_checkpoint_numpy(checkpoint_path)
+        if any(k.startswith("params.") for k in flat):
+            source = flat           # our export, sharded/dir layout
+        else:
+            source = flatten_params(convert_hf_auto(flat))
+    else:
+        source = flatten_params(load_params_safetensors(checkpoint_path))
     loaded, skipped = 0, []
     for k, v in source.items():
         hit = None
