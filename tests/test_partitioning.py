@@ -156,3 +156,30 @@ def test_mlp_block_keeps_megatron_tp_split(mesh):
     scale = float(jnp.abs(ref.astype(jnp.float32)).max())
     assert float(jnp.abs(y.astype(jnp.float32)
                          - ref.astype(jnp.float32)).max()) / scale < 1e-2
+
+
+def test_mlp_unmappable_shard_falls_back_per_shard(mesh):
+    """Round-4 adversarial review (VERDICT #9): a globally-mappable row
+    count whose PER-SHARD slice does not map onto the kernel (1536/8 =
+    192 rows, not a 128-multiple) must stay partitioned — the wrapped
+    local fn falls back to the XLA chain per shard (ops/mlp.py
+    _padded_plan -> None) with ZERO all-gathers and XLA-class numerics,
+    never a replicated gather or a crash."""
+    M, K, F = 1536, 256, 512
+    x = _mk(0, (M, K)).astype(jnp.bfloat16)
+    w1, b1 = _mk(1, (K, F)), _mk(2, (F,)) * 0.1
+    w2, b2 = _mk(3, (F, K)), _mk(4, (K,)) * 0.1
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+
+    f = jax.jit(lambda x, *a: mlp_forward(x, *a, impl="pallas",
+                                          interpret=True))
+    hlo = f.lower(xs, w1, b1, w2, b2).compile().as_text()
+    assert hlo.count("all-gather") == 0
+    y = f(xs, w1, b1, w2, b2)
+    assert y.sharding.spec[0] == "data"
+    ref = jax.jit(lambda x, *a: mlp_forward(x, *a, impl="xla"))(
+        x, w1, b1, w2, b2)
+    # per-shard XLA fallback == the XLA chain, up to bf16 reduction order
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), np.asarray(ref, np.float32),
+        rtol=0.05, atol=0.5)

@@ -174,3 +174,53 @@ def test_embed_malformed_bodies(server):
     assert status == 400
     status, out = _request(srv, "POST", "/embed", {"images": paths[0]})
     assert status == 200 and out["shape"][0] == 1
+
+
+def test_embed_concurrent_overlapping_requests(server):
+    """Round-4 adversarial review (VERDICT #9): overlapping requests —
+    mixed single/multi-volume embeds (which pad+chunk and interleave
+    their per-chunk device dispatches) plus health polls from 12 threads
+    at once. Every response must be 200, every embedding must equal the
+    serial answer for the same volume (the dispatch lock may interleave
+    chunks of different requests but never mix their data), and the
+    request counter must account every volume exactly once."""
+    import concurrent.futures
+
+    srv, paths = server
+    base = _request(srv, "POST", "/embed", {"image": paths[0]})[1]
+    base1 = _request(srv, "POST", "/embed", {"image": paths[1]})[1]
+    served0 = _request(srv, "GET", "/healthz")[1]["requests_served"]
+
+    jobs = []
+    for i in range(12):
+        if i % 3 == 0:
+            jobs.append(("POST", "/embed", {"images": [paths[1], paths[0],
+                                                       paths[2]]}))
+        elif i % 3 == 1:
+            jobs.append(("POST", "/embed", {"image": paths[i % 2]}))
+        else:
+            jobs.append(("GET", "/healthz", None))
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=12) as ex:
+        results = list(ex.map(lambda j: _request(srv, *j), jobs))
+
+    n_vols = 0
+    for (method, path, body), (status, out) in zip(jobs, results):
+        assert status == 200, (path, out)
+        if path == "/healthz":
+            assert out["status"] == "ok"
+            continue
+        n_vols += len(out["embeddings"])
+        if body.get("image") == paths[0] or (
+                body.get("images") and body["images"][1] == paths[0]):
+            idx = 0 if "image" in body else 1
+            got = out["embeddings"][idx] if "images" in body \
+                else out["embeddings"][0]
+            np.testing.assert_allclose(got, base["embeddings"][0],
+                                       rtol=1e-5, atol=1e-6)
+        if body.get("image") == paths[1]:
+            np.testing.assert_allclose(out["embeddings"][0],
+                                       base1["embeddings"][0],
+                                       rtol=1e-5, atol=1e-6)
+    served1 = _request(srv, "GET", "/healthz")[1]["requests_served"]
+    assert served1 - served0 == n_vols
