@@ -62,7 +62,13 @@ def resolve_checkpoint_source(name_or_path: str) -> str:
 
     if os.path.exists(name_or_path):
         return name_or_path
-    if re.fullmatch(r"[\w.\-]+/[\w.\-]+", name_or_path):
+    # a checkpoint-file suffix means a local path that is simply missing
+    # — never reroute it to a (network-hanging, in zero-egress envs) hub
+    # lookup; repo ids are bare 'org/name'
+    looks_like_file = name_or_path.endswith(
+        (".safetensors", ".bin", ".pt", ".pth", ".json"))
+    if (not looks_like_file
+            and re.fullmatch(r"[\w.\-]+/[\w.\-]+", name_or_path)):
         try:
             from huggingface_hub import snapshot_download
         except ImportError as e:
@@ -72,9 +78,15 @@ def resolve_checkpoint_source(name_or_path: str) -> str:
                 "(pip install huggingface_hub), or pass a local "
                 "checkpoint path") from e
         logger.info("downloading hub checkpoint %s", name_or_path)
-        return snapshot_download(
-            name_or_path,
-            allow_patterns=["*.safetensors", "*.bin", "*.json"])
+        try:
+            return snapshot_download(
+                name_or_path,
+                allow_patterns=["*.safetensors", "*.bin", "*.json"])
+        except Exception as e:
+            raise FileNotFoundError(
+                f"{name_or_path}: no such local path, and resolving it "
+                f"as a hub repo id failed ({type(e).__name__}: {e})"
+            ) from e
     raise FileNotFoundError(
         f"{name_or_path}: not a local path and not an 'org/name' hub "
         "repo id")

@@ -38,6 +38,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# NOTE: this module deliberately mirrors ops/mlp.py's planning/padding/
+# fallback scaffolding (_padded_plan, block picking, VMEM budgeting,
+# f32-stats LN, row-padding custom-VJP wrapper) rather than sharing it —
+# the estimators differ per kernel (3 resident weights here vs 2-3
+# streamed there) and the budgets are tuned independently (14 MiB here:
+# the resident-QKV triple leaves less headroom than mlp.py's 15 MiB).
+# A fix to the padding rule or the OOB-row sanitization invariant
+# (CLAUDE.md) must be applied to BOTH files.
 _VMEM_BUDGET = 14 * 1024 * 1024
 
 

@@ -45,6 +45,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 _INVSQRT2 = 0.7071067811865476
 # v5e scoped-vmem limit is 16 MB; plan against 15 to leave Mosaic slack
+# ops/attn_glue.py mirrors this file's planning/padding/fallback
+# scaffolding with its own estimator and a tighter 14 MiB budget —
+# padding-rule or OOB-sanitization fixes must land in BOTH files.
 _VMEM_BUDGET = 15 * 1024 * 1024
 
 

@@ -122,10 +122,11 @@ def pipeline_apply(layer_fn: Callable[..., jax.Array],
         out, _ = jax.lax.scan(one, act, local_layers)
         return out
 
-    if not with_mb_index:
-        # early layer_fn signature check (skipped for with_mb_index:
-        # those layer_fns may call lax.axis_index, which is unbound
-        # outside the shard_map below — XLA still shape-checks inside)
+    if not (with_mb_index and batch_axis is not None):
+        # early layer_fn signature check. Skipped only when a
+        # with_mb_index layer_fn may call lax.axis_index(batch_axis),
+        # which is unbound outside the shard_map below — XLA still
+        # shape-checks inside.
         extra_sds = jax.tree_util.tree_map(
             lambda leaf: jax.ShapeDtypeStruct(jnp.shape(leaf),
                                               jnp.result_type(leaf)), extra)

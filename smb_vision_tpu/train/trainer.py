@@ -521,7 +521,14 @@ class Trainer:
                 # mark real vs padded rows for batch-level nonlinear losses
                 # (Cox partial likelihood: padded rows must leave the risk
                 # sets — count weighting alone cannot correct that). Added
-                # on EVERY batch so the eval_fn's jit signature is stable.
+                # on EVERY batch so the eval_fn's jit signature is stable;
+                # eval_fns that don't need it must tolerate the extra key
+                # (all in-repo workloads pick keys explicitly).
+                if "valid_mask" in batch:
+                    raise ValueError(
+                        "eval batches must not carry a 'valid_mask' "
+                        "column: the Trainer injects its own padding mask "
+                        "under that name (rename the dataset column)")
                 batch = dict(batch)
                 batch["valid_mask"] = np.concatenate(
                     [np.ones(n, np.float32), np.zeros(tb - n, np.float32)])

@@ -94,11 +94,27 @@ def test_hub_repo_id_mocked_download(tmp_path, monkeypatch):
         np.asarray(model.apply(params, px)[0]), rtol=1e-6, atol=1e-6)
 
 
-def test_bad_source_rejected():
+def test_bad_source_rejected(monkeypatch):
     with pytest.raises(FileNotFoundError, match="hub"):
         resolve_checkpoint_source("/no/such/checkpoint.safetensors")
     with pytest.raises(FileNotFoundError, match="hub"):
         resolve_checkpoint_source("not-a-repo-id")
+    # a MISSING local path with a checkpoint-file suffix must never be
+    # rerouted to a hub lookup (network hang in zero-egress envs)
+    fake = types.ModuleType("huggingface_hub")
+
+    def boom(*a, **k):
+        raise AssertionError("hub lookup attempted for a file path")
+    fake.snapshot_download = boom
+    monkeypatch.setitem(sys.modules, "huggingface_hub", fake)
+    with pytest.raises(FileNotFoundError, match="hub"):
+        resolve_checkpoint_source("outputs/best.safetensors")
+    # a repo-id-shaped source whose download fails surfaces BOTH readings
+    def down(*a, **k):
+        raise RuntimeError("401 repo not found")
+    fake.snapshot_download = down
+    with pytest.raises(FileNotFoundError, match="no such local path"):
+        resolve_checkpoint_source("outputs/best")
 
 
 def test_convert_hf_auto_detects_families():
