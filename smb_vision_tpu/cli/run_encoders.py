@@ -39,6 +39,11 @@ class EncoderArguments:
     # (models/siglip.py); "torch" runs the HF model on the host
     siglip_backend: str = field(default="jax", metadata={
         "help": "jax | torch"})
+    # merlin only: "jax" runs the first-party inflated-3D resnet on TPU
+    # (models/resnet3d.py, needs --checkpoint); "torch" runs the external
+    # `merlin` package on the host
+    merlin_backend: str = field(default="jax", metadata={
+        "help": "jax | torch"})
 
 
 def main(argv=None):
@@ -69,8 +74,15 @@ def main(argv=None):
     elif args.encoder == "merlin":
         from smb_vision_tpu.inference.encoders import MerlinEncoder
 
+        if args.merlin_backend == "jax" and not args.checkpoint:
+            raise SystemExit(
+                "--checkpoint is required for merlin with the jax "
+                "backend: pass the local Merlin image-tower state dict "
+                "(.pt/.safetensors); --merlin_backend torch uses the "
+                "external `merlin` package instead")
         enc = MerlinEncoder(model_id=args.model_id or "merlin",
-                            checkpoint=args.checkpoint)
+                            checkpoint=args.checkpoint,
+                            backend=args.merlin_backend)
     else:
         raise SystemExit(f"unknown encoder {args.encoder}")
 

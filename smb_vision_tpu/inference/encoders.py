@@ -143,36 +143,107 @@ class SiglipEncoder(BaseEncoder):
 
 class MerlinEncoder(BaseEncoder):
     """Merlin CT foundation model (reference run_merlin.py — whose imports
-    were broken in the reference repo). Requires the external `merlin`
-    package; the dataset path reuses this framework's CT pipeline."""
+    were broken in the reference repo; its forward returns (batch, tokens,
+    dim) image embeddings, run_merlin.py:45-48).
+
+    backend="jax" (default) runs the tower as the first-party flax
+    inflated-3D ResNet (models/resnet3d.py) on the TPU compute path —
+    pass `checkpoint` pointing at the Merlin image-encoder torch state
+    dict (.pt/.safetensors; the `encode_image.i3_resnet.*` nesting is
+    auto-detected and the architecture is derived from the weight shapes,
+    models/convert.py::resnet3d_config_from_state_dict).
+    backend="torch" keeps the external `merlin` package path on host.
+    The dataset path reuses this framework's CT pipeline either way."""
 
     def __init__(self, model_id: str = "merlin",
-                 checkpoint: Optional[str] = None):
+                 checkpoint: Optional[str] = None,
+                 backend: str = "jax", dtype: str = "bfloat16",
+                 target_size=None):
+        if backend not in ("jax", "torch"):
+            raise ValueError(f"unknown backend {backend!r}; "
+                             "valid: 'jax', 'torch'")
         self.model_id = model_id
         self.checkpoint = checkpoint
+        self.backend = backend
+        self.dtype = dtype
+        # the tower is fully convolutional — any grid runs; None keeps the
+        # merlin production geometry (224, 224, 160)
+        self.target_size = target_size
         self._model = None
+        self._encode = None
 
     def create_dataset(self, items: List[Dict]):
         from smb_vision_tpu.data.dataset import CTDataset
 
         norm = [{"image": it.get("image_path", it.get("image")), **it}
                 for it in items]
-        return CTDataset(items=norm, pipeline="merlin")
+        pipe = "merlin"
+        if self.target_size is not None:
+            from smb_vision_tpu.data.preprocess import (
+                CT_PIPELINES,
+                PreprocessConfig,
+            )
+
+            base = CT_PIPELINES["merlin"]
+            pipe = PreprocessConfig(
+                target_spacing=base.target_spacing,
+                target_size=tuple(self.target_size), layout=base.layout)
+        return CTDataset(items=norm, pipeline=pipe)
 
     def setup_model(self):
-        try:
-            import merlin  # type: ignore
-        except ImportError as e:
-            raise RuntimeError(
-                "MerlinEncoder needs the external `merlin` package "
-                "(https://github.com/StanfordMIMI/Merlin); install it or "
-                "use the first-party SmbVisionEncoder") from e
-        self._model = merlin.models.Merlin()
-        self._model.eval()
+        if self.backend == "torch":
+            try:
+                import merlin  # type: ignore
+            except ImportError as e:
+                raise RuntimeError(
+                    "MerlinEncoder(backend='torch') needs the external "
+                    "`merlin` package (https://github.com/StanfordMIMI/"
+                    "Merlin); install it, or use backend='jax' with a "
+                    "local image-encoder checkpoint") from e
+            self._model = merlin.models.Merlin()
+            self._model.eval()
+            return
+
+        if not self.checkpoint:
+            raise ValueError(
+                "MerlinEncoder(backend='jax') needs `checkpoint`: a local "
+                "torch state dict (.pt/.safetensors) holding the Merlin "
+                "image tower (i3d resnet); zero-egress environments "
+                "cannot pull it from the hub")
+        import jax
+        import jax.numpy as jnp
+
+        from smb_vision_tpu.models.convert import (
+            convert_torch_resnet3d,
+            load_hf_checkpoint_numpy,
+            resnet3d_config_from_state_dict,
+        )
+        from smb_vision_tpu.models.resnet3d import ResNet3D
+
+        flat = load_hf_checkpoint_numpy(self.checkpoint)
+        # embedding surface: tower only, never the contrastive/classifier
+        # head (reference ImageEmbedding=True skips it)
+        cfg = resnet3d_config_from_state_dict(flat, num_labels=0,
+                                              dtype=self.dtype)
+        params = convert_torch_resnet3d(flat, cfg)
+        model = ResNet3D(cfg)
+
+        @jax.jit
+        def encode(p, px):
+            tokens, _ = model.apply(p, px)
+            return tokens.astype(jnp.float32)
+
+        self._params = jax.device_put(params)
+        self._encode = encode
 
     def generate_embedding(self, batch: np.ndarray) -> np.ndarray:
-        import torch
+        if self.backend == "torch":
+            import torch
 
-        with torch.inference_mode():
-            out = self._model(torch.from_numpy(batch))
-        return out[0].numpy() if isinstance(out, tuple) else out.numpy()
+            with torch.inference_mode():
+                out = self._model(torch.from_numpy(batch))
+            return out[0].numpy() if isinstance(out, tuple) \
+                else out.numpy()
+        import jax.numpy as jnp
+
+        return np.asarray(self._encode(self._params, jnp.asarray(batch)))

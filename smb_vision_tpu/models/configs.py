@@ -326,3 +326,59 @@ class Dinov2Config(BaseConfig):
     def seq_len(self) -> int:
         h, w, d = self.grid
         return h * w * d  # patches; +1 CLS handled by the model
+
+
+@dataclass
+class ResNet3DConfig(BaseConfig):
+    """Inflated-3D (I3D) ResNet — the Merlin CT foundation model's image
+    tower is an inflated ResNet-152 (reference src/encoders/run_merlin.py:24
+    loads `Merlin(ImageEmbedding=True)`, whose forward returns a
+    (batch, tokens, dim) embedding per run_merlin.py:45-48). The reference
+    outsources the architecture to the external `merlin` package (its own
+    import of it was broken, SURVEY §2 item 16); here the tower is a
+    first-party flax model on the TPU compute path.
+
+    Geometry convention (matches torch Conv3d semantics so torch
+    checkpoints convert weight-for-weight): the three volume axes are
+    (a0, a1, a2) in checkpoint order — for the merlin CT pipeline that is
+    (H, W, D) = (224, 224, 160), layout "CHWD". Per-element temporal
+    (axis-0) kernel sizes are NOT fixed here: they are read from the
+    checkpoint weight shapes at conversion time
+    (models/convert.py::resnet3d_config_from_state_dict). Axis-0 strides
+    cannot be read from weights, so they are explicit config fields with
+    the standard I3D-inflation defaults (stem/pool stride follows the
+    spatial stride; bottleneck conv2 axis-0 stride mirrors its spatial
+    stride)."""
+
+    model_type: str = "resnet3d"
+
+    num_channels: int = 1
+    # bottleneck blocks per stage; (3, 8, 36, 3) == ResNet-152
+    stage_sizes: Tuple[int, ...] = (3, 8, 36, 3)
+    base_width: int = 64            # stem channels; stage c = base * 2**i
+    expansion: int = 4              # bottleneck out = width * expansion
+
+    # stem: conv (stem_kernel_t, 7, 7) stride (stem_stride_t, 2, 2),
+    # torch-style symmetric padding (k//2 per axis), then max-pool
+    # (pool_kernel_t, 3, 3) stride (pool_stride_t, 2, 2) pad (k_t//2, 1, 1)
+    stem_kernel_t: int = 7
+    stem_stride_t: int = 2
+    pool_kernel_t: int = 3
+    pool_stride_t: int = 2
+    # bottleneck conv2 axis-0 kernel (the I3D "inflated" 3x3); read from
+    # checkpoints on conversion, default 3
+    conv2_kernel_t: int = 3
+    # whether a stage's downsampling stride also applies to axis 0
+    # (hassony2-style I3D inflation: time_stride = spatial_stride)
+    temporal_downsample: bool = True
+
+    bn_eps: float = 1e-5
+
+    num_labels: int = 0             # 0 = no classifier head (encoder)
+
+    dtype: str = "bfloat16"
+
+    @property
+    def hidden_size(self) -> int:
+        return self.base_width * (2 ** (len(self.stage_sizes) - 1)) \
+            * self.expansion

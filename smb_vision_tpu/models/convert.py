@@ -869,3 +869,162 @@ def load_hf_checkpoint_numpy(path: str) -> Dict[str, np.ndarray]:
                                weights_only=True)
             out.update({k: v.numpy() for k, v in state.items()})
     return out
+
+
+# ---------------------------------------------------------------------------
+# Inflated-3D ResNet (Merlin image tower) — models/resnet3d.py
+# ---------------------------------------------------------------------------
+
+# torch module paths the Merlin checkpoint nests its I3D ResNet under
+# (the reference's tower comes from the external `merlin` package,
+# run_merlin.py:24: Merlin(ImageEmbedding=True)); bare torchvision-style
+# state dicts have no prefix.
+_RESNET3D_PREFIXES = ("", "module.", "model.", "i3_resnet.",
+                      "encode_image.i3_resnet.",
+                      "model.encode_image.i3_resnet.",
+                      "image_encoder.i3_resnet.")
+
+
+def _resnet3d_prefix(flat: Dict[str, np.ndarray]) -> str:
+    """Find the module prefix under which a torch-schema (i3d-)resnet
+    lives: the one whose `conv1.weight` is a 5D conv kernel. Checked
+    longest-first so a nested tower wins over a same-named outer key."""
+    for p in sorted(_RESNET3D_PREFIXES, key=len, reverse=True):
+        w = flat.get(p + "conv1.weight")
+        if w is not None and np.ndim(w) == 5:
+            return p
+    raise ValueError(
+        "no inflated-3D resnet found: no '<prefix>conv1.weight' 5D kernel "
+        f"under any of {_RESNET3D_PREFIXES}")
+
+
+def resnet3d_config_from_state_dict(flat: Dict[str, np.ndarray],
+                                    **overrides):
+    """Derive a ResNet3DConfig from torch state-dict shapes: channel
+    counts, stage depths and the per-element axis-0 kernel sizes are all
+    visible in the weights. Axis-0 *strides* are not — they stay at the
+    I3D-recipe defaults unless overridden (ResNet3DConfig docstring)."""
+    from smb_vision_tpu.models.configs import ResNet3DConfig
+
+    import re
+
+    p = _resnet3d_prefix(flat)
+    conv1 = np.asarray(flat[p + "conv1.weight"])
+    stage_sizes = []
+    for i in range(1, 100):
+        n = _layer_count(
+            flat, re.escape(p) + rf"layer{i}\.(\d+)\.conv1\.weight")
+        if n == 0:
+            break
+        stage_sizes.append(n)
+    if not stage_sizes:
+        raise ValueError(f"no layer1.*.conv1.weight under prefix {p!r}")
+    c3 = np.asarray(flat[p + "layer1.0.conv3.weight"])
+    conv2_ts = {
+        np.asarray(flat[k]).shape[2]
+        for k in flat if k.startswith(p) and ".conv2.weight" in k}
+    if len(conv2_ts) != 1:
+        raise ValueError(
+            f"non-uniform bottleneck conv2 axis-0 kernels {conv2_ts}: "
+            "this tower family inflates uniformly; pass an explicit "
+            "config for exotic checkpoints")
+    fc = flat.get(p + "fc.weight")
+    cfg = ResNet3DConfig(
+        num_channels=int(conv1.shape[1]),
+        base_width=int(conv1.shape[0]),
+        stage_sizes=tuple(stage_sizes),
+        expansion=int(c3.shape[0]) // int(c3.shape[1]),
+        stem_kernel_t=int(conv1.shape[2]),
+        conv2_kernel_t=int(conv2_ts.pop()),
+        num_labels=int(np.asarray(fc).shape[0]) if fc is not None else 0,
+    )
+    cfg.update(overrides)
+    return cfg
+
+
+def _conv3d_t(w) -> np.ndarray:
+    # torch Conv3d (O, I, k0, k1, k2) -> flax nn.Conv (k0, k1, k2, I, O)
+    return np.transpose(np.asarray(w), (2, 3, 4, 1, 0))
+
+
+def convert_torch_resnet3d(flat: Dict[str, np.ndarray], config=None
+                           ) -> Dict:
+    """torch-schema inflated-3D resnet state dict (torchvision key names,
+    any of the Merlin module prefixes) -> models/resnet3d.py pytree.
+    Every expected parameter must be present — a partial tower would
+    silently embed garbage."""
+    if config is None:
+        config = resnet3d_config_from_state_dict(flat)
+    p = _resnet3d_prefix(flat)
+    out: Dict[str, np.ndarray] = {}
+
+    def bn(src, dst):
+        for a, b in (("weight", "scale"), ("bias", "bias"),
+                     ("running_mean", "mean"), ("running_var", "var")):
+            k = f"{p}{src}.{a}"
+            if k not in flat:
+                raise KeyError(f"missing {k}")
+            out[f"params.{dst}.{b}"] = np.asarray(flat[k],
+                                                  dtype=np.float32)
+
+    def conv(src, dst):
+        k = f"{p}{src}.weight"
+        if k not in flat:
+            raise KeyError(f"missing {k}")
+        out[f"params.{dst}.kernel"] = _conv3d_t(flat[k])
+
+    conv("conv1", "stem.conv")
+    bn("bn1", "stem.bn")
+    for i, n in enumerate(config.stage_sizes):
+        for j in range(n):
+            src = f"layer{i + 1}.{j}"
+            dst = f"layer{i + 1}_{j}"
+            for c in (1, 2, 3):
+                conv(f"{src}.conv{c}", f"{dst}.cb{c}.conv")
+                bn(f"{src}.bn{c}", f"{dst}.cb{c}.bn")
+            if j == 0:
+                conv(f"{src}.downsample.0", f"{dst}.downsample.conv")
+                bn(f"{src}.downsample.1", f"{dst}.downsample.bn")
+    if config.num_labels > 0:
+        out["params.head.kernel"] = _t(flat[p + "fc.weight"])
+        out["params.head.bias"] = np.asarray(flat[p + "fc.bias"])
+    return unflatten_params(out)
+
+
+def inflate_resnet2d(flat2d: Dict[str, np.ndarray], *,
+                     stem_kernel_t: int = 7, conv2_kernel_t: int = 3,
+                     mode: str = "center") -> Dict[str, np.ndarray]:
+    """I3D inflation: a torchvision-schema 2D ResNet state dict -> the
+    3D torch-schema dict convert_torch_resnet3d consumes. The stem conv
+    inflates to `stem_kernel_t`, bottleneck conv2 to `conv2_kernel_t`;
+     1x1 convs (bottleneck conv1/conv3, downsample) stay axis-0 size 1 —
+    the standard inflation recipe (Merlin's tower is built this way from
+    torchvision resnet152).
+
+    mode="center": all weight in the center axis-0 slice (a fresh 3D
+    network computes EXACTLY the 2D response independently per slice —
+    the property tests/test_resnet3d.py asserts). mode="average": weight
+    replicated /= k_t (the I3D paper's boring-video-preserving init,
+    equal to 2D on axis-0-constant inputs away from the zero-padded
+    borders)."""
+    if mode not in ("center", "average"):
+        raise ValueError(f"unknown inflation mode {mode!r}")
+    out: Dict[str, np.ndarray] = {}
+    for k, v in flat2d.items():
+        v = np.asarray(v)
+        if k.endswith(".weight") and v.ndim == 4:
+            if k.endswith("conv1.weight") and "layer" not in k:
+                kt = stem_kernel_t
+            elif ".conv2.weight" in k:
+                kt = conv2_kernel_t
+            else:
+                kt = 1
+            w3 = np.zeros(v.shape[:2] + (kt,) + v.shape[2:], v.dtype)
+            if mode == "center":
+                w3[:, :, kt // 2] = v
+            else:
+                w3[:] = v[:, :, None] / kt
+            out[k] = w3
+        else:
+            out[k] = v
+    return out
