@@ -1028,3 +1028,41 @@ def inflate_resnet2d(flat2d: Dict[str, np.ndarray], *,
         else:
             out[k] = v
     return out
+
+
+def export_torch_resnet3d(params, config) -> Dict[str, np.ndarray]:
+    """Inverse of convert_torch_resnet3d: models/resnet3d.py pytree ->
+    bare torchvision-schema 3D state dict (no module prefix — the ""
+    entry of _RESNET3D_PREFIXES, so the output round-trips through
+    convert_torch_resnet3d). Conv kernels transpose back to torch
+    (O, I, k0, k1, k2); frozen-BN stats map back to weight/bias/
+    running_mean/running_var."""
+    flat = flatten_params(params)
+    out: Dict[str, np.ndarray] = {}
+
+    def conv(src, dst):
+        out[dst + ".weight"] = np.transpose(
+            np.asarray(flat[f"params.{src}.kernel"]), (4, 3, 0, 1, 2))
+
+    def bn(src, dst):
+        for a, b in (("weight", "scale"), ("bias", "bias"),
+                     ("running_mean", "mean"), ("running_var", "var")):
+            out[f"{dst}.{a}"] = np.asarray(flat[f"params.{src}.{b}"],
+                                           dtype=np.float32)
+
+    conv("stem.conv", "conv1")
+    bn("stem.bn", "bn1")
+    for i, n in enumerate(config.stage_sizes):
+        for j in range(n):
+            src = f"layer{i + 1}_{j}"
+            dst = f"layer{i + 1}.{j}"
+            for c in (1, 2, 3):
+                conv(f"{src}.cb{c}.conv", f"{dst}.conv{c}")
+                bn(f"{src}.cb{c}.bn", f"{dst}.bn{c}")
+            if j == 0:
+                conv(f"{src}.downsample.conv", f"{dst}.downsample.0")
+                bn(f"{src}.downsample.bn", f"{dst}.downsample.1")
+    if config.num_labels > 0:
+        out["fc.weight"] = _t(flat["params.head.kernel"])
+        out["fc.bias"] = np.asarray(flat["params.head.bias"])
+    return out

@@ -383,3 +383,46 @@ def test_merlin_encoder_backend_gates():
         MerlinEncoder(backend="jax").setup_model()
     with pytest.raises(RuntimeError, match="merlin"):
         MerlinEncoder(backend="torch").setup_model()
+
+def test_export_torch_roundtrip(rng):
+    """export_torch_resnet3d output must be consumable BY torch (the
+    torchvision-schema module loads it strict=True) and round-trip
+    through convert_torch_resnet3d bit-exactly."""
+    cfg = ResNet3DConfig(**SMALL, dtype="float32", num_labels=3)
+    model = ResNet3D(cfg)
+    params = jax.jit(model.init)(
+        jax.random.key(0), np.zeros((1, 1, 16, 32, 24), np.float32))
+
+    from smb_vision_tpu.models.convert import export_torch_resnet3d
+
+    sd = export_torch_resnet3d(params, cfg)
+
+    ref = TorchI3ResNet(cfg)
+    ref.fc = tnn.Linear(cfg.hidden_size, 3)
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in sd.items()}, strict=False)
+    assert not unexpected
+    # only torch BN bookkeeping (num_batches_tracked) may be absent
+    assert all("num_batches_tracked" in k for k in missing)
+    ref.eval()
+
+    px = rng.normal(0, 1, (1, 1, 16, 32, 24)).astype(np.float32)
+    with torch.inference_mode():
+        want_tokens = ref(torch.from_numpy(px)).numpy()
+        want_logits = (ref.fc(torch.from_numpy(want_tokens).mean(1))
+                       .numpy())
+    tokens, _, logits = jax.jit(model.apply)(params, px)
+    np.testing.assert_allclose(np.asarray(tokens), want_tokens,
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(logits), want_logits,
+                               rtol=2e-4, atol=2e-4)
+
+    back = convert_torch_resnet3d(sd, cfg)
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = {jax.tree_util.keystr(k): v for k, v
+              in jax.tree_util.tree_leaves_with_path(back)}
+    assert len(flat_a) == len(flat_b)
+    for k, v in flat_a:
+        np.testing.assert_array_equal(np.asarray(v),
+                                      flat_b[jax.tree_util.keystr(k)])
