@@ -44,6 +44,11 @@ class EncoderArguments:
     # `merlin` package on the host
     merlin_backend: str = field(default="jax", metadata={
         "help": "jax | torch"})
+    # merlin only: override the CT pipeline's (a0, a1, a2) resample grid —
+    # the I3D tower is fully convolutional, any grid runs; default keeps
+    # the Merlin production geometry (224, 224, 160)
+    target_size: Optional[str] = field(default=None, metadata={
+        "help": "comma-separated 3 ints, e.g. 224,224,160"})
 
 
 def main(argv=None):
@@ -80,9 +85,18 @@ def main(argv=None):
                 "backend: pass the local Merlin image-tower state dict "
                 "(.pt/.safetensors); --merlin_backend torch uses the "
                 "external `merlin` package instead")
+        target_size = None
+        if args.target_size:
+            target_size = tuple(int(s) for s
+                                in args.target_size.split(","))
+            if len(target_size) != 3:
+                raise SystemExit(
+                    f"--target_size needs 3 comma-separated ints, got "
+                    f"{args.target_size!r}")
         enc = MerlinEncoder(model_id=args.model_id or "merlin",
                             checkpoint=args.checkpoint,
-                            backend=args.merlin_backend)
+                            backend=args.merlin_backend,
+                            target_size=target_size)
     else:
         raise SystemExit(f"unknown encoder {args.encoder}")
 

@@ -426,3 +426,52 @@ def test_export_torch_roundtrip(rng):
     for k, v in flat_a:
         np.testing.assert_array_equal(np.asarray(v),
                                       flat_b[jax.tree_util.keystr(k)])
+
+def test_run_encoders_merlin_cli(tmp_path, rng):
+    """Full zoo CLI path (reference run_merlin.py:50-66 main loop):
+    manifest -> jax I3D tower -> parquet per uid; resume skips processed
+    uids; --checkpoint is required for the jax backend."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    from smb_vision_tpu.cli.run_encoders import main
+    from smb_vision_tpu.data.nifti import save_nifti
+
+    cfg = ResNet3DConfig(**SMALL)
+    ref = TorchI3ResNet(cfg)
+    _randomize_bn(ref, rng)
+    sd = {"encode_image.i3_resnet." + k: v.numpy().copy()
+          for k, v in ref.state_dict().items()}
+    ckpt = tmp_path / "merlin.safetensors"
+    save_file(sd, str(ckpt))
+
+    items = []
+    for uid in ("ct-1", "ct-2", "ct-3"):
+        vol = rng.normal(0, 300, (20, 20, 12)).astype(np.float32)
+        p = tmp_path / f"{uid}.nii.gz"
+        save_nifti(p, vol)
+        items.append({"uid": uid, "image_path": str(p)})
+    manifest = tmp_path / "manifest.json"
+    manifest.write_text(json.dumps({"images": items}))
+
+    out = tmp_path / "emb"
+    argv = ["--encoder", "merlin", "--checkpoint", str(ckpt),
+            "--input_json", str(manifest), "--output_dir", str(out),
+            "--batch_size", "2", "--merlin_backend", "jax",
+            "--target_size", "32,32,24"]
+    main(argv)
+    part = out / "model_id=merlin"
+    files = sorted(f.name for f in part.glob("*.parquet"))
+    assert files == ["ct-1.parquet", "ct-2.parquet", "ct-3.parquet"]
+
+    # resume: a second run must skip all three
+    mtimes = {f: (part / f).stat().st_mtime_ns for f in files}
+    main(argv)
+    assert {f: (part / f).stat().st_mtime_ns for f in files} == mtimes
+
+    with pytest.raises(SystemExit, match="checkpoint"):
+        main(["--encoder", "merlin", "--merlin_backend", "jax",
+              "--input_json", str(manifest)])
+    with pytest.raises(SystemExit, match="target_size"):
+        main(argv[:-1] + ["32,32"])
