@@ -87,8 +87,11 @@ def main(argv=None):
                 "external `merlin` package instead")
         target_size = None
         if args.target_size:
-            target_size = tuple(int(s) for s
-                                in args.target_size.split(","))
+            try:
+                target_size = tuple(int(s) for s
+                                    in args.target_size.split(","))
+            except ValueError:
+                target_size = ()
             if len(target_size) != 3:
                 raise SystemExit(
                     f"--target_size needs 3 comma-separated ints, got "

@@ -179,15 +179,16 @@ class MerlinEncoder(BaseEncoder):
                 for it in items]
         pipe = "merlin"
         if self.target_size is not None:
-            from smb_vision_tpu.data.preprocess import (
-                CT_PIPELINES,
-                PreprocessConfig,
-            )
+            import dataclasses
 
-            base = CT_PIPELINES["merlin"]
-            pipe = PreprocessConfig(
-                target_spacing=base.target_spacing,
-                target_size=tuple(self.target_size), layout=base.layout)
+            from smb_vision_tpu.data.preprocess import CT_PIPELINES
+
+            # replace keeps every OTHER merlin-pipeline field (HU window,
+            # output range, ...) — rebuilding field-by-field would reset
+            # them to generic defaults silently
+            pipe = dataclasses.replace(
+                CT_PIPELINES["merlin"],
+                target_size=tuple(self.target_size))
         return CTDataset(items=norm, pipeline=pipe)
 
     def setup_model(self):

@@ -157,20 +157,24 @@ def load_backbone_into(params, checkpoint_path: str, *,
     an HF checkpoint file/directory (torch key schema — converted via
     convert_hf_auto), or an 'org/name' hub repo id (downloaded first,
     resolve_checkpoint_source)."""
-    import os
+    from pathlib import Path
 
     checkpoint_path = resolve_checkpoint_source(checkpoint_path)
     target = flatten_params(params)
-    if os.path.isdir(checkpoint_path) or not any(
-            k.startswith("params.")
-            for k in _peek_flat_keys(checkpoint_path)):
+    p = Path(checkpoint_path)
+    if not p.is_dir() and p.suffix == ".safetensors" and any(
+            k.startswith("params.") for k in _peek_flat_keys(p)):
+        # our export: the header peek decides without materialising
+        source = flatten_params(load_params_safetensors(checkpoint_path))
+    else:
+        # directory or torch .bin/.pt: one full load, branch on its keys
+        # (a header-only peek is impossible for torch pickles — peeking
+        # then reloading would deserialize a multi-GB checkpoint twice)
         flat = load_hf_checkpoint_numpy(checkpoint_path)
         if any(k.startswith("params.") for k in flat):
             source = flat           # our export, sharded/dir layout
         else:
             source = flatten_params(convert_hf_auto(flat))
-    else:
-        source = flatten_params(load_params_safetensors(checkpoint_path))
     loaded, skipped = 0, []
     for k, v in source.items():
         hit = None

@@ -303,7 +303,7 @@ def videomae_pipeline_pretrain(config, params: dict, pixel_values,
                                mesh: Mesh, axis: str = "model",
                                num_microbatches: int,
                                batch_axis: Optional[str] = None,
-                               remat: bool = True):
+                               remat: bool = True, valid=None):
     """VideoMAEForPreTraining forward (videomae.py:107-184) with the
     encoder AND decoder stacks pipelined over `axis`; params in the
     stacked layout of `to_pipeline_pretrain_params` (each device holds
@@ -394,8 +394,15 @@ def videomae_pipeline_pretrain(config, params: dict, pixel_values,
     if cfg.norm_pix_loss:
         labels = normalize_pixel_targets(labels)
     labels = jax.lax.stop_gradient(labels)
-    loss = jnp.mean(
-        (logits.astype(jnp.float32) - labels.astype(jnp.float32)) ** 2)
+    sq = (logits.astype(jnp.float32) - labels.astype(jnp.float32)) ** 2
+    if valid is None:
+        loss = jnp.mean(sq)
+    else:
+        # trainer eval-padding rows leave the mean (videomae.py
+        # classification_loss docstring)
+        from smb_vision_tpu.models.videomae import row_weighted_mean
+
+        loss = row_weighted_mean(jnp.mean(sq, axis=(1, 2)), valid)
     return {"loss": loss, "logits": logits}
 
 
@@ -480,7 +487,7 @@ def vjepa2_pipeline_pretrain(config, params: dict, teacher: dict,
                              num_microbatches: int,
                              batch_axis: Optional[str] = None,
                              remat: bool = True, mask_index: int = 1,
-                             dp_rng=None):
+                             dp_rng=None, valid=None):
     """V-JEPA2 pretraining loss (train/vjepa.py loss_for, dense
     target_bool formulation of vjepa.py:123-138) with the student
     encoder, EMA-teacher encoder, and predictor stacks all pipelined
@@ -542,4 +549,4 @@ def vjepa2_pipeline_pretrain(config, params: dict, teacher: dict,
     pred = nn.Dense(cfg.hidden_size, dtype=dt,
                     param_dtype=jnp.float32).apply(
         {"params": prd["proj"]}, x)
-    return vjepa_loss(pred, tgt, target_bool)
+    return vjepa_loss(pred, tgt, target_bool, valid=valid)

@@ -39,6 +39,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from smb_vision_tpu.models.configs import ResNet3DConfig
@@ -67,6 +68,12 @@ class FrozenBatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (f,), jnp.float32)
         mean = self.param("mean", nn.initializers.zeros, (f,), jnp.float32)
         var = self.param("var", nn.initializers.ones, (f,), jnp.float32)
+        # FROZEN means frozen: head fine-tuning must not receive gradients
+        # into the affine or the running statistics (torchvision
+        # FrozenBatchNorm semantics — a naive param registration would let
+        # AdamW drift the checkpoint's statistics)
+        scale, bias, mean, var = jax.lax.stop_gradient(
+            (scale, bias, mean, var))
         # fold into one multiply-add (XLA fuses this into the producing
         # conv's epilogue)
         inv = scale / jnp.sqrt(var + self.eps)

@@ -115,7 +115,9 @@ class VideoMAEForPreTraining(nn.Module):
 
     @nn.compact
     def __call__(self, pixel_values, bool_masked_pos, num_masked: int,
-                 deterministic: bool = True):
+                 deterministic: bool = True, valid=None):
+        # valid: optional (B,) 0/1 row weights for the loss — eval-padding
+        # rows must not enter the mean (classification_loss docstring)
         cfg = self.config
         dt = _dtype(cfg)
         b = pixel_values.shape[0]
@@ -185,8 +187,9 @@ class VideoMAEForPreTraining(nn.Module):
             labels = normalize_pixel_targets(labels)
         labels = jax.lax.stop_gradient(labels)
 
-        loss = jnp.mean(
-            (logits.astype(jnp.float32) - labels.astype(jnp.float32)) ** 2)
+        sq = (logits.astype(jnp.float32) - labels.astype(jnp.float32)) ** 2
+        loss = (jnp.mean(sq) if valid is None
+                else row_weighted_mean(jnp.mean(sq, axis=(1, 2)), valid))
         return {"loss": loss, "logits": logits}
 
 
@@ -232,8 +235,13 @@ class VideoMAEForVideoClassification(nn.Module):
 
 
 def classification_loss(logits, labels, num_labels: int,
-                        problem_type: Optional[str]):
-    """problem_type dispatch matching modeling_videomae.py:993-1012."""
+                        problem_type: Optional[str], valid=None):
+    """problem_type dispatch matching modeling_videomae.py:993-1012.
+
+    valid: optional (B,) 0/1 row weights — the Trainer's eval padding
+    duplicates the final batch's last row to keep the compiled shape
+    stable, and those rows must not enter the loss mean (train/trainer.py
+    pad_batch). valid=None keeps the exact unweighted reduction."""
     if problem_type is None:
         problem_type = ("regression" if num_labels == 1 else
                         "single_label_classification"
@@ -243,15 +251,26 @@ def classification_loss(logits, labels, num_labels: int,
     if problem_type == "regression":
         labels = labels.astype(jnp.float32)
         if num_labels == 1:
-            return jnp.mean((logits.squeeze(-1) - labels.squeeze()) ** 2)
-        return jnp.mean((logits - labels) ** 2)
-    if problem_type == "single_label_classification":
+            row = (logits.squeeze(-1) - labels.squeeze()) ** 2
+        else:
+            row = jnp.mean((logits - labels) ** 2, axis=-1)
+    elif problem_type == "single_label_classification":
         logp = jax.nn.log_softmax(logits, axis=-1)
-        return -jnp.mean(jnp.take_along_axis(
-            logp, labels[:, None].astype(jnp.int32), axis=-1))
-    if problem_type == "multi_label_classification":
+        row = -jnp.take_along_axis(
+            logp, labels[:, None].astype(jnp.int32), axis=-1)[:, 0]
+    elif problem_type == "multi_label_classification":
         labels = labels.astype(jnp.float32)
         # BCE-with-logits
-        return jnp.mean(jnp.maximum(logits, 0) - logits * labels +
-                        jnp.log1p(jnp.exp(-jnp.abs(logits))))
-    raise ValueError(f"unknown problem_type {problem_type}")
+        row = jnp.mean(jnp.maximum(logits, 0) - logits * labels +
+                       jnp.log1p(jnp.exp(-jnp.abs(logits))), axis=-1)
+    else:
+        raise ValueError(f"unknown problem_type {problem_type}")
+    return row_weighted_mean(row, valid)
+
+
+def row_weighted_mean(row: jax.Array, valid) -> jax.Array:
+    """Mean of per-row losses over the valid rows (valid=None: all)."""
+    if valid is None:
+        return jnp.mean(row)
+    v = valid.astype(jnp.float32)
+    return jnp.sum(row * v) / jnp.maximum(jnp.sum(v), 1.0)

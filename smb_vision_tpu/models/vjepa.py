@@ -288,13 +288,20 @@ class VJEPA2ForVideoClassification(nn.Module):
 
 
 def vjepa_loss(predictor_dense: jax.Array, teacher_enc: jax.Array,
-               target_bool: jax.Array) -> jax.Array:
+               target_bool: jax.Array, valid=None) -> jax.Array:
     """Masked L1: mean |pred - teacher| over target positions only.
     Equals the reference's L1 over gathered target tokens
     (run_vjepa.py:110-136) for the complement-partition masks used in
-    training."""
+    training.
+
+    valid: optional (B,) 0/1 row weights — eval-padding rows leave both
+    the numerator and the target-count denominator (train/trainer.py
+    pad_batch rationale)."""
     diff = jnp.abs(predictor_dense.astype(jnp.float32) -
                    teacher_enc.astype(jnp.float32))
-    w = target_bool.astype(jnp.float32)[..., None]
+    w = target_bool.astype(jnp.float32)
+    if valid is not None:
+        w = w * valid.astype(jnp.float32)[:, None]
+    w = w[..., None]
     denom = jnp.maximum(jnp.sum(w) * diff.shape[-1], 1.0)
     return jnp.sum(diff * w) / denom

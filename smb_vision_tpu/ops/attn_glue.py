@@ -312,9 +312,18 @@ def _route(impl: str, x, k: int, vmem) -> str:
         return "pallas" if (on_tpu and plan is not None
                             and x.dtype == jnp.bfloat16) else "xla"
     if impl == "pallas" and plan is None:
+        # name the actual blocker: _plan also returns None when the
+        # resident weights exceed the VMEM budget even though the shape
+        # divides cleanly (e.g. hidden sizes past ~1.2k)
+        if m % 128 or k % 128:
+            detail = ("rows (or a 512-padded row count >= 2048) must "
+                      "divide by 128 and the feature dim by 128")
+        else:
+            detail = ("the weights resident in VMEM exceed the "
+                      f"{vmem // (1 << 20)} MiB scoped budget at feature "
+                      f"dim {k} for every row-block size")
         raise ValueError(
-            f"glue impl='pallas' cannot map shape x={x.shape}: rows must "
-            f"divide by 128 and the feature dim by 128")
+            f"glue impl='pallas' cannot map shape x={x.shape}: {detail}")
     return impl
 
 

@@ -132,13 +132,22 @@ def make_classification_workload(model, config, *, task_type: str,
 
     def loss_of(params, batch, deterministic=False, key=None):
         out = _apply(params, batch, deterministic, key)
+        # valid_mask is injected by the trainer's eval padding (absent in
+        # train batches): padded duplicate rows must leave the loss — the
+        # Cox risk sets AND the per-row CE/MSE/BCE means (the final ragged
+        # batch would otherwise over-weight its duplicated last row)
+        valid = batch.get("valid_mask")
         if survival:
             risk = out["logits"].squeeze(-1)
-            # valid_mask is injected by the trainer's eval padding (absent
-            # in train batches): padded rows must leave the Cox risk sets
             return cox_loss(risk, batch["duration"], batch["event"],
-                            valid=batch.get("valid_mask")), out
-        return out["loss"], out
+                            valid=valid), out
+        if valid is None:
+            return out["loss"], out
+        from smb_vision_tpu.models.videomae import classification_loss
+
+        return classification_loss(
+            out["logits"], batch["labels"], config.num_labels,
+            getattr(config, "problem_type", None), valid=valid), out
 
     def loss_fn(params, b, key):
         loss, _ = loss_of(params, b, key=key)

@@ -164,13 +164,21 @@ def make_lora_classification_workload(model, config, *, task_type: str, tx,
         eff = merge_lora(state_params, trainable, alpha=alpha, rank=rank,
                          train=not deterministic)
         out = _apply(eff, batch, deterministic, key)
+        # valid_mask comes from the trainer's eval padding: padded rows
+        # must not sit in the Cox risk sets nor the per-row loss means
+        # (train batches lack the key)
+        valid = batch.get("valid_mask")
         if survival:
             risk = out["logits"].squeeze(-1)
-            # valid_mask comes from the trainer's eval padding: padded rows
-            # must not sit in the Cox risk sets (train batches lack the key)
             return cox_loss(risk, batch["duration"], batch["event"],
-                            valid=batch.get("valid_mask")), out
-        return out["loss"], out
+                            valid=valid), out
+        if valid is None:
+            return out["loss"], out
+        from smb_vision_tpu.models.videomae import classification_loss
+
+        return classification_loss(
+            out["logits"], batch["labels"], config.num_labels,
+            getattr(config, "problem_type", None), valid=valid), out
 
     def step_fn(state, batch, key):
         def f(trainable, b, k):

@@ -55,8 +55,11 @@ def make_mim_workload(config: VideoMAEConfig, *, mask_patch_size: int,
     def loss_fn(params, batch, key, deterministic=False):
         px = batch["pixel_values"]
         mask = gen_mask(key, px.shape[0])
+        # valid_mask: trainer eval padding (rows excluded from the loss
+        # mean); absent on train batches
         out = model.apply(params, px, mask, num_masked,
-                          deterministic=deterministic)
+                          deterministic=deterministic,
+                          valid=batch.get("valid_mask"))
         return out["loss"], None
 
     def step_fn(state, batch, key):
@@ -144,7 +147,8 @@ def make_pipelined_mim_workload(config: VideoMAEConfig, *,
         out = videomae_pipeline_pretrain(
             config, params, px, mask, num_masked, mesh=mesh,
             axis=MODEL_AXIS, num_microbatches=microbatches,
-            batch_axis=batch_axis, remat=remat)
+            batch_axis=batch_axis, remat=remat,
+            valid=batch.get("valid_mask"))
         return out["loss"]
 
     def loss_fn(params, batch, key):

@@ -25,7 +25,10 @@ def _is_no_decay(path) -> bool:
     # LayerScale lambdas ARE decayed there, so they are decayed here too
     # (verified end-to-end by tests/test_learning_equivalence.py).
     name = "/".join(str(getattr(p, "key", p)) for p in path).lower()
-    return "bias" in name or "norm" in name
+    # "/bn/": FrozenBatchNorm statistics (models/resnet3d.py) — frozen
+    # params whose grads are stop_gradient'd zero, but add_decayed_weights
+    # would still shrink them toward 0 every step without this exclusion
+    return "bias" in name or "norm" in name or "/bn/" in name
 
 
 def decay_mask(params):

@@ -493,10 +493,11 @@ class Trainer:
         # Fixed eval batch: partial final batches are padded (repeating the
         # last row) to the first batch's size so eval_fn compiles exactly
         # once. Padded rows are sliced off logits/labels, so metrics are
-        # exact; only the final batch's *loss* value includes the duplicated
-        # rows — its contribution is weighted by the true count.
-        # (Round 1 replicated odd batches -> one multi-minute TPU compile
-        # per distinct shape.)
+        # exact; losses are exact too — every in-repo eval_fn consumes the
+        # injected valid_mask (per-row weighting for CE/MSE/BCE/MIM/V-JEPA,
+        # risk-set exclusion for Cox), and the batch loss is weighted by
+        # the true count in the aggregate below. (Round 1 replicated odd
+        # batches -> one multi-minute TPU compile per distinct shape.)
         target_b = {"n": None}
 
         n_data = self.mesh.shape["data"]

@@ -64,7 +64,8 @@ def make_vjepa_workload(config: VJEPA2Config, *,
         teacher = jax.tree_util.tree_map(jnp.copy, params)
         return train_state(params, tx.init(params), teacher=teacher)
 
-    def loss_for(params, teacher, px, key, deterministic=False):
+    def loss_for(params, teacher, px, key, deterministic=False,
+                 valid=None):
         mask_key, dp_key = jax.random.split(key)
         tb = gen_mask(mask_key, px.shape[0])
         rngs = None if deterministic else {"droppath": dp_key}
@@ -73,7 +74,7 @@ def make_vjepa_workload(config: VJEPA2Config, *,
         tgt = tmodel.apply(teacher, px, target_bool=tb, skip_predictor=True)[
             "last_hidden_state"]
         return vjepa_loss(out["predictor_output"],
-                          jax.lax.stop_gradient(tgt), tb)
+                          jax.lax.stop_gradient(tgt), tb, valid=valid)
 
     def step_fn(state, batch, key):
         teacher = state["teacher"]
@@ -97,10 +98,12 @@ def make_vjepa_workload(config: VJEPA2Config, *,
     def eval_fn(state, batch):
         # deterministic=True disables DropPath — eval loss is the model's
         # eval-mode loss, not a stochastic-depth sample (the mask key stays
-        # fixed so the eval task itself is reproducible)
+        # fixed so the eval task itself is reproducible). valid_mask:
+        # trainer eval-padding rows leave the masked-L1 mean.
         loss = loss_for(state["params"], state["teacher"],
                         batch["pixel_values"], jax.random.PRNGKey(0),
-                        deterministic=True)
+                        deterministic=True,
+                        valid=batch.get("valid_mask"))
         return {"loss": loss}
 
     return model, init_fn, step_fn, eval_fn
@@ -158,7 +161,7 @@ def make_pipelined_vjepa_workload(config: VJEPA2Config, *,
         return train_state(params, tx.init(params), teacher=teacher)
 
     def loss_for(params, teacher, px, key, microbatches,
-                 deterministic=False):
+                 deterministic=False, valid=None):
         # mask/droppath key split mirrors the dense loss_for above;
         # stochastic depth rides the pipeline as stacked per-layer
         # rates+keys (models/pipelined._pipe_stack_droppath)
@@ -168,7 +171,7 @@ def make_pipelined_vjepa_workload(config: VJEPA2Config, *,
         return vjepa2_pipeline_pretrain(
             config, params, teacher, px, tb, mesh=mesh, axis=MODEL_AXIS,
             num_microbatches=microbatches, batch_axis=batch_axis,
-            remat=remat, dp_rng=dp_rng)
+            remat=remat, dp_rng=dp_rng, valid=valid)
 
     def step_fn(state, batch, key):
         teacher = state["teacher"]
@@ -192,7 +195,8 @@ def make_pipelined_vjepa_workload(config: VJEPA2Config, *,
         loss = loss_for(state["params"], state["teacher"],
                         batch["pixel_values"], jax.random.PRNGKey(0),
                         eval_microbatches or num_microbatches,
-                        deterministic=True)
+                        deterministic=True,
+                        valid=batch.get("valid_mask"))
         return {"loss": loss}
 
     return model, init_fn, step_fn, eval_fn

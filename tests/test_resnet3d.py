@@ -475,3 +475,40 @@ def test_run_encoders_merlin_cli(tmp_path, rng):
               "--input_json", str(manifest)])
     with pytest.raises(SystemExit, match="target_size"):
         main(argv[:-1] + ["32,32"])
+    with pytest.raises(SystemExit, match="target_size"):
+        main(argv[:-1] + ["32,32,x"])
+
+def test_frozen_bn_gets_no_gradients_and_no_decay(rng):
+    """FrozenBatchNorm must be frozen under fine-tuning: zero gradients
+    into scale/bias/mean/var (stop_gradient) AND excluded from weight
+    decay (train/optim.py '/bn/' rule) — otherwise AdamW would silently
+    drift the checkpoint's running statistics toward 0."""
+    import jax.numpy as jnp
+
+    from smb_vision_tpu.train.optim import decay_mask
+
+    cfg = ResNet3DConfig(**SMALL, dtype="float32", num_labels=2)
+    model = ResNet3D(cfg)
+    px = rng.normal(0, 1, (1, 1, 16, 32, 24)).astype(np.float32)
+    params = jax.jit(model.init)(jax.random.key(0), px)
+
+    def loss(p):
+        _, _, logits = model.apply(p, px)
+        return jnp.sum(logits ** 2)
+
+    grads = jax.grad(loss)(params)
+    flat = {jax.tree_util.keystr(k): np.asarray(v) for k, v
+            in jax.tree_util.tree_leaves_with_path(grads)}
+    bn_keys = [k for k in flat if "'bn'" in k or "bn']" in k]
+    conv_keys = [k for k in flat if "conv" in k]
+    assert bn_keys and conv_keys
+    for k in bn_keys:
+        assert not flat[k].any(), f"gradient leaked into frozen BN: {k}"
+    assert any(flat[k].any() for k in conv_keys)
+
+    mask = decay_mask(params)
+    mflat = {jax.tree_util.keystr(k): v for k, v
+             in jax.tree_util.tree_leaves_with_path(mask)}
+    for k, v in mflat.items():
+        if "'bn'" in k or "bn']" in k:
+            assert v is False or v == False, f"BN param decayed: {k}"  # noqa: E712
