@@ -29,7 +29,7 @@ import time
 A100_EST_VOL_PER_S = 8.0
 
 
-def measure(attn_impl: str) -> float:
+def measure(attn_impl: str, heads: int = 12) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -38,7 +38,7 @@ def measure(attn_impl: str) -> float:
 
     config = VideoMAEConfig(image_size=512, num_frames=320, patch_size=16,
                             tubelet_size=16, num_channels=1,
-                            num_attention_heads=12,
+                            num_attention_heads=heads,
                             dtype="bfloat16", attn_impl=attn_impl)
     model = VideoMAEModel(config)
     key = jax.random.PRNGKey(0)
@@ -83,8 +83,7 @@ def main():
     # A100 flash-attn-2 divisor and reported alongside (round-2 advisor).
     vol_bf16 = measure("pallas")
     vol_i8 = measure("pallas_int8")
-
-    print(json.dumps({
+    rec = {
         "metric": "volumes/sec/chip (512x512x320 ViT-Base-d64 embed, "
                   "bf16 + int8-score attention, bs4)",
         "value": round(vol_i8, 3),
@@ -92,7 +91,18 @@ def main():
         "vs_baseline": round(vol_i8 / A100_EST_VOL_PER_S, 3),
         "bf16_value": round(vol_bf16, 3),
         "bf16_vs_baseline": round(vol_bf16 / A100_EST_VOL_PER_S, 3),
-    }))
+    }
+    # supplemental: the same-FLOPs TPU-native config (6 heads, head_dim
+    # 128 — "TPU-recommended from-scratch configs" in BENCHMARKS.md); the
+    # headline above stays pinned to the reference d64 architecture.
+    # Guarded: a failure here must never break the headline JSON line.
+    try:
+        vol_d128 = measure("pallas_int8", heads=6)
+        rec["d128_value"] = round(vol_d128, 3)
+        rec["d128_vs_baseline"] = round(vol_d128 / A100_EST_VOL_PER_S, 3)
+    except Exception:
+        pass
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
