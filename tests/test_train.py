@@ -1211,3 +1211,78 @@ def test_eval_loss_invariant_to_padding_all_workloads(rng):
     np.testing.assert_allclose(
         vwant, float(np.sum(np.array(vrows) * tb_counts)
                      / np.sum(tb_counts)), rtol=1e-5)
+
+
+def test_resume_trajectory_bitwise_equals_straight_run(tmp_path, rng):
+    """The strongest resume guarantee: a REAL MIM workload trained 4
+    steps, killed, and auto-resumed to 8 must land on BITWISE-identical
+    params and optimizer state to an uninterrupted 8-step run — any
+    drift in the restored step/LR/RNG/data position/optimizer moments
+    shows up as a bit difference here."""
+    from smb_vision_tpu.models.configs import VideoMAEConfig
+    from smb_vision_tpu.train.mim import make_mim_workload
+    from smb_vision_tpu.train.optim import make_optimizer
+    from smb_vision_tpu.train.trainer import Trainer, TrainingArguments
+
+    cfg = VideoMAEConfig(image_size=16, num_frames=16, patch_size=8,
+                         tubelet_size=8, num_channels=1, hidden_size=32,
+                         num_hidden_layers=1, num_attention_heads=2,
+                         intermediate_size=64, decoder_hidden_size=32,
+                         decoder_num_hidden_layers=1,
+                         decoder_num_attention_heads=2,
+                         decoder_intermediate_size=64,
+                         dtype="float32", attn_impl="xla")
+
+    class Loader:
+        """3-batch epoch of fixed volumes (deterministic by (epoch, i))."""
+
+        def __init__(self):
+            self.epoch = 0
+            self.ds = list(range(12))
+
+        def set_epoch(self, e):
+            self.epoch = e
+
+        def __len__(self):
+            return 3
+
+        def __iter__(self):
+            for i in range(3):
+                r = np.random.default_rng(1000 * self.epoch + i)
+                yield {"pixel_values": r.normal(
+                    size=(8, 16, 1, 16, 16)).astype(np.float32)}
+
+    def build(outdir, steps):
+        # cosine schedule + AdamW with wd: step-indexed LR and moments —
+        # exactly the state a sloppy resume corrupts
+        tx = make_optimizer(learning_rate=1e-3, total_steps=8,
+                            weight_decay=0.01, warmup_steps=2,
+                            schedule="cosine", grad_clip=1.0)
+        _, init_fn, step_fn, _ = make_mim_workload(
+            cfg, mask_patch_size=8, mask_ratio=0.5, tx=tx)
+        state = init_fn(jax.random.PRNGKey(0))
+        args = TrainingArguments(output_dir=str(outdir),
+                                 num_train_steps=steps, save_steps=4,
+                                 logging_steps=100, seed=0)
+        return Trainer(args=args, state=state, step_fn=step_fn,
+                       train_loader=Loader())
+
+    # straight 8-step run
+    tr_a = build(tmp_path / "straight", 8)
+    tr_a.train()
+
+    # interrupted at 4 (save_steps=4 checkpoints there), resumed to 8
+    build(tmp_path / "resumed", 4).train()
+    tr_b = build(tmp_path / "resumed", 8)
+    tr_b.train()
+
+    flat_a = {jax.tree_util.keystr(k): np.asarray(v) for k, v in
+              jax.tree_util.tree_leaves_with_path(
+                  (tr_a.state["params"], tr_a.state["opt_state"]))}
+    flat_b = {jax.tree_util.keystr(k): np.asarray(v) for k, v in
+              jax.tree_util.tree_leaves_with_path(
+                  (tr_b.state["params"], tr_b.state["opt_state"]))}
+    assert flat_a.keys() == flat_b.keys()
+    assert int(tr_a.state["step"]) == int(tr_b.state["step"]) == 8
+    for k in flat_a:
+        np.testing.assert_array_equal(flat_a[k], flat_b[k], err_msg=k)
