@@ -2,6 +2,7 @@
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 import optax
 import torch
@@ -1213,12 +1214,16 @@ def test_eval_loss_invariant_to_padding_all_workloads(rng):
                      / np.sum(tb_counts)), rtol=1e-5)
 
 
-def test_resume_trajectory_bitwise_equals_straight_run(tmp_path, rng):
+@pytest.mark.parametrize("optim", ["adamw", "adamw8bit"])
+def test_resume_trajectory_bitwise_equals_straight_run(tmp_path, rng,
+                                                       optim):
     """The strongest resume guarantee: a REAL MIM workload trained 4
     steps, killed, and auto-resumed to 8 must land on BITWISE-identical
     params and optimizer state to an uninterrupted 8-step run — any
     drift in the restored step/LR/RNG/data position/optimizer moments
-    shows up as a bit difference here."""
+    shows up as a bit difference here. The adamw8bit case additionally
+    proves the int8 moment codes + f32 block scales round-trip exactly
+    through the orbax checkpoint."""
     from smb_vision_tpu.models.configs import VideoMAEConfig
     from smb_vision_tpu.train.mim import make_mim_workload
     from smb_vision_tpu.train.optim import make_optimizer
@@ -1257,7 +1262,7 @@ def test_resume_trajectory_bitwise_equals_straight_run(tmp_path, rng):
         # exactly the state a sloppy resume corrupts
         tx = make_optimizer(learning_rate=1e-3, total_steps=8,
                             weight_decay=0.01, warmup_steps=2,
-                            schedule="cosine", grad_clip=1.0)
+                            schedule="cosine", grad_clip=1.0, optim=optim)
         _, init_fn, step_fn, _ = make_mim_workload(
             cfg, mask_patch_size=8, mask_ratio=0.5, tx=tx)
         state = init_fn(jax.random.PRNGKey(0))
