@@ -49,10 +49,20 @@ logger = get_logger("serve")
 class ServeArguments:
     host: str = "127.0.0.1"
     port: int = 8000
+    encoder: str = field(
+        default="smb-vision",
+        metadata={"help": "smb-vision (ViT, default) | merlin (first-"
+                          "party I3D ResNet tower, models/resnet3d.py; "
+                          "model_name_or_path must be the Merlin torch "
+                          "state dict)"})
     model_name_or_path: Optional[str] = field(
         default=None, metadata={"help": "safetensors checkpoint"})
     config_path: Optional[str] = field(
         default=None, metadata={"help": "model config json"})
+    target_size: Optional[str] = field(
+        default=None, metadata={"help": "merlin only: override the "
+                                        "resample grid, 3 comma-separated "
+                                        "ints (default 224,224,160)"})
     model_id: str = "smb-vision-tpu-base"
     pipeline: str = "smb-vision"
     dtype: str = "bfloat16"
@@ -82,23 +92,55 @@ class EmbeddingService:
     """Owns the resident encoder; thread-safe embed() over volume paths."""
 
     def __init__(self, args: ServeArguments):
-        from smb_vision_tpu.inference.runner import SmbVisionEncoder
-
         self.args = args
-        self.encoder = SmbVisionEncoder(
-            checkpoint=args.model_name_or_path,
-            config_path=args.config_path, model_id=args.model_id,
-            pipeline=args.pipeline, dtype=args.dtype,
-            attn_impl=args.attn_impl)
+        if args.encoder == "merlin":
+            from smb_vision_tpu.inference.encoders import MerlinEncoder
+
+            if args.input_dtype == "uint8":
+                raise ValueError(
+                    "input_dtype='uint8' is the ViT path's on-device "
+                    "dequant; the merlin tower ships bfloat16/float32 "
+                    "pixels (pass --input_dtype bfloat16 to halve the "
+                    "upload)")
+            if not args.model_name_or_path:
+                raise ValueError(
+                    "--model_name_or_path is required for --encoder "
+                    "merlin: the local Merlin image-tower torch state "
+                    "dict (.pt/.safetensors)")
+            target_size = None
+            if args.target_size:
+                try:
+                    target_size = tuple(
+                        int(s) for s in args.target_size.split(","))
+                except ValueError:
+                    target_size = ()
+                if len(target_size) != 3:
+                    raise ValueError(
+                        f"--target_size needs 3 comma-separated ints, "
+                        f"got {args.target_size!r}")
+            self.encoder = MerlinEncoder(
+                model_id=args.model_id if args.model_id !=
+                "smb-vision-tpu-base" else "merlin",
+                checkpoint=args.model_name_or_path, dtype=args.dtype,
+                target_size=target_size)
+        elif args.encoder == "smb-vision":
+            from smb_vision_tpu.inference.runner import SmbVisionEncoder
+
+            self.encoder = SmbVisionEncoder(
+                checkpoint=args.model_name_or_path,
+                config_path=args.config_path, model_id=args.model_id,
+                pipeline=args.pipeline, dtype=args.dtype,
+                attn_impl=args.attn_impl)
+        else:
+            raise ValueError(f"unknown encoder {args.encoder!r}; "
+                             "valid: 'smb-vision', 'merlin'")
         self.encoder.setup_model()
         self._lock = threading.Lock()      # serializes device dispatch
         self.requests = 0
         if args.warmup:
             import numpy as np
 
-            cfg = self.encoder._config()
-            shape = (args.batch_size, cfg.num_frames, 1,
-                     cfg.image_size, cfg.image_size)
+            shape = (args.batch_size, *self._pixel_shape())
             with self._lock:
                 if args.input_dtype == "uint8":
                     ones = np.ones(args.batch_size, np.float32)
@@ -110,6 +152,18 @@ class EmbeddingService:
                         np.zeros(shape, np.dtype(args.input_dtype)))
             logger.info("warmup compile done (batch %d, input %s)",
                         args.batch_size, args.input_dtype)
+
+    def _pixel_shape(self):
+        """Per-volume pixel shape the resident program compiles at."""
+        if self.args.encoder == "merlin":
+            from smb_vision_tpu.data.preprocess import CT_PIPELINES
+
+            # CHWD layout: (C, *target grid)
+            size = (self.encoder.target_size
+                    or CT_PIPELINES["merlin"].target_size)
+            return (1, *size)
+        cfg = self.encoder._config()
+        return (cfg.num_frames, 1, cfg.image_size, cfg.image_size)
 
     def _preprocess(self, paths, cache: bool = True):
         """Decode+resample each path to the model grid -> (pixels
@@ -157,8 +211,12 @@ class EmbeddingService:
                     sc = np.concatenate([sc, np.repeat(sc[-1:], bs - n)])
                     of = np.concatenate([of, np.repeat(of[-1:], bs - n)])
             with self._lock:
-                emb = self.encoder.generate_embedding(chunk, scale=sc,
-                                                      offset=of)
+                # scale/offset kwargs exist only on the uint8-capable ViT
+                # encoder; merlin ships float pixels (sc is None there)
+                emb = (self.encoder.generate_embedding(chunk)
+                       if sc is None else
+                       self.encoder.generate_embedding(chunk, scale=sc,
+                                                       offset=of))
             outs.append(np.asarray(emb)[:n])
         emb = np.concatenate(outs)          # (N, L, D)
         with self._lock:
@@ -170,14 +228,21 @@ class EmbeddingService:
     def health(self):
         import jax
 
-        cfg = self.encoder._config()
-        return {"status": "ok", "model_id": self.args.model_id,
-                "checkpoint": self.args.model_name_or_path,
-                "grid": list(cfg.grid), "hidden_size": cfg.hidden_size,
-                "batch_size": self.args.batch_size,
-                "input_dtype": self.args.input_dtype,
-                "device": jax.devices()[0].device_kind,
-                "requests_served": self.requests}
+        rec = {"status": "ok", "encoder": self.args.encoder,
+               "model_id": self.encoder.model_id,
+               "checkpoint": self.args.model_name_or_path,
+               "batch_size": self.args.batch_size,
+               "input_dtype": self.args.input_dtype,
+               "device": jax.devices()[0].device_kind,
+               "requests_served": self.requests}
+        if self.args.encoder == "merlin":
+            rec["pixel_shape"] = list(self._pixel_shape())
+            rec["hidden_size"] = self.encoder._cfg.hidden_size
+        else:
+            cfg = self.encoder._config()
+            rec["grid"] = list(cfg.grid)
+            rec["hidden_size"] = cfg.hidden_size
+        return rec
 
 
 def make_server(args: ServeArguments) -> ThreadingHTTPServer:

@@ -172,7 +172,8 @@ class MerlinEncoder(BaseEncoder):
         self._model = None
         self._encode = None
 
-    def create_dataset(self, items: List[Dict]):
+    def create_dataset(self, items: List[Dict],
+                       out_dtype: str = "float32"):
         from smb_vision_tpu.data.dataset import CTDataset
 
         norm = [{"image": it.get("image_path", it.get("image")), **it}
@@ -189,7 +190,7 @@ class MerlinEncoder(BaseEncoder):
             pipe = dataclasses.replace(
                 CT_PIPELINES["merlin"],
                 target_size=tuple(self.target_size))
-        return CTDataset(items=norm, pipeline=pipe)
+        return CTDataset(items=norm, pipeline=pipe, out_dtype=out_dtype)
 
     def setup_model(self):
         if self.backend == "torch":
@@ -236,6 +237,7 @@ class MerlinEncoder(BaseEncoder):
 
         self._params = jax.device_put(params)
         self._encode = encode
+        self._cfg = cfg          # introspection (cli/serve.py health)
 
     def generate_embedding(self, batch: np.ndarray) -> np.ndarray:
         if self.backend == "torch":

@@ -224,3 +224,67 @@ def test_embed_concurrent_overlapping_requests(server):
                                        rtol=1e-5, atol=1e-6)
     served1 = _request(srv, "GET", "/healthz")[1]["requests_served"]
     assert served1 - served0 == n_vols
+
+
+def test_serve_merlin_encoder(tmp_path):
+    """--encoder merlin serves the first-party I3D tower: healthz reports
+    the tower, /embed returns (tokens-pooled) vectors matching a direct
+    forward, uint8 shipping is rejected with a clear error."""
+    import torch
+    import torch.nn as tnn
+
+    from smb_vision_tpu.cli.serve import ServeArguments, make_server
+    from tests.test_resnet3d import SMALL, TorchI3ResNet, _randomize_bn
+    from smb_vision_tpu.models.configs import ResNet3DConfig
+
+    rng = np.random.default_rng(3)
+    cfg = ResNet3DConfig(**SMALL)
+    ref = TorchI3ResNet(cfg)
+    _randomize_bn(ref, rng)
+    sd = {"encode_image.i3_resnet." + k: v for k, v
+          in ref.state_dict().items()}
+    ckpt = tmp_path / "merlin.pt"
+    torch.save(sd, str(ckpt))
+
+    paths = []
+    for i in range(2):
+        vol = rng.normal(0, 300, (24, 24, 16)).astype(np.float32)
+        p = tmp_path / f"v{i}.nii.gz"
+        save_nifti(p, vol)
+        paths.append(str(p))
+
+    args = ServeArguments(host="127.0.0.1", port=0, encoder="merlin",
+                          model_name_or_path=str(ckpt), dtype="float32",
+                          batch_size=2, target_size="32,32,24")
+    srv = make_server(args)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        status, out = _request(srv, "GET", "/healthz")
+        assert status == 200
+        assert out["encoder"] == "merlin"
+        assert out["hidden_size"] == 8 * 2 * 4     # base 8, 2 stages, exp 4
+        assert out["pixel_shape"] == [1, 32, 32, 24]
+
+        status, out = _request(srv, "POST", "/embed", {"images": paths})
+        assert status == 200
+        n, d = out["shape"]
+        assert (n, d) == (2, 64)
+
+        svc = srv.service
+        px, _, _ = svc._preprocess(paths)
+        direct = svc.encoder.generate_embedding(px).mean(axis=1)
+        np.testing.assert_allclose(np.asarray(out["embeddings"]), direct,
+                                   rtol=2e-5, atol=2e-5)
+    finally:
+        srv.shutdown()
+
+    # uint8 shipping is the ViT path's on-device dequant — reject early
+    with pytest.raises(ValueError, match="uint8"):
+        make_server(ServeArguments(encoder="merlin", port=0,
+                                   model_name_or_path=str(ckpt),
+                                   input_dtype="uint8"))
+    with pytest.raises(ValueError, match="model_name_or_path"):
+        make_server(ServeArguments(encoder="merlin", port=0))
+    with pytest.raises(ValueError, match="unknown encoder"):
+        make_server(ServeArguments(encoder="clip", port=0))
