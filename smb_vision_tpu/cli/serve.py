@@ -96,12 +96,6 @@ class EmbeddingService:
         if args.encoder == "merlin":
             from smb_vision_tpu.inference.encoders import MerlinEncoder
 
-            if args.input_dtype == "uint8":
-                raise ValueError(
-                    "input_dtype='uint8' is the ViT path's on-device "
-                    "dequant; the merlin tower ships bfloat16/float32 "
-                    "pixels (pass --input_dtype bfloat16 to halve the "
-                    "upload)")
             if not args.model_name_or_path:
                 raise ValueError(
                     "--model_name_or_path is required for --encoder "

@@ -235,12 +235,31 @@ class MerlinEncoder(BaseEncoder):
             tokens, _ = model.apply(p, px)
             return tokens.astype(jnp.float32)
 
+        # uint8-shipped pixels: one byte per voxel over the wire, decoded
+        # to bf16 inside the same compiled program — identical to the ViT
+        # encoder's path (inference/runner.py::SmbVisionEncoder)
+        from smb_vision_tpu.data.quantization import dequantize_pixels
+
+        @jax.jit
+        def encode_q(p, q, s, o):
+            tokens, _ = model.apply(
+                p, dequantize_pixels(q, s, o, jnp.bfloat16))
+            return tokens.astype(jnp.float32)
+
         self._params = jax.device_put(params)
         self._encode = encode
+        self._encode_q = encode_q
         self._cfg = cfg          # introspection (cli/serve.py health)
 
-    def generate_embedding(self, batch: np.ndarray) -> np.ndarray:
+    def generate_embedding(self, batch: np.ndarray, scale=None,
+                           offset=None) -> np.ndarray:
+        """batch (N, C, a0, a1, a2) float — or uint8 codes with
+        per-volume (scale, offset) affine keys (jax backend only)."""
         if self.backend == "torch":
+            if scale is not None:
+                raise ValueError("uint8 affine shipping is a jax-backend "
+                                 "feature; backend='torch' takes float "
+                                 "pixels")
             import torch
 
             with torch.inference_mode():
@@ -249,4 +268,9 @@ class MerlinEncoder(BaseEncoder):
                 else out.numpy()
         import jax.numpy as jnp
 
+        if scale is not None:
+            return np.asarray(self._encode_q(
+                self._params, jnp.asarray(batch),
+                jnp.asarray(scale, jnp.float32),
+                jnp.asarray(offset, jnp.float32)))
         return np.asarray(self._encode(self._params, jnp.asarray(batch)))

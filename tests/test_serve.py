@@ -279,11 +279,23 @@ def test_serve_merlin_encoder(tmp_path):
     finally:
         srv.shutdown()
 
-    # uint8 shipping is the ViT path's on-device dequant — reject early
-    with pytest.raises(ValueError, match="uint8"):
-        make_server(ServeArguments(encoder="merlin", port=0,
-                                   model_name_or_path=str(ckpt),
-                                   input_dtype="uint8"))
+    # uint8 affine shipping works on the merlin path too (on-device
+    # dequant, same contract as the ViT encoder)
+    srv8 = make_server(ServeArguments(
+        host="127.0.0.1", port=0, encoder="merlin",
+        model_name_or_path=str(ckpt), dtype="float32", batch_size=2,
+        target_size="32,32,24", input_dtype="uint8"))
+    t8 = threading.Thread(target=srv8.serve_forever, daemon=True)
+    t8.start()
+    try:
+        status, out8 = _request(srv8, "POST", "/embed", {"images": paths})
+        assert status == 200
+        # uint8 affine coding: max abs pixel err (max-min)/510 -> loose
+        np.testing.assert_allclose(np.asarray(out8["embeddings"]),
+                                   direct, rtol=0.05, atol=0.05)
+    finally:
+        srv8.shutdown()
+
     with pytest.raises(ValueError, match="model_name_or_path"):
         make_server(ServeArguments(encoder="merlin", port=0))
     with pytest.raises(ValueError, match="unknown encoder"):
