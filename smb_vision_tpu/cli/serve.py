@@ -205,8 +205,8 @@ class EmbeddingService:
                     sc = np.concatenate([sc, np.repeat(sc[-1:], bs - n)])
                     of = np.concatenate([of, np.repeat(of[-1:], bs - n)])
             with self._lock:
-                # scale/offset kwargs exist only on the uint8-capable ViT
-                # encoder; merlin ships float pixels (sc is None there)
+                # sc is None whenever input_dtype is float (both encoders
+                # take uint8 codes + per-volume affine keys otherwise)
                 emb = (self.encoder.generate_embedding(chunk)
                        if sc is None else
                        self.encoder.generate_embedding(chunk, scale=sc,

@@ -56,18 +56,163 @@ def _str2bool(v) -> bool:
     raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
 
 
+def _coerce(v, ftype):
+    """Coerce a string (from an HF-compat rewrite) to the field's type;
+    values that are already JSON-typed pass through untouched."""
+    if not isinstance(v, str):
+        return v
+    if get_origin(ftype) is Union:
+        args = [a for a in get_args(ftype) if a is not type(None)]
+        ftype = args[0] if args else str
+    if ftype is bool:
+        return _str2bool(v)
+    if ftype in (int, float):
+        return ftype(v)
+    return v
+
+
+# HF TrainingArguments flags the reference's launch recipes pass
+# (reference scripts/training/run_{mim,cls,vjepa}.sh) that have no field
+# here. Each maps to this framework's equivalent or is a documented no-op,
+# so a recipe ports by swapping the entry point, not by debugging argparse
+# errors. Only applied when the flag is NOT a real dataclass field and the
+# mapped target (if any) IS one; every rewrite is logged.
+#
+#   name -> (kind, target) where kind is one of
+#     'rename'    value passes through to target flag
+#     'bool_set'  true -> `--target value`, false -> dropped
+#     'tristate'  'no' -> `--target false`, else -> `--target true`
+#     'json_pick' value is a json dict; known keys map via target dict
+#     'ignore'    dropped with a warning (no equivalent needed)
+#     'error'     unsupported on TPU; fail with the message in target
+_HF_COMPAT = {
+    "bf16": ("bool_set", ("dtype", "bfloat16")),
+    "fp16": ("error", "fp16 is a GPU dtype; the TPU path is bfloat16 "
+                      "(--dtype bfloat16, the default)"),
+    "eval_strategy": ("tristate", "do_eval"),
+    "evaluation_strategy": ("tristate", "do_eval"),
+    "cache_dir": ("rename", "cache_data_dir"),
+    "dataloader_num_workers": ("rename", "num_workers"),
+    "lr_scheduler_kwargs": ("json_pick", {"min_lr": "min_lr"}),
+    "deepspeed": ("ignore", "ZeRO-3 here is --sharding_policy fsdp"),
+    "save_strategy": ("ignore", "checkpointing is step-based; set "
+                                "--save_steps"),
+    "logging_strategy": ("ignore", "logging is step-based; set "
+                                   "--logging_steps"),
+    "remove_unused_columns": ("ignore", "datasets keep their columns"),
+    "dataloader_pin_memory": ("ignore", "host->device transfer is "
+                                        "managed by the prefetcher"),
+    "tf32": ("ignore", "matmul precision is an XLA-level setting"),
+    "save_safetensors": ("ignore", "checkpoints are orbax; HF export is "
+                                   "--export_hf"),
+    "ddp_find_unused_parameters": ("ignore", "no DDP wrapper here"),
+    "torch_compile": ("ignore", "everything hot is jit-compiled already"),
+}
+
+
+def _warn(msg: str) -> None:
+    print(f"[args] {msg}", file=sys.stderr)
+
+
+def _hf_compat_argv(argv: List[str], field_names: set) -> List[str]:
+    """Rewrite known HF TrainingArguments flags into this framework's
+    flags (see _HF_COMPAT). Handles `--flag value`, `--flag=value` and
+    bare boolean `--flag` forms."""
+    out: List[str] = []
+    i = 0
+    while i < len(argv):
+        tok = argv[i]
+        name, eq, inline = tok.partition("=") if tok.startswith("--") \
+            else (tok, "", "")
+        key = name[2:] if name.startswith("--") else None
+        if key not in _HF_COMPAT or key in field_names:
+            out.append(tok)
+            i += 1
+            continue
+        # consume the value: inline (--k=v) or the next non-flag token
+        if eq:
+            value, step = inline, 1
+        elif i + 1 < len(argv) and not argv[i + 1].startswith("--"):
+            value, step = argv[i + 1], 2
+        else:
+            value, step = "true", 1          # bare boolean form
+        kind, target = _HF_COMPAT[key]
+        if kind == "error":
+            raise SystemExit(f"--{key}: {target}")
+        if kind == "ignore":
+            _warn(f"--{key} has no equivalent here and is ignored "
+                  f"({target})")
+        elif kind == "rename":
+            if target in field_names:
+                _warn(f"--{key} -> --{target} (HF-compat rename)")
+                out += [f"--{target}", value]
+            else:
+                _warn(f"--{key} is ignored (no --{target} field on this "
+                      f"entry point)")
+        elif kind == "bool_set":
+            tgt, tval = target
+            if _str2bool(value) and tgt in field_names:
+                _warn(f"--{key} {value} -> --{tgt} {tval} (HF-compat)")
+                out += [f"--{tgt}", tval]
+            elif _str2bool(value):
+                _warn(f"--{key} is ignored (no --{tgt} field on this "
+                      f"entry point)")
+        elif kind == "tristate":
+            if target in field_names:
+                tval = "false" if value == "no" else "true"
+                _warn(f"--{key} {value} -> --{target} {tval} (HF-compat)")
+                out += [f"--{target}", tval]
+        elif kind == "json_pick":
+            try:
+                kw = json.loads(value)
+            except json.JSONDecodeError:
+                raise SystemExit(f"--{key} expects a JSON object, got "
+                                 f"{value!r}")
+            for k, v in (kw or {}).items():
+                tgt = target.get(k)
+                if tgt in field_names:
+                    _warn(f"--{key} {k}={v} -> --{tgt} {v} (HF-compat)")
+                    out += [f"--{tgt}", str(v)]
+                else:
+                    _warn(f"--{key}: key {k!r} has no equivalent here "
+                          f"and is ignored")
+        i += step
+    return out
+
+
 def parse_args_into_dataclasses(classes: Sequence[Type],
                                 argv: Optional[Sequence[str]] = None):
     argv = list(sys.argv[1:] if argv is None else argv)
+    field_names = {f.name for cls in classes
+                   for f in dataclasses.fields(cls)}
 
     # single-JSON-file mode
     if len(argv) == 1 and argv[0].endswith(".json"):
         blob = json.loads(Path(argv[0]).read_text())
+        flat = []
+        for k, v in blob.items():
+            if k in _HF_COMPAT and k not in field_names:
+                flat += [f"--{k}", json.dumps(v)
+                         if isinstance(v, (dict, list)) else str(v)]
+        for tok in _hf_compat_argv(flat, field_names):
+            if tok.startswith("--"):
+                pending = tok[2:]
+            else:
+                blob[pending] = tok
         out = []
         for cls in classes:
             names = {f.name for f in dataclasses.fields(cls)}
-            out.append(cls(**{k: v for k, v in blob.items() if k in names}))
+            vals = {}
+            for k, v in blob.items():
+                if k not in names:
+                    continue
+                # mapped values arrive as strings; coerce to field type
+                f = next(x for x in dataclasses.fields(cls) if x.name == k)
+                hints = typing.get_type_hints(cls)
+                vals[k] = _coerce(v, hints.get(k, str))
+            out.append(cls(**vals))
         return tuple(out)
+    argv = _hf_compat_argv(argv, field_names)
 
     parser = argparse.ArgumentParser()
     seen = set()
