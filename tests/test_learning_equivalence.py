@@ -14,8 +14,15 @@ This jointly validates what the unit goldens cannot: optimizer semantics,
 the wd-exclusion set, clip ordering, schedule shape, and the masked-loss /
 Cox path, composed over steps. The longer-horizon versions (50 steps, an
 amplified-lr variant, and final-parameter comparison) live in
-scripts/kexp/learn_equiv_{mim,cls}.py with recorded outputs in
+scripts/kexp/learn_equiv_{mim,cls,vjepa}.py with recorded outputs in
 BENCHMARKS.md.
+
+The V-JEPA case re-creates the reference's VJEPATrainer
+(/root/reference/src/run_vjepa.py:87-141) on the torch side — EMA target
+encoder at momentum 0.99925, predictor-vs-teacher L1, EMA updated inside
+compute_loss with the pre-step student params — and mirrors that exact
+ordering on the jax side, covering the cosine_with_min_lr schedule and
+the EMA arithmetic the other cases don't touch.
 """
 
 import numpy as np
@@ -244,6 +251,160 @@ def test_classification_matches_hf_trainer(tmp_path, task):
     # denominator floored at 1% of the trajectory scale: a no-event
     # Cox batch logs loss 0.0 on both sides and raw relative error
     # there is f32 dust divided by ~zero
+    scale = max(float(np.abs(t).max()), 1e-8)
+    rel = np.abs(t - j) / np.maximum(np.abs(t), 1e-2 * scale)
+    assert rel.max() < TOL, (rel.max(), t.tolist(), j.tolist())
+
+
+def test_vjepa_matches_reference_trainer_semantics(tmp_path):
+    import copy
+
+    import optax
+    from transformers import Trainer, TrainingArguments
+    from transformers import VJEPA2Config as HFConfig
+    from transformers import VJEPA2Model as HFModel
+
+    from smb_vision_tpu.models.configs import VJEPA2Config
+    from smb_vision_tpu.models.convert import export_hf_vjepa2
+    from smb_vision_tpu.models.vjepa import VJEPA2Model
+    from smb_vision_tpu.train.optim import ema_update
+
+    # head_dim must stay >=24: HF's 3D rope splits head_dim across
+    # (t, h, w) bands and a 12-wide head under-fills its band split
+    kw = dict(patch_size=8, crop_size=16, frames_per_clip=16,
+              tubelet_size=8, in_chans=1, hidden_size=48,
+              num_attention_heads=2, num_hidden_layers=1,
+              pred_hidden_size=24, pred_num_attention_heads=2,
+              pred_num_hidden_layers=1, pred_num_mask_tokens=4)
+    momentum = 0.99925  # run_vjepa.py:107
+    min_lr = 1e-5       # run_vjepa.sh:21-22 (cosine_with_min_lr)
+    n_tgt = 2
+
+    cfg = VJEPA2Config(dtype="float32", attn_impl="xla", **kw)
+    model = VJEPA2Model(cfg)
+    rng = np.random.default_rng(3)
+    px = rng.normal(size=(N, 16, 1, 16, 16)).astype(np.float32)
+    perms = np.stack([rng.permutation(cfg.seq_len) for _ in range(N)])
+    tgt = np.sort(perms[:, :n_tgt], axis=1).astype(np.int64)
+    ctx = np.sort(perms[:, n_tgt:], axis=1).astype(np.int64)
+
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.asarray(px[:1]),
+        context_mask=[jnp.asarray(ctx[:1])],
+        target_mask=[jnp.asarray(tgt[:1])])
+    sd = export_hf_vjepa2(params, num_layers=kw["num_hidden_layers"],
+                          pred_layers=kw["pred_num_hidden_layers"])
+
+    hf = HFModel(HFConfig(**kw))
+    missing, unexpected = hf.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in sd.items()}, strict=False)
+    assert not unexpected and not missing, (missing, unexpected)
+    hf = hf.float()
+    order = []
+
+    class DS(torch.utils.data.Dataset):
+        def __len__(self):
+            return N
+
+        def __getitem__(self, i):
+            order.append(int(i))
+            return {"px": torch.from_numpy(px[i]),
+                    "ctx": torch.from_numpy(ctx[i]),
+                    "tgt": torch.from_numpy(tgt[i])}
+
+    def collate(ex):
+        return {"pixel_values_videos": torch.stack([e["px"] for e in ex]),
+                "context_mask": [torch.stack([e["ctx"] for e in ex])],
+                "target_mask": [torch.stack([e["tgt"] for e in ex])]}
+
+    class VJEPATrainer(Trainer):
+        """run_vjepa.py:101-141 semantics (upstream transformers keeps
+        the gathered teacher tokens on the predictor output only, so the
+        skip-predictor teacher pass gathers them here)."""
+
+        def __init__(self, *args, **kwargs):
+            super().__init__(*args, **kwargs)
+            self.target_encoder = copy.deepcopy(self.model)
+            for p in self.target_encoder.parameters():
+                p.requires_grad = False
+
+        def compute_loss(self, model, inputs, return_outputs=False,
+                         num_items_in_batch=None):
+            out = model(pixel_values_videos=inputs["pixel_values_videos"],
+                        context_mask=inputs["context_mask"],
+                        target_mask=inputs["target_mask"],
+                        skip_predictor=False)
+            with torch.no_grad():
+                t_out = self.target_encoder(
+                    pixel_values_videos=inputs["pixel_values_videos"],
+                    context_mask=inputs["context_mask"],
+                    target_mask=inputs["target_mask"], skip_predictor=True)
+                tm = inputs["target_mask"][0]
+                teacher_tokens = torch.take_along_dim(
+                    t_out.last_hidden_state,
+                    tm.unsqueeze(-1).expand(
+                        -1, -1, t_out.last_hidden_state.shape[-1]), dim=1)
+                for pt, ps in zip(self.target_encoder.parameters(),
+                                  model.parameters()):
+                    pt.data.mul_(momentum).add_(ps.data,
+                                                alpha=1.0 - momentum)
+            loss = torch.nn.functional.l1_loss(
+                out.predictor_output.last_hidden_state, teacher_tokens)
+            return (loss, out) if return_outputs else loss
+
+    epochs = STEPS // (N // B)
+    args = TrainingArguments(
+        output_dir=str(tmp_path), per_device_train_batch_size=B,
+        num_train_epochs=epochs, learning_rate=RECIPE["learning_rate"],
+        lr_scheduler_type="cosine_with_min_lr",
+        lr_scheduler_kwargs={"min_lr": min_lr},
+        weight_decay=RECIPE["weight_decay"],
+        max_grad_norm=RECIPE["max_grad_norm"],
+        warmup_ratio=RECIPE["warmup_ratio"], logging_steps=1,
+        report_to=[], seed=0, dataloader_num_workers=0, use_cpu=True,
+        remove_unused_columns=False, disable_tqdm=True, save_strategy="no")
+    trainer = VJEPATrainer(model=hf, args=args, train_dataset=DS(),
+                           data_collator=collate)
+    trainer.train()
+    t_losses = [h["loss"] for h in trainer.state.log_history if "loss" in h]
+
+    tx = make_optimizer(
+        learning_rate=RECIPE["learning_rate"], total_steps=STEPS,
+        weight_decay=RECIPE["weight_decay"],
+        warmup_ratio=RECIPE["warmup_ratio"],
+        grad_clip=RECIPE["max_grad_norm"], schedule="cosine",
+        min_lr=min_lr)
+    opt_state = tx.init(params)
+    teacher = jax.tree_util.tree_map(jnp.copy, params)
+
+    def loss_fn(p, teacher, bpx, bctx, btgt):
+        out = model.apply(p, bpx, context_mask=[bctx], target_mask=[btgt])
+        t = model.apply(teacher, bpx, context_mask=[bctx],
+                        target_mask=[btgt], skip_predictor=True)
+        return jnp.mean(jnp.abs(
+            out["predictor_output"] -
+            jax.lax.stop_gradient(t["target_hidden_state"])))
+
+    @jax.jit
+    def step(params, teacher, opt_state, bpx, bctx, btgt):
+        loss, grads = jax.value_and_grad(loss_fn)(params, teacher, bpx,
+                                                  bctx, btgt)
+        # reference ordering: EMA mixes the PRE-step student params
+        teacher = ema_update(teacher, params, momentum)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), teacher, opt_state,
+                loss)
+
+    j_losses = []
+    for s in range(STEPS):
+        idx = order[s * B:(s + 1) * B]
+        params, teacher, opt_state, loss = step(
+            params, teacher, opt_state, jnp.asarray(px[idx]),
+            jnp.asarray(ctx[idx]), jnp.asarray(tgt[idx]))
+        j_losses.append(float(loss))
+
+    t, j = np.asarray(t_losses[:STEPS]), np.asarray(j_losses)
     scale = max(float(np.abs(t).max()), 1e-8)
     rel = np.abs(t - j) / np.maximum(np.abs(t), 1e-2 * scale)
     assert rel.max() < TOL, (rel.max(), t.tolist(), j.tolist())
