@@ -151,10 +151,14 @@ def _hf_compat_argv(argv: List[str], field_names: set) -> List[str]:
                       f"entry point)")
         elif kind == "bool_set":
             tgt, tval = target
-            if _str2bool(value) and tgt in field_names:
+            try:
+                truthy = _str2bool(value)
+            except argparse.ArgumentTypeError as e:
+                raise SystemExit(f"--{key}: {e}")
+            if truthy and tgt in field_names:
                 _warn(f"--{key} {value} -> --{tgt} {tval} (HF-compat)")
                 out += [f"--{tgt}", tval]
-            elif _str2bool(value):
+            elif truthy:
                 _warn(f"--{key} is ignored (no --{tgt} field on this "
                       f"entry point)")
         elif kind == "tristate":
