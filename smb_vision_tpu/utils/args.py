@@ -129,16 +129,29 @@ def _hf_compat_argv(argv: List[str], field_names: set) -> List[str]:
             out.append(tok)
             i += 1
             continue
+        kind, target = _HF_COMPAT[key]
         # consume the value: inline (--k=v) or the next non-flag token
         if eq:
             value, step = inline, 1
         elif i + 1 < len(argv) and not argv[i + 1].startswith("--"):
             value, step = argv[i + 1], 2
+        elif kind in ("rename", "json_pick"):
+            # value-taking kinds must not silently absorb "true" as the
+            # value (--cache_dir as the last token would otherwise set
+            # cache_data_dir to the literal path 'true')
+            raise SystemExit(f"--{key} expects a value")
         else:
             value, step = "true", 1          # bare boolean form
-        kind, target = _HF_COMPAT[key]
         if kind == "error":
-            raise SystemExit(f"--{key}: {target}")
+            # HF config dumps near-universally carry `"fp16": false`;
+            # only a truthy request for the unsupported feature is fatal
+            try:
+                requested = _str2bool(value)
+            except argparse.ArgumentTypeError:
+                requested = True
+            if requested:
+                raise SystemExit(f"--{key}: {target}")
+            _warn(f"--{key} {value} is a no-op here ({target})")
         if kind == "ignore":
             _warn(f"--{key} has no equivalent here and is ignored "
                   f"({target})")
@@ -162,14 +175,23 @@ def _hf_compat_argv(argv: List[str], field_names: set) -> List[str]:
                 _warn(f"--{key} is ignored (no --{tgt} field on this "
                       f"entry point)")
         elif kind == "tristate":
+            # HF semantics are promote-only: post_init sets do_eval=True
+            # when eval_strategy != 'no' but never demotes an explicit
+            # --do_eval true (the reference MIM recipe passes both)
             if target in field_names:
-                tval = "false" if value == "no" else "true"
-                _warn(f"--{key} {value} -> --{target} {tval} (HF-compat)")
-                out += [f"--{target}", tval]
+                if value == "no":
+                    _warn(f"--{key} no is dropped (HF never demotes "
+                          f"--{target}; pass --{target} false to disable)")
+                else:
+                    _warn(f"--{key} {value} -> --{target} true (HF-compat)")
+                    out += [f"--{target}", "true"]
         elif kind == "json_pick":
             try:
                 kw = json.loads(value)
             except json.JSONDecodeError:
+                raise SystemExit(f"--{key} expects a JSON object, got "
+                                 f"{value!r}")
+            if kw is not None and not isinstance(kw, dict):
                 raise SystemExit(f"--{key} expects a JSON object, got "
                                  f"{value!r}")
             for k, v in (kw or {}).items():

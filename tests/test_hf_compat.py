@@ -48,17 +48,27 @@ def test_reference_mim_recipe_parses_verbatim():
     assert d.cache_data_dir == "/tmp/cache"          # --cache_dir rename
     assert m.dtype == "bfloat16"                     # --bf16 true
     assert m.gradient_checkpointing is True
-    assert t.do_eval is False                        # eval_strategy "no"
+    # HF is promote-only: the recipe's explicit --do_eval true survives
+    # --eval_strategy no (reference run_mim.py:452 gates a final
+    # trainer.evaluate() on do_eval, which the ported recipe must run)
+    assert t.do_eval is True
     assert t.learning_rate == 5e-5 and t.num_train_epochs == 3.0
     assert t.report_to == "wandb"
 
 
-def test_eval_strategy_last_wins_like_hf():
+def test_eval_strategy_promotes_but_never_demotes():
+    # strategy != 'no' promotes (argparse last-wins over --do_eval false,
+    # matching HF post_init's do_eval = strategy != 'no' promotion)
     (_, _, t) = parse_args_into_dataclasses(
         _mim_classes(), ["--do_eval", "false", "--eval_strategy", "steps"])
     assert t.do_eval is True
+    # strategy == 'no' is dropped: never demotes an explicit --do_eval true
     (_, _, t) = parse_args_into_dataclasses(
         _mim_classes(), ["--do_eval", "true", "--evaluation_strategy", "no"])
+    assert t.do_eval is True
+    # ... and without an explicit --do_eval, the default (False) stands
+    (_, _, t) = parse_args_into_dataclasses(
+        _mim_classes(), ["--evaluation_strategy", "no"])
     assert t.do_eval is False
 
 
@@ -79,6 +89,33 @@ def test_lr_scheduler_kwargs_rejects_non_json():
 def test_fp16_fails_actionably():
     with pytest.raises(SystemExit, match="bfloat16"):
         parse_args_into_dataclasses(_mim_classes(), ["--fp16", "true"])
+    with pytest.raises(SystemExit, match="bfloat16"):
+        parse_args_into_dataclasses(_mim_classes(), ["--fp16"])
+
+
+def test_fp16_false_is_a_noop():
+    """`"fp16": false` is a near-universal disabled default in HF config
+    dumps; only a truthy request for the GPU dtype is fatal."""
+    d, m, t = parse_args_into_dataclasses(_mim_classes(), ["--fp16", "false"])
+    assert m.dtype == "bfloat16"                     # default intact
+
+
+def test_lr_scheduler_kwargs_rejects_non_object_json():
+    # parses as JSON but is not an object -> same clean error, not a
+    # raw AttributeError from list.items()
+    with pytest.raises(SystemExit, match="JSON object"):
+        parse_args_into_dataclasses(
+            _mim_classes(), ["--lr_scheduler_kwargs", "[1, 2]"])
+
+
+def test_value_taking_compat_flag_requires_value():
+    # --cache_dir as the last token must not become the literal path
+    # 'true'
+    with pytest.raises(SystemExit, match="expects a value"):
+        parse_args_into_dataclasses(_mim_classes(), ["--cache_dir"])
+    with pytest.raises(SystemExit, match="expects a value"):
+        parse_args_into_dataclasses(
+            _mim_classes(), ["--cache_dir", "--do_train", "true"])
 
 
 def test_bare_bool_and_equals_forms():
