@@ -122,11 +122,40 @@ def vjepa_target_mask(key: jax.Array, batch: int, *,
                       pred_mask_scale: Tuple[float, float] = (0.2, 0.8),
                       aspect_ratio: Tuple[float, float] = (0.3, 3.0),
                       num_blocks: int = 3,
-                      inv_block: bool = False) -> jax.Array:
+                      inv_block: bool = False,
+                      full_complement: bool = False,
+                      pred_full_complement: bool = False,
+                      max_keep: int | None = None) -> jax.Array:
     """Multi-block 3D mask. Returns (batch, N) bool, True = target (to be
     predicted); context = ~target. One block size per sample, ``num_blocks``
     random placements (union), exactly as the reference. inv_block swaps
-    context and target (transforms.py:210-215)."""
+    context and target (transforms.py:210-215).
+
+    Option parity with VJEPAMaskGenerator (transforms.py:109-217):
+
+    - ``full_complement`` / ``pred_full_complement`` ask for target =
+      complement(context) / context = complement(target). In this dense
+      boolean formulation both hold *by construction* (context is defined
+      as ~target), so the flags are accepted as no-ops. (The reference's
+      own branches at transforms.py:198-204 can never run: they call
+      ``torch.tensor(set(...))``, which raises TypeError — and even as
+      intended they recompute the complement that argwhere/nonzero at
+      :194-196 already produced.)
+    - ``max_keep`` truncates BOTH index lists to their first ``max_keep``
+      entries (transforms.py:207-209), leaving tokens beyond the cut in a
+      third 'dropped' state that a dense context=~target boolean cannot
+      represent. It is therefore rejected here; use ``mask_to_indices``
+      (the index-list parity form consumed by the predictor's
+      context_mask/target_mask path) which implements it exactly.
+    """
+    if max_keep is not None:
+        raise ValueError(
+            "max_keep drops tokens from both the context and target index "
+            "lists (reference transforms.py:207-209), which the dense "
+            "boolean mask cannot represent (context is defined as ~target)."
+            " Use mask_to_indices(mask_row, max_keep=...) and the model's "
+            "context_mask/target_mask index-list path instead.")
+    del full_complement, pred_full_complement  # no-ops: see docstring
     gd, gh, gw = grid
 
     def one(k):
@@ -160,16 +189,33 @@ def vjepa_target_mask(key: jax.Array, batch: int, *,
     return ~out if inv_block else out
 
 
-def mask_to_indices(mask_bool, max_len: int | None = None):
+def mask_to_indices(mask_bool, max_keep: int | None = None, *,
+                    full_complement: bool = False,
+                    pred_full_complement: bool = False,
+                    max_len: int | None = None):
     """Host-side helper (NOT jit): convert a boolean mask row to the
     reference's index-list form (context_mask / target_mask index arrays,
-    transforms.py:192-215). Used for API-parity paths and tests."""
+    transforms.py:192-215). Used for API-parity paths and tests.
+
+    ``max_keep`` matches VJEPAMaskGenerator exactly (transforms.py:207-209):
+    both lists are truncated to their first ``max_keep`` entries, in
+    ascending token order (argwhere/nonzero order). ``max_len`` is the
+    pre-round-5 name for the same knob, kept as an alias.
+
+    ``full_complement`` / ``pred_full_complement`` are accepted as no-ops:
+    context and target here are exact complements by construction, which is
+    what those flags request (the reference's own branches at
+    transforms.py:198-204 raise TypeError via ``torch.tensor(set(...))``).
+    """
     import numpy as np
 
+    del full_complement, pred_full_complement  # no-ops: see docstring
+    if max_keep is None:
+        max_keep = max_len
     mask_bool = np.asarray(mask_bool)
     target = np.nonzero(mask_bool)[0]
     context = np.nonzero(~mask_bool)[0]
-    if max_len is not None:
-        target = target[:max_len]
-        context = context[:max_len]
+    if max_keep is not None:
+        target = target[:max_keep]
+        context = context[:max_keep]
     return context, target

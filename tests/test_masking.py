@@ -91,3 +91,62 @@ def test_mask_ratio_out_of_range_raises():
         num_masked_tokens(32, 32, 16, 16, 1.2)
     with pytest.raises(ValueError, match="mask_ratio"):
         num_masked_tokens(32, 32, 16, 16, 0.0)
+
+
+def test_vjepa_mask_option_parity():
+    """VJEPAMaskGenerator's full_complement / pred_full_complement /
+    max_keep switches (reference transforms.py:109-217)."""
+    import pytest
+
+    from smb_vision_tpu.ops.masking import mask_to_indices
+
+    grid = (4, 4, 4)
+    key = jax.random.PRNGKey(7)
+    base = vjepa_target_mask(key, 3, grid=grid, num_blocks=2)
+
+    # full_complement / pred_full_complement hold by construction in the
+    # dense form: accepting them must not change the mask
+    fc = vjepa_target_mask(key, 3, grid=grid, num_blocks=2,
+                           full_complement=True)
+    pfc = vjepa_target_mask(key, 3, grid=grid, num_blocks=2,
+                            pred_full_complement=True)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(fc))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(pfc))
+
+    # max_keep creates a third 'dropped' token state -> dense form rejects
+    with pytest.raises(ValueError, match="max_keep"):
+        vjepa_target_mask(key, 3, grid=grid, num_blocks=2, max_keep=8)
+
+    # ... and the index-list form implements it exactly like the reference
+    # (transforms.py:207-209): both lists truncated to their first k
+    # entries in ascending token order
+    row = np.asarray(base)[0]
+    ctx_full, tgt_full = mask_to_indices(row)
+    assert (np.diff(ctx_full) > 0).all() and (np.diff(tgt_full) > 0).all()
+    np.testing.assert_array_equal(np.sort(np.concatenate([ctx_full,
+                                                          tgt_full])),
+                                  np.arange(row.size))
+    k = 5
+    ctx_k, tgt_k = mask_to_indices(row, max_keep=k)
+    np.testing.assert_array_equal(ctx_k, ctx_full[:k])
+    np.testing.assert_array_equal(tgt_k, tgt_full[:k])
+    # flags are accepted (and no-ops) on the index form too
+    ctx_f, tgt_f = mask_to_indices(row, full_complement=True,
+                                   pred_full_complement=True)
+    np.testing.assert_array_equal(ctx_f, ctx_full)
+    np.testing.assert_array_equal(tgt_f, tgt_full)
+    # pre-round-5 alias
+    ctx_a, tgt_a = mask_to_indices(row, max_len=k)
+    np.testing.assert_array_equal(ctx_a, ctx_k)
+    np.testing.assert_array_equal(tgt_a, tgt_k)
+
+
+def test_reference_full_complement_branch_is_unreachable_evidence():
+    """Documents why full_complement is a no-op here: the reference's own
+    branch (transforms.py:198-204) calls torch.tensor(set(...)), which
+    raises — i.e. the option never produced a different mask upstream."""
+    import pytest
+    import torch
+
+    with pytest.raises(TypeError):
+        torch.tensor(set(range(8)) - {1, 2}, dtype=torch.int64)
