@@ -71,12 +71,27 @@ def make_optimizer(*, learning_rate: float, total_steps: int,
                    vision_lr: Optional[float] = None,
                    merger_lr: Optional[float] = None,
                    head_regex: str = "classifier",
+                   backbone_regex: str = "videomae|dinov2|vjepa2",
                    optim: str = "adamw"):
     """AdamW with cosine/linear warmup schedule.
 
-    If vision_lr/merger_lr are both set, parameters matching ``head_regex``
-    in their path train at merger_lr and the rest at vision_lr (two-tier
-    fine-tuning, run_cls.sh:14-24).
+    Two-tier fine-tuning (run_cls.sh:14-24) follows the reference's
+    VisionTrainer.create_optimizer grouping EXACTLY
+    (/root/reference/src/train/trainer.py:54-131):
+
+    - ``merger_lr`` set: params matching ``head_regex`` ("classifier"
+      in name, ref :63-64) train at merger_lr;
+    - ``vision_lr`` set: params matching ``backbone_regex`` but NOT
+      ``head_regex`` (ref :59-61: "videomae"/"dinov2" in name minus
+      classifier; "vjepa2" added here for the third backbone family)
+      train at vision_lr;
+    - everything else — e.g. the fc_norm neck, ref :69-88 — stays at
+      ``learning_rate``. This third tier is load-bearing: mapping neck
+      params to vision_lr instead silently trains them at the wrong LR
+      whenever vision_lr != learning_rate
+      (tests/test_learning_equivalence.py::test_two_tier_lr_*).
+
+    Either tier may be set alone, as in the reference (:58-64).
 
     optim="adamw8bit" stores the Adam moments as int8 blockwise-quantized
     state (the reference's bitsandbytes Adam8bit analog,
@@ -102,25 +117,36 @@ def make_optimizer(*, learning_rate: float, total_steps: int,
             return optax.chain(optax.clip_by_global_norm(grad_clip), tx)
         return tx
 
-    if vision_lr is not None and merger_lr is not None:
+    if vision_lr is not None or merger_lr is not None:
         import re
 
-        pat = re.compile(head_regex)
+        head_pat = re.compile(head_regex)
+        back_pat = re.compile(backbone_regex)
+
+        def label_one(path, _):
+            name = "/".join(str(getattr(q, "key", q)) for q in path)
+            if head_pat.search(name):
+                # ref :59-61: the backbone rule excludes classifier names
+                # unconditionally, so an unset merger_lr leaves head
+                # params in the default group, never the vision group
+                return "head" if merger_lr is not None else "default"
+            if back_pat.search(name):
+                return "vision" if vision_lr is not None else "default"
+            return "default"
 
         def labels(params):
-            return jax.tree_util.tree_map_with_path(
-                lambda p, _: "head" if pat.search(
-                    "/".join(str(getattr(q, "key", q)) for q in p))
-                else "vision", params)
+            return jax.tree_util.tree_map_with_path(label_one, params)
 
-        return clipped(optax.multi_transform(
-            {"vision": adamw(make_schedule(vision_lr, total_steps,
-                                           warmup_ratio, warmup_steps,
-                                           schedule, min_lr)),
-             "head": adamw(make_schedule(merger_lr, total_steps,
-                                         warmup_ratio, warmup_steps,
-                                         schedule, min_lr))},
-            labels))
+        def sched(lr):
+            return make_schedule(lr, total_steps, warmup_ratio,
+                                 warmup_steps, schedule, min_lr)
+
+        tiers = {"default": adamw(sched(learning_rate))}
+        if vision_lr is not None:
+            tiers["vision"] = adamw(sched(vision_lr))
+        if merger_lr is not None:
+            tiers["head"] = adamw(sched(merger_lr))
+        return clipped(optax.multi_transform(tiers, labels))
 
     return clipped(adamw(make_schedule(learning_rate, total_steps,
                                        warmup_ratio, warmup_steps,

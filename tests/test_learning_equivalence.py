@@ -408,3 +408,138 @@ def test_vjepa_matches_reference_trainer_semantics(tmp_path):
     scale = max(float(np.abs(t).max()), 1e-8)
     rel = np.abs(t - j) / np.maximum(np.abs(t), 1e-2 * scale)
     assert rel.max() < TOL, (rel.max(), t.tolist(), j.tolist())
+
+
+def test_two_tier_lr_matches_vision_trainer(tmp_path):
+    """Two-tier LR equivalence vs the reference's
+    VisionTrainer.create_optimizer grouping
+    (/root/reference/src/train/trainer.py:39-169): six param groups —
+    {default, visual, merger} x {decay, no-decay} — with per-group LRs
+    (visual = names containing videomae/dinov2 minus classifier at
+    vision_lr, merger = classifier at merger_lr, the rest — fc_norm —
+    at args.learning_rate). All three LRs are DISTINCT here so a
+    mis-grouped parameter trains at the wrong rate; the final-parameter
+    comparison below then catches it even where the loss trajectory
+    would not (a neck/head param's LR barely moves early losses)."""
+    from transformers import Trainer
+    from transformers import VideoMAEConfig as HFConfig
+    from transformers import VideoMAEForVideoClassification as HFModel
+    from transformers.pytorch_utils import ALL_LAYERNORM_LAYERS
+    from transformers.trainer_pt_utils import get_parameter_names
+
+    num_labels = 2
+    lrs = dict(learning_rate=2e-3, vision_lr=5e-4, merger_lr=5e-3)
+    rng = np.random.default_rng(5)
+    px = rng.normal(size=(N, 16, 1, 16, 16)).astype(np.float32)
+    lab = {"labels": rng.integers(0, num_labels, N).astype(np.int64)}
+
+    cfg = VideoMAEConfig(
+        num_labels=num_labels, use_mean_pooling=True, dtype="float32",
+        attn_impl="xla",
+        problem_type=problem_type_for("classification", num_labels), **KW)
+    model = VideoMAEForVideoClassification(cfg)
+    tx = make_optimizer(
+        learning_rate=lrs["learning_rate"], vision_lr=lrs["vision_lr"],
+        merger_lr=lrs["merger_lr"], total_steps=STEPS,
+        weight_decay=RECIPE["weight_decay"],
+        warmup_ratio=RECIPE["warmup_ratio"],
+        grad_clip=RECIPE["max_grad_norm"], schedule="cosine")
+    init_fn, step_fn, _ = make_classification_workload(
+        model, cfg, task_type="classification", tx=tx)
+    state = init_fn(jax.random.PRNGKey(0),
+                    {"pixel_values": px[:B], "labels": lab["labels"][:B]})
+    sd = export_hf_videomae(state["params"],
+                            num_layers=KW["num_hidden_layers"])
+
+    hf = _load_into_torch(
+        HFModel(HFConfig(num_labels=num_labels, use_mean_pooling=True,
+                         **KW)), sd)
+    order = []
+
+    class DS(torch.utils.data.Dataset):
+        def __len__(self):
+            return N
+
+        def __getitem__(self, i):
+            order.append(int(i))
+            return {"pixel_values": torch.from_numpy(px[i]),
+                    "labels": torch.tensor(lab["labels"][i])}
+
+    class TwoTierTrainer(Trainer):
+        """VisionTrainer.create_optimizer re-created (ref :54-131)."""
+
+        def create_optimizer(self):
+            m = self.model
+            decay = [n for n in get_parameter_names(m, ALL_LAYERNORM_LAYERS)
+                     if "bias" not in n]
+            visual = [n for n, _ in m.named_parameters()
+                      if ("videomae" in n or "dinov2" in n)
+                      and "classifier" not in n]
+            merger = [n for n, _ in m.named_parameters()
+                      if "classifier" in n]
+            special = merger + visual
+            wd = self.args.weight_decay
+            groups = [
+                {"params": [p for n, p in m.named_parameters()
+                            if n in decay and n not in special],
+                 "weight_decay": wd},
+                {"params": [p for n, p in m.named_parameters()
+                            if n not in decay and n not in special],
+                 "weight_decay": 0.0},
+                {"params": [p for n, p in m.named_parameters()
+                            if n in decay and n in visual],
+                 "weight_decay": wd, "lr": lrs["vision_lr"]},
+                {"params": [p for n, p in m.named_parameters()
+                            if n not in decay and n in visual],
+                 "weight_decay": 0.0, "lr": lrs["vision_lr"]},
+                {"params": [p for n, p in m.named_parameters()
+                            if n in decay and n in merger],
+                 "weight_decay": wd, "lr": lrs["merger_lr"]},
+                {"params": [p for n, p in m.named_parameters()
+                            if n not in decay and n in merger],
+                 "weight_decay": 0.0, "lr": lrs["merger_lr"]},
+            ]
+            _, kwargs = Trainer.get_optimizer_cls_and_kwargs(self.args)
+            self.optimizer = torch.optim.AdamW(groups, **kwargs)
+            return self.optimizer
+
+    epochs = STEPS // (N // B)
+    args = _hf_args(str(tmp_path), epochs)
+    args.learning_rate = lrs["learning_rate"]
+    trainer = TwoTierTrainer(model=hf, args=args, train_dataset=DS())
+    trainer.train()
+    t_losses = [h["loss"] for h in trainer.state.log_history if "loss" in h]
+
+    jstep = jax.jit(step_fn)
+    j_losses = []
+    for s in range(STEPS):
+        idx = np.asarray(order[s * B:(s + 1) * B])
+        state, aux = jstep(state, {"pixel_values": px[idx],
+                                   "labels": lab["labels"][idx]},
+                           jax.random.PRNGKey(s))
+        j_losses.append(float(aux["loss"]))
+
+    t, j = np.asarray(t_losses[:STEPS]), np.asarray(j_losses)
+    scale = max(float(np.abs(t).max()), 1e-8)
+    rel = np.abs(t - j) / np.maximum(np.abs(t), 1e-2 * scale)
+    assert rel.max() < TOL, (rel.max(), t.tolist(), j.tolist())
+
+    # per-group effective updates: final params must agree PER TENSOR.
+    # A param sorted into the wrong tier integrates the wrong LR for 10
+    # steps and lands visibly off even when the loss curves overlap.
+    final_sd = export_hf_videomae(state["params"],
+                                  num_layers=KW["num_hidden_layers"])
+    t_sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    groups_seen = set()
+    for k, v in final_sd.items():
+        if "position_embeddings" in k:
+            continue                       # non-trainable sincos buffer
+        group = ("merger" if "classifier" in k
+                 else "visual" if "videomae" in k else "default")
+        groups_seen.add(group)
+        ref_v = t_sd[k]
+        err = np.abs(ref_v - v).max()
+        tol = 1e-5 * max(1.0, np.abs(ref_v).max())
+        assert err < tol, (k, group, err)
+    # the comparison must actually have exercised all three LR tiers
+    assert groups_seen == {"default", "visual", "merger"}
