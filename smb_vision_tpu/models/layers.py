@@ -302,13 +302,14 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        if self.mlp_impl not in ("auto", "pallas", "xla"):
-            raise ValueError(f"unknown mlp impl {self.mlp_impl!r}; "
-                             "valid: 'auto', 'pallas', 'xla'")
+        if self.mlp_impl not in ("auto", "pallas", "pallas_bwd", "xla"):
+            raise ValueError(
+                f"unknown mlp impl {self.mlp_impl!r}; "
+                "valid: 'auto', 'pallas', 'pallas_bwd', 'xla'")
         kinit = trunc_normal_init(self.initializer_range)
         # auto only engages for bf16 compute: the kernel computes in
         # bf16, so an f32-configured model must not silently degrade
-        route = (self.mlp_impl == "pallas"
+        route = (self.mlp_impl in ("pallas", "pallas_bwd")
                  or (self.mlp_impl == "auto"
                      and self.dtype == jnp.bfloat16))
         if not self.quant8 and self.act in ("gelu", "gelu_new") \
@@ -457,13 +458,17 @@ class Block(nn.Module):
         # nothing non-foldable sits in the chain (DropPath active =
         # per-sample random scale; SwiGLU/quant8 have their own paths).
         # LayerScale folds into w2/b2. Params keep the norm2/mlp trees.
-        if self.mlp_impl not in ("auto", "pallas", "xla"):
-            raise ValueError(f"unknown mlp impl {self.mlp_impl!r}; "
-                             "valid: 'auto', 'pallas', 'xla'")
+        if self.mlp_impl not in ("auto", "pallas", "pallas_bwd", "xla"):
+            raise ValueError(
+                f"unknown mlp impl {self.mlp_impl!r}; "
+                "valid: 'auto', 'pallas', 'pallas_bwd', 'xla'")
         # gelu MLPs auto-fuse on TPU (+30% over the XLA chain) for bf16
         # compute (the kernel is bf16 — f32 models must not silently
         # degrade); the swiglu kernel measured FLAT vs XLA
-        # (BENCHMARKS.md) so it runs only on explicit mlp_impl="pallas"
+        # (BENCHMARKS.md) so it runs only on explicit mlp_impl="pallas".
+        # "pallas_bwd" (the pallas-backward training path) has no
+        # half-block variant: it skips this fusion and routes LN + Mlp
+        # separately below, with the Mlp's fwd AND bwd in-kernel.
         route = (self.mlp_impl == "pallas"
                  if self.use_swiglu else
                  (self.mlp_impl == "pallas"

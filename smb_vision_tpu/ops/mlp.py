@@ -68,6 +68,35 @@ def _gelu_tanh(x):
 
 _KERNEL_ACTS = {"gelu": _gelu_as, "gelu_new": _gelu_tanh}
 
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _gelu_as_grad(x):
+    """(gelu(x), gelu'(x)) with the same A-S erf as _gelu_as:
+    gelu'(x) = 0.5*(1+erf(x/sqrt2)) + x * pdf(x)."""
+    z = jnp.abs(x) * _INVSQRT2
+    t = 1.0 / (1.0 + 0.3275911 * z)
+    poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+             - 0.284496736) * t + 0.254829592) * t
+    e = 1.0 - poly * jnp.exp(-z * z)
+    erf = jnp.where(x >= 0, e, -e)
+    cdf = 0.5 * (1.0 + erf)
+    pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * x * x)
+    return x * cdf, cdf + x * pdf
+
+
+def _gelu_tanh_grad(x):
+    """(gelu_new(x), gelu_new'(x)) for the tanh approximation."""
+    c = 0.7978845608028654
+    u = c * (x + 0.044715 * x * x * x)
+    t = jnp.tanh(u)
+    a = 0.5 * x * (1.0 + t)
+    du = c * (1.0 + 3.0 * 0.044715 * x * x)
+    return a, 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * du
+
+
+_KERNEL_ACT_GRADS = {"gelu": _gelu_as_grad, "gelu_new": _gelu_tanh_grad}
+
 
 def _xla_act(name: str):
     if name == "gelu":
@@ -103,6 +132,83 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, acc_scr, *,
     @pl.when(jf == nf - 1)
     def _flush():
         o_ref[...] = (acc_scr[...] + b2_ref[...]).astype(o_ref.dtype)
+
+
+def _mlp_train_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                      h_ref, acc_scr, *, bn: int, act: str):
+    """Forward with pre-activation spill: identical math to _mlp_kernel,
+    plus h = x @ w1 + b1 written (bf16) per chunk for the backward
+    kernel — the recompute-free training path (round-5 VERDICT #1)."""
+    jf = pl.program_id(1)
+    nf = pl.num_programs(1)
+    gelu = _KERNEL_ACTS[act]
+
+    @pl.when(jf == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    x = x_ref[...]
+    acc = acc_scr[...]
+    for j in range(w1_ref.shape[1] // bn):
+        sl = slice(j * bn, (j + 1) * bn)
+        h = jax.lax.dot_general(
+            x, w1_ref[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        h = h + b1_ref[0, sl]
+        h_ref[:, sl] = h.astype(h_ref.dtype)
+        h = gelu(h)
+        acc = acc + jax.lax.dot_general(
+            h.astype(jnp.bfloat16), w2_ref[sl, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    acc_scr[...] = acc
+
+    @pl.when(jf == nf - 1)
+    def _flush():
+        o_ref[...] = (acc_scr[...] + b2_ref[...]).astype(o_ref.dtype)
+
+
+def _mlp_bwd_kernel(h_ref, g_ref, w1_ref, w2_ref, dx_ref, dh_ref, a_ref,
+                    acc_scr, *, bn: int, act: str):
+    """Backward data-gradient pass over the spilled pre-activation:
+
+      a  = act(h)                      (VPU, f32)
+      da = g @ w2_chunk^T              (MXU)
+      dh = da * act'(h)                (VPU)
+      dx += dh @ w1_chunk^T            (MXU, f32 scratch over f chunks)
+
+    dh and a are emitted (bf16) so the weight gradients become two plain
+    bf16 matmuls OUTSIDE the kernel (dw1 = x^T dh, dw2 = a^T g) — pure
+    MXU work XLA runs at matmul speed, unlike the gelu-epilogue chain
+    this kernel replaces. Same sub-block unroll as the forward."""
+    jf = pl.program_id(1)
+    nf = pl.num_programs(1)
+    act_grad = _KERNEL_ACT_GRADS[act]
+
+    @pl.when(jf == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    g = g_ref[...]
+    acc = acc_scr[...]
+    for j in range(h_ref.shape[1] // bn):
+        sl = slice(j * bn, (j + 1) * bn)
+        h = h_ref[:, sl].astype(jnp.float32)
+        a, d = act_grad(h)
+        da = jax.lax.dot_general(
+            g, w2_ref[sl, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dh = (da * d).astype(jnp.bfloat16)
+        dh_ref[:, sl] = dh
+        a_ref[:, sl] = a.astype(a_ref.dtype)
+        acc = acc + jax.lax.dot_general(
+            dh, w1_ref[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    acc_scr[...] = acc
+
+    @pl.when(jf == nf - 1)
+    def _flush():
+        dx_ref[...] = acc_scr[...].astype(dx_ref.dtype)
 
 
 def _mlp_block_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
@@ -450,6 +556,237 @@ def _mlp_fused_bwd(static, res, g):
 _mlp_fused.defvjp(_mlp_fused_fwd, _mlp_fused_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Training path with Pallas backward (round-5 VERDICT #1): the forward
+# spills the pre-activation h once; the backward computes dx (and dh, a)
+# in one kernel with NO matmul recompute, leaving dw1/dw2 as plain bf16
+# matmuls. Total backward matmul FLOPs: 8*M*K*F (4 in-kernel, 4 pure
+# matmul) vs the recompute VJP's 10*M*K*F on the 71-TFLOP/s XLA chain.
+
+
+def _train_vmem_bytes(bm: int, k: int, f: int, bf: int) -> int:
+    return _vmem_bytes(bm, k, f, bf) + 2 * bm * bf * 2   # + h out blocks
+
+
+def _bwd_vmem_bytes(bm: int, k: int, f: int, bf: int) -> int:
+    row_k = 2 * (bm * k * 2) * 2           # g in + dx out, double-buffered
+    row_f = 3 * (bm * bf * 2) * 2          # h in + dh/a out
+    acc = bm * k * 4
+    w = 2 * k * bf * 2
+    if bf < f:
+        w *= 3                              # streamed chunks (see _vmem_bytes)
+    return row_k + row_f + acc + w
+
+
+def _plan_with(m: int, k: int, f: int, vmem_fn,
+               budget: int = _VMEM_BUDGET) -> Optional[Tuple[int, int, int]]:
+    if k % 128 != 0 or f % 128 != 0:
+        return None
+    for bm in (512, 256, 128):
+        if m % bm != 0:
+            continue
+        bf = f
+        while vmem_fn(bm, k, f, bf) > budget and bf % 2 == 0 and bf > 128:
+            bf //= 2
+        if f % bf != 0 or bf % 128 != 0 or vmem_fn(bm, k, f, bf) > budget:
+            continue
+        bn = next((b for b in (768, 512, 1024, 256, 128) if bf % b == 0),
+                  bf)
+        return bm, bf, bn
+    return None
+
+
+def _train_plan(m, k, f):
+    return _plan_with(m, k, f, _train_vmem_bytes)
+
+
+def _bwd_plan(m, k, f):
+    return _plan_with(m, k, f, _bwd_vmem_bytes)
+
+
+def _padded_train_plan(m: int, k: int, f: int):
+    """Joint plan: the padded row count must map for BOTH the train
+    forward and the backward kernel (they share the spilled h layout)."""
+    def ok(mm):
+        return (_train_plan(mm, k, f) is not None
+                and _bwd_plan(mm, k, f) is not None)
+    if ok(m):
+        return True, m
+    if m >= 2048:
+        m_pad = -(-m // 512) * 512
+        if ok(m_pad):
+            return True, m_pad
+    return False, m
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("act", "bm", "bf", "bn", "interpret"))
+def _mlp_train_pallas(x2, w1, b1, w2, b2, act, bm, bf, bn,
+                      interpret=False):
+    m, k = x2.shape
+    f = w1.shape[1]
+    return pl.pallas_call(
+        functools.partial(_mlp_train_kernel, bn=bn, act=act),
+        grid=(m // bm, f // bf),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, jf: (i, 0)),
+            pl.BlockSpec((k, bf), lambda i, jf: (0, jf)),
+            pl.BlockSpec((1, bf), lambda i, jf: (0, jf)),
+            pl.BlockSpec((bf, k), lambda i, jf: (jf, 0)),
+            pl.BlockSpec((1, k), lambda i, jf: (0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((bm, k), lambda i, jf: (i, 0)),
+                   pl.BlockSpec((bm, bf), lambda i, jf: (i, jf))],
+        out_shape=[jax.ShapeDtypeStruct((m, k), x2.dtype),
+                   jax.ShapeDtypeStruct((m, f), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((bm, k), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(x2, w1, b1, w2, b2)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("act", "bm", "bf", "bn", "interpret"))
+def _mlp_bwd_pallas(h, g2, w1, w2, act, bm, bf, bn, interpret=False):
+    m, k = g2.shape
+    f = h.shape[1]
+    return pl.pallas_call(
+        functools.partial(_mlp_bwd_kernel, bn=bn, act=act),
+        grid=(m // bm, f // bf),
+        in_specs=[
+            pl.BlockSpec((bm, bf), lambda i, jf: (i, jf)),
+            pl.BlockSpec((bm, k), lambda i, jf: (i, 0)),
+            pl.BlockSpec((k, bf), lambda i, jf: (0, jf)),
+            pl.BlockSpec((bf, k), lambda i, jf: (jf, 0)),
+        ],
+        out_specs=[pl.BlockSpec((bm, k), lambda i, jf: (i, 0)),
+                   pl.BlockSpec((bm, bf), lambda i, jf: (i, jf)),
+                   pl.BlockSpec((bm, bf), lambda i, jf: (i, jf))],
+        out_shape=[jax.ShapeDtypeStruct((m, k), jnp.bfloat16),
+                   jax.ShapeDtypeStruct((m, f), jnp.bfloat16),
+                   jax.ShapeDtypeStruct((m, f), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((bm, k), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(h, g2, w1, w2)
+
+
+def _mlp_train_local(x2, w1, b1, w2, b2, act: str, interpret: bool):
+    plan = _train_plan(x2.shape[0], x2.shape[1], w1.shape[1])
+    if plan is None:
+        # per-shard fallback mirroring the kernel's layout: h spilled
+        # bf16, bias+act in f32, matmuls bf16
+        hf = jax.lax.dot_general(
+            x2, w1, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b1[0]
+        y = jax.lax.dot_general(
+            _KERNEL_ACTS[act](hf).astype(jnp.bfloat16), w2,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b2[0]
+        return y.astype(x2.dtype), hf.astype(jnp.bfloat16)
+    y, h = _mlp_train_pallas(x2, w1, b1, w2, b2, act, *plan, interpret)
+    return y, h
+
+
+def _mlp_bwd_local(h, g2, w1, w2, act: str, interpret: bool):
+    plan = _bwd_plan(g2.shape[0], g2.shape[1], h.shape[1])
+    if plan is None:
+        hf = h.astype(jnp.float32)
+        a, d = _KERNEL_ACT_GRADS[act](hf)
+        da = jax.lax.dot_general(
+            g2, w2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dh = (da * d).astype(jnp.bfloat16)
+        dx = jax.lax.dot_general(
+            dh, w1, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dx.astype(jnp.bfloat16), dh, a.astype(jnp.bfloat16)
+    return _mlp_bwd_pallas(h, g2, w1, w2, act, *plan, interpret)
+
+
+@functools.lru_cache(maxsize=None)
+def _mlp_train_partitioned(act: str, interpret: bool):
+    from smb_vision_tpu.ops.partition import dim0_partitioned
+
+    return dim0_partitioned(
+        lambda x2, w1, b1, w2, b2:
+        _mlp_train_local(x2, w1, b1, w2, b2, act, interpret))
+
+
+@functools.lru_cache(maxsize=None)
+def _mlp_bwd_partitioned(act: str, interpret: bool):
+    from smb_vision_tpu.ops.partition import dim0_partitioned
+
+    return dim0_partitioned(
+        lambda h, g2, w1, w2: _mlp_bwd_local(h, g2, w1, w2, act,
+                                             interpret),
+        sharded_args=(0, 1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _mlp_fused_tb(x, w1, b1, w2, b2, static):
+    y, _ = _mlp_tb_fwd_impl(x, w1, b1, w2, b2, static)
+    return y
+
+
+def _mlp_tb_fwd_impl(x, w1, b1, w2, b2, static):
+    act, interpret = static
+    x2 = x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16)
+    m = x2.shape[0]
+    _, m_pad = _padded_train_plan(m, x2.shape[1], w1.shape[1])
+    if m_pad != m:
+        # zero padding keeps the spilled h rows finite (h = b1) so the
+        # backward's 0-cotangent rows stay exactly 0 (no 0*NaN)
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+    y2, h = _mlp_train_partitioned(act, interpret)(
+        x2, w1.astype(jnp.bfloat16),
+        b1.astype(jnp.float32).reshape(1, -1),
+        w2.astype(jnp.bfloat16),
+        b2.astype(jnp.float32).reshape(1, -1))
+    y = y2[:m] if m_pad != m else y2
+    y = y.reshape(*x.shape[:-1], y.shape[-1]).astype(x.dtype)
+    return y, (x2, h)
+
+
+def _mlp_fused_tb_fwd(x, w1, b1, w2, b2, static):
+    y, (x2, h) = _mlp_tb_fwd_impl(x, w1, b1, w2, b2, static)
+    # residuals must be arrays: dx's shape is recovered from gy + w1 and
+    # its dtype from a zero-size witness
+    return y, (x2, h, w1, w2, jnp.zeros((0,), x.dtype))
+
+
+def _mlp_fused_tb_bwd(static, res, gy):
+    act, interpret = static
+    x2, h, w1, w2, x_wit = res
+    x_shape = (*gy.shape[:-1], w1.shape[0])
+    x_dtype = x_wit.dtype
+    m = 1
+    for d in x_shape[:-1]:
+        m *= d
+    g2 = gy.reshape(m, -1).astype(jnp.bfloat16)
+    m_pad = x2.shape[0]
+    if m_pad != m:
+        g2 = jnp.pad(g2, ((0, m_pad - m), (0, 0)))
+    dx2, dh, a = _mlp_bwd_partitioned(act, interpret)(
+        h, g2, w1.astype(jnp.bfloat16), w2.astype(jnp.bfloat16))
+    # weight grads: pure bf16 matmuls, f32 accumulation. Padded rows of
+    # dh/g2 are exactly 0 so they contribute nothing.
+    dw1 = jax.lax.dot_general(x2, dh, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dw2 = jax.lax.dot_general(a, g2, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    db1 = jnp.sum(dh.astype(jnp.float32), axis=0)
+    db2 = jnp.sum(g2.astype(jnp.float32), axis=0)
+    dx = dx2[:m] if m_pad != m else dx2
+    dx = dx.reshape(x_shape).astype(x_dtype)
+    return dx, dw1, db1, dw2, db2
+
+
+_mlp_fused_tb.defvjp(_mlp_fused_tb_fwd, _mlp_fused_tb_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("bm", "bf", "bn", "eps",
                                               "interpret"))
 def _swiglu_block_pallas(x2, lnw, lnb, w1a, w1b, b1a, b1b, w2, b2, bm,
@@ -753,31 +1090,42 @@ def mlp_forward(x, w1, b1, w2, b2, *, act: str = "gelu",
 
     x: (..., K); w1: (K, F); b1: (F,); w2: (F, K); b2: (K,).
     impl: "auto" (pallas on TPU when the shape maps, else xla) |
-          "pallas" | "xla". The pallas path computes bias+GELU in f32
-    (strictly tighter than the xla path's bf16 epilogue); its backward
-    recomputes the xla forward, so gradients match the plain path.
+          "pallas" | "pallas_bwd" | "xla". The pallas path computes
+    bias+GELU in f32 (strictly tighter than the xla path's bf16
+    epilogue); its backward recomputes the xla forward, so gradients
+    match the plain path. "pallas_bwd" additionally runs the BACKWARD
+    through a pallas kernel (forward spills the pre-activation; dx/dh
+    computed recompute-free in-kernel, dw1/dw2 as pure bf16 matmuls) —
+    gradients are bf16-class vs the xla path, not bit-identical
+    (tests/test_mlp_bwd.py bounds them).
     """
-    if impl not in ("auto", "pallas", "xla"):
+    if impl not in ("auto", "pallas", "pallas_bwd", "xla"):
         raise ValueError(f"unknown mlp impl {impl!r}; "
-                         "valid: 'auto', 'pallas', 'xla'")
+                         "valid: 'auto', 'pallas', 'pallas_bwd', 'xla'")
     plan = None
     if impl != "xla" and act in _KERNEL_ACTS and b1 is not None \
             and b2 is not None:
         m = 1
         for d in x.shape[:-1]:
             m *= d
-        plan, _ = _padded_plan(m, x.shape[-1], w1.shape[1])
+        if impl == "pallas_bwd":
+            ok, _ = _padded_train_plan(m, x.shape[-1], w1.shape[1])
+            plan = True if ok else None
+        else:
+            plan, _ = _padded_plan(m, x.shape[-1], w1.shape[1])
     on_tpu = jax.devices()[0].platform == "tpu"
     if impl == "auto":
         # the kernel computes in bf16: auto must not degrade f32 models
         impl = "pallas" if (on_tpu and plan is not None
                             and x.dtype == jnp.bfloat16) else "xla"
-    elif impl == "pallas" and not on_tpu:
+    elif impl in ("pallas", "pallas_bwd") and not on_tpu:
         interpret = True        # forced-pallas off-TPU: interpret mode
     if impl == "xla":
         return _mlp_xla(x, w1, b1, w2, b2, act)
     if plan is None:
         raise ValueError(
-            f"mlp impl='pallas' cannot map shape x={x.shape}, "
+            f"mlp impl={impl!r} cannot map shape x={x.shape}, "
             f"w1={w1.shape}: rows must divide by 128 and K, F by 128")
+    if impl == "pallas_bwd":
+        return _mlp_fused_tb(x, w1, b1, w2, b2, (act, interpret))
     return _mlp_fused(x, w1, b1, w2, b2, (act, interpret))
