@@ -747,6 +747,9 @@ def attention(q, k, v, *, scale: Optional[float] = None,
 
     if impl == "xla":
         return xla_attention(q, k, v, scale=scale, bias=bias)
+    if jax.devices()[0].platform != "tpu":
+        interpret = True    # forced-pallas off-TPU: interpret mode (same
+        #                     convention as ops/mlp.py::mlp_forward)
 
     if bias is not None:
         raise NotImplementedError("pallas path does not take a bias; "
@@ -813,6 +816,8 @@ def attention_with_lse(q, k, v, *, scale: Optional[float] = None,
         raise ValueError(
             f"unknown attention impl {impl!r}; valid here: 'auto', 'xla', "
             "'pallas' (int8 spellings coerce to 'pallas')")
+    if jax.devices()[0].platform != "tpu":
+        interpret = True    # forced-pallas off-TPU: interpret mode
 
     b, nq, h, d = q.shape
     kv = k.shape[1]

@@ -1,0 +1,51 @@
+"""Production-precision trajectory drift (round-5 VERDICT #7).
+
+Learning equivalence vs torch is proven on the f32/XLA path; production
+trains bf16 through the pallas kernels. This hermetic check trains the
+same MIM model from the same init on identical batches under both
+configurations and bounds the per-step loss divergence — the tolerance a
+user porting a reference recipe to the production path can quote. The
+measured number on the 20-step kexp run is 1.7e-5
+(scripts/kexp/precision_drift.py, BENCHMARKS.md "bf16+pallas drift");
+the CI bound leaves ~30x slack for platform variation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from smb_vision_tpu.models.configs import VideoMAEConfig
+from smb_vision_tpu.train.mim import make_mim_workload
+
+STEPS = 8
+KW = dict(image_size=128, num_frames=64, patch_size=16, tubelet_size=16,
+          num_channels=1, hidden_size=128, num_hidden_layers=1,
+          num_attention_heads=2, intermediate_size=256,
+          decoder_hidden_size=128, decoder_num_hidden_layers=1,
+          decoder_num_attention_heads=2, decoder_intermediate_size=256)
+
+
+def _run(dtype, attn_impl, mlp_impl, px):
+    cfg = VideoMAEConfig(dtype=dtype, attn_impl=attn_impl,
+                         mlp_impl=mlp_impl, norm_pix_loss=True, **KW)
+    _, init_fn, step_fn, _ = make_mim_workload(
+        cfg, mask_patch_size=16, mask_ratio=0.5, tx=optax.adamw(1e-3))
+    state = init_fn(jax.random.PRNGKey(0))
+    jstep = jax.jit(step_fn, donate_argnums=(0,))
+    losses = []
+    for s in range(STEPS):
+        state, metrics = jstep(state, {"pixel_values": px[s % 2]},
+                               jax.random.PRNGKey(s))
+        losses.append(float(metrics["loss"]))
+    return losses
+
+
+def test_bf16_pallas_trajectory_matches_f32_xla(rng):
+    px = [jnp.asarray(rng.normal(size=(2, 64, 1, 128, 128)), jnp.float32)
+          for _ in range(2)]
+    ref = _run("float32", "xla", "xla", px)
+    prod = _run("bfloat16", "pallas", "pallas_bwd", px)
+    rel = max(abs(a - b) / max(abs(b), 1e-8) for a, b in zip(prod, ref))
+    assert rel < 5e-4, (rel, ref, prod)
+    # and the run actually optimizes on both paths
+    assert ref[-1] < ref[0] and prod[-1] < prod[0], (ref, prod)
