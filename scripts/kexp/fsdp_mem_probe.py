@@ -125,13 +125,26 @@ def main():
         for policy, mp in (("dp", 1), ("fsdp", 1), ("fsdp+tp", 2)):
             probe(policy, cfg, batch_per_dev=1, model_par=mp)
     if which in ("all", "oom"):
-        print("== OOM section: full 384^2x256 V-JEPA geometry (9216 "
-              "tokens), bs 2/device, grad accum dtype f32", flush=True)
-        cfg = vitl_cfg(crop=384, fpc=256)
-        tot_dp = probe("dp", cfg, batch_per_dev=2)
-        tot_fsdp = probe("fsdp", cfg, batch_per_dev=2)
-        print(f"dp/fsdp per-device total ratio: {tot_dp / tot_fsdp:.2f}x",
-              flush=True)
+        # tiny tokens on purpose: the demonstration is about RESIDENT
+        # STATE (params+teacher+moments = 4x params in f32), which no
+        # remat/flash trick can shrink — at ViT-G scale it alone
+        # overflows a v5e replicated and fits 8-way sharded. (A
+        # full-geometry variant is dominated by XLA-attention temps on
+        # this CPU compile — the flash kernel owns that axis on TPU.)
+        print("== OOM section: ViT-G-scale V-JEPA (hidden 1536, 40L, "
+              "~1.1B params x4 f32 state)", flush=True)
+        cfg = VJEPA2Config(
+            crop_size=64, frames_per_clip=32, patch_size=16,
+            tubelet_size=16, in_chans=1, hidden_size=1536,
+            num_hidden_layers=40, num_attention_heads=16, mlp_ratio=4.0,
+            pred_hidden_size=384, pred_num_hidden_layers=12,
+            pred_num_attention_heads=12, pred_num_mask_tokens=10,
+            dtype="bfloat16", attn_impl="xla")
+        tot_dp = probe("dp", cfg, batch_per_dev=1)
+        tot_fsdp = probe("fsdp", cfg, batch_per_dev=1)
+        print(f"dp/fsdp per-device total ratio: {tot_dp / tot_fsdp:.2f}x"
+              f"  -> replicated {'OOMs' if tot_dp > HBM else 'fits'}, "
+              f"fsdp {'OOMs' if tot_fsdp > HBM else 'fits'}", flush=True)
 
 
 if __name__ == "__main__":

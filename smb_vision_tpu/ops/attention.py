@@ -405,17 +405,19 @@ def _fwd_i8_sharded(scale, block_q, block_k, interpret, pv):
 
 
 @functools.lru_cache(maxsize=None)
-def _bwd_sharded(scale, block_q, block_k, interpret, has_glse):
+def _bwd_sharded(scale, block_q, block_k, interpret, has_glse,
+                 i8=False):
     from smb_vision_tpu.ops.partition import dim0_partitioned
 
     if has_glse:
         fn = lambda q, k, v, out, lse, g, g_lse: _bwd(  # noqa: E731
             scale, block_q, block_k, interpret, (q, k, v, out, lse), g,
-            g_lse=g_lse)
+            g_lse=g_lse, i8=i8)
         n_args = 7
     else:
         fn = lambda q, k, v, out, lse, g: _bwd(  # noqa: E731
-            scale, block_q, block_k, interpret, (q, k, v, out, lse), g)
+            scale, block_q, block_k, interpret, (q, k, v, out, lse), g,
+            i8=i8)
         n_args = 6
     return dim0_partitioned(fn, sharded_args=tuple(range(n_args)))
 
@@ -544,7 +546,144 @@ def _bwd_dkv_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_scr[:].T.astype(dv_ref.dtype)
 
 
-def _bwd(scale, block_q, block_k, interpret, res, g, g_lse=None):
+def _bwd_dq_i8_kernel(q8_ref, k8_ref, v8_ref, do8_ref, kbf_ref, lse_ref,
+                      delta_ref, sqk_ref, sdv_ref, dq_ref, acc_scr, *,
+                      scale: float, block_k: int, kv_len: int,
+                      unroll: int):
+    """dq pass with the score recompute s and dp = do@v^T on the int8
+    MXU (2x rate) — round-5 VERDICT #2 probe. Per-head symmetric scales
+    as in the int8 forward; ds and the dq accumulation stay bf16 (k
+    arrives twice: int8 for s, bf16 for the accumulation)."""
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+    b = pl.program_id(0)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q8 = q8_ref[0]                                      # (bq, d) int8
+    do8 = do8_ref[0]
+    lse = lse_ref[0]
+    delta = delta_ref[0]
+    s_qk = sqk_ref[b]
+    s_dv = sdv_ref[b]
+    sub = block_k // unroll
+    ragged = kv_len % block_k != 0
+
+    acc = acc_scr[:]
+    for u in range(unroll):
+        base = ik * block_k + u * sub
+        k8_u = k8_ref[0][u * sub:(u + 1) * sub]         # (sub, d) int8
+        v8_u = v8_ref[0][u * sub:(u + 1) * sub]
+        kbf_u = kbf_ref[0][u * sub:(u + 1) * sub]       # (sub, d) bf16
+        s = jax.lax.dot_general(q8, k8_u, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        s = s.astype(jnp.float32) * s_qk                # (bq, sub) log2u
+        if ragged:
+            # int8 OOB padding is finite garbage (ints carry no NaN) —
+            # masking the dequantized scores to NEG_INF kills it via p=0
+            kv_ids = base + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, dimension=1)
+            s = jnp.where(kv_ids < kv_len, s, NEG_INF)
+            kbf_u = _zero_pad_rows(kbf_u, base, kv_len)
+        p = jnp.exp2(s - lse)
+        dp = jax.lax.dot_general(do8, v8_u, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        dp = dp.astype(jnp.float32) * s_dv
+        ds = (p * (dp - delta)).astype(kbf_u.dtype)     # (bq, sub) bf16
+        acc += jax.lax.dot_general(kbf_u, ds, (((0,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    acc_scr[:] = acc
+
+    @pl.when(ik == nk - 1)
+    def _finish():
+        dq_ref[0] = (acc_scr[:] * scale).T.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_i8_kernel(q8_ref, k8_ref, v8_ref, do8_ref, qsbf_ref,
+                       dobf_ref, lse_ref, delta_ref, sqk_ref, sdv_ref,
+                       dk_ref, dv_ref, dk_scr, dv_scr, *, block_q: int,
+                       block_k: int, q_len: int, kv_len: int,
+                       dkv_unroll: int):
+    """dkv pass with s and dp on the int8 MXU; the dv and dk
+    accumulations stay bf16 (qs/do arrive twice)."""
+    iq = pl.program_id(2)
+    nq = pl.num_programs(2)
+    ik = pl.program_id(1)
+    b = pl.program_id(0)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    k8 = k8_ref[0]                                      # (bk, d) int8
+    v8 = v8_ref[0]
+    s_qk = sqk_ref[b]
+    s_dv = sdv_ref[b]
+    bq = q8_ref.shape[1]
+    sub = bq // dkv_unroll
+    ragged_q = q_len % block_q != 0
+    ragged_k = kv_len % block_k != 0
+
+    dv_acc = dv_scr[:]
+    dk_acc = dk_scr[:]
+    for u in range(dkv_unroll):
+        base = iq * block_q + u * sub
+        q8_u = q8_ref[0][u * sub:(u + 1) * sub]
+        do8_u = do8_ref[0][u * sub:(u + 1) * sub]
+        qsbf = qsbf_ref[0][u * sub:(u + 1) * sub]
+        dobf = dobf_ref[0][u * sub:(u + 1) * sub]
+        lse = lse_ref[0].reshape(bq, 1)[u * sub:(u + 1) * sub]
+        delta = delta_ref[0][u * sub:(u + 1) * sub]
+        if ragged_q:
+            qsbf = _zero_pad_rows(qsbf, base, q_len)
+            dobf = _zero_pad_rows(dobf, base, q_len)
+            lse = _zero_pad_rows(lse, base, q_len)
+            delta = _zero_pad_rows(delta, base, q_len)
+        s = jax.lax.dot_general(q8_u, k8, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        s = s.astype(jnp.float32) * s_qk                # (sub, bk)
+        if ragged_k:
+            kv_ids = ik * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, dimension=1)
+            s = jnp.where(kv_ids < kv_len, s, NEG_INF)
+
+        p = jnp.exp2(s - lse)
+        if ragged_q:
+            # OOB int8 q rows are finite garbage; their p rows may be
+            # huge-but-finite — zero them exactly like the bf16 kernel
+            p = _zero_pad_rows(p, base, q_len)
+        p16 = p.astype(qsbf.dtype)
+
+        dv_acc += jax.lax.dot_general(dobf, p16, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do8_u, v8, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        dp = dp.astype(jnp.float32) * s_dv
+        ds = (p * (dp - delta)).astype(qsbf.dtype)
+        dk_acc += jax.lax.dot_general(qsbf, ds, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    dv_scr[:] = dv_acc
+    dk_scr[:] = dk_acc
+
+    @pl.when(iq == nq - 1)
+    def _finish():
+        dk_ref[0] = (dk_scr[:] * (1.0 / LOG2E)).T.astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].T.astype(dv_ref.dtype)
+
+
+def _quant_per_head(x):
+    """Symmetric per-head int8 quantization (as the int8 forward)."""
+    s = jnp.max(jnp.abs(x), axis=(1, 2), keepdims=True) / 127.0
+    s = jnp.where(s == 0, 1.0, s)
+    x8 = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+    return x8, s.reshape(x.shape[0])
+
+
+def _bwd(scale, block_q, block_k, interpret, res, g, g_lse=None,
+         i8=False):
     q, k, v, out, lse = res
     bh, nq, d = q.shape
     kv = k.shape[1]
@@ -568,6 +707,81 @@ def _bwd(scale, block_q, block_k, interpret, res, g, g_lse=None):
         delta = delta - g_lse.astype(jnp.float32) * LOG2E
     q_aux_spec = lambda b, iq, ik: (b, iq, 0)  # noqa: E731
     aux_block = (1, block_q, 1)
+
+    if i8:
+        qf = q.astype(jnp.float32) * (scale * LOG2E)
+        q8, sq = _quant_per_head(qf)
+        k8, sk = _quant_per_head(k.astype(jnp.float32))
+        v8, sv = _quant_per_head(v.astype(jnp.float32))
+        do8, sdo = _quant_per_head(do.astype(jnp.float32))
+        sqk = sq * sk
+        sdv = sdo * sv
+        kv_spec = lambda b, iq, ik: (b, ik, 0)        # noqa: E731
+        q_spec = lambda b, iq, ik: (b, iq, 0)         # noqa: E731
+        dq = pl.pallas_call(
+            functools.partial(_bwd_dq_i8_kernel, scale=scale,
+                              block_k=block_k, kv_len=kv,
+                              unroll=_pick_unroll(block_k)),
+            grid=(bh, _cdiv(nq, block_q), _cdiv(kv, block_k)),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), q_spec),
+                pl.BlockSpec((1, block_k, d), kv_spec),
+                pl.BlockSpec((1, block_k, d), kv_spec),
+                pl.BlockSpec((1, block_q, d), q_spec),
+                pl.BlockSpec((1, block_k, d), kv_spec),
+                pl.BlockSpec(aux_block, q_aux_spec),
+                pl.BlockSpec(aux_block, q_aux_spec),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, d), q_spec),
+            out_shape=jax.ShapeDtypeStruct((bh, nq, d), q.dtype),
+            scratch_shapes=[pltpu.VMEM((d, block_q), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel",
+                                     "arbitrary"),
+                vmem_limit_bytes=110 * 2 ** 20),
+            interpret=interpret,
+        )(q8, k8, v8, do8, k, lse, delta, sqk, sdv)
+
+        kv_spec2 = lambda b, ik, iq: (b, ik, 0)       # noqa: E731
+        q_spec2 = lambda b, ik, iq: (b, iq, 0)        # noqa: E731
+        dk, dv = pl.pallas_call(
+            functools.partial(_bwd_dkv_i8_kernel, block_q=block_q,
+                              dkv_unroll=_pick_unroll(block_q),
+                              block_k=block_k, q_len=nq, kv_len=kv),
+            grid=(bh, _cdiv(kv, block_k), _cdiv(nq, block_q)),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), q_spec2),
+                pl.BlockSpec((1, block_k, d), kv_spec2),
+                pl.BlockSpec((1, block_k, d), kv_spec2),
+                pl.BlockSpec((1, block_q, d), q_spec2),
+                pl.BlockSpec((1, block_q, d), q_spec2),
+                pl.BlockSpec((1, block_q, d), q_spec2),
+                pl.BlockSpec(aux_block, q_spec2),
+                pl.BlockSpec(aux_block, q_spec2),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_k, d), kv_spec2),
+                pl.BlockSpec((1, block_k, d), kv_spec2),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, kv, d), k.dtype),
+                jax.ShapeDtypeStruct((bh, kv, d), v.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((d, block_k), jnp.float32),
+                pltpu.VMEM((d, block_k), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel",
+                                     "arbitrary"),
+                vmem_limit_bytes=110 * 2 ** 20),
+            interpret=interpret,
+        )(q8, k8, v8, do8, qs, do, lse, delta, sqk, sdv)
+        return dq, dk, dv
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, block_k=block_k,
@@ -641,6 +855,31 @@ def _flash_bwd(scale, block_q, block_k, interpret, res, g):
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_i8b(q, k, v, scale, block_q, block_k, interpret):
+    """bf16 flash forward + int8-score BACKWARD (attn_impl
+    "pallas_i8bwd", round-5 VERDICT #2): the bwd kernels' s-recompute
+    and dp matmuls run on the 2x-rate int8 MXU with per-head scales;
+    ds/dv/dk/dq accumulations stay bf16. Gradient quality bounded by
+    tests/test_attention.py::test_i8bwd_grads and the trajectory run in
+    BENCHMARKS.md."""
+    out, _ = _fwd_sharded(scale, block_q, block_k, interpret)(q, k, v)
+    return out
+
+
+def _flash_i8b_fwd(q, k, v, scale, block_q, block_k, interpret):
+    out, lse = _fwd_sharded(scale, block_q, block_k, interpret)(q, k, v)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_i8b_bwd(scale, block_q, block_k, interpret, res, g):
+    return _bwd_sharded(scale, block_q, block_k, interpret, False,
+                        i8=True)(*res, g)
+
+
+_flash_i8b.defvjp(_flash_i8b_fwd, _flash_i8b_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -721,9 +960,11 @@ def attention(q, k, v, *, scale: Optional[float] = None,
       scale: softmax scale, default 1/sqrt(D)
       bias: optional additive (B|1, H|1, Nq, Nk) bias -> routes to XLA impl
       impl: "auto" (pallas on TPU, xla elsewhere) | "pallas" | "xla" |
-        "pallas_int8" (int8 q@k^T inference fast path — forward-only,
-        rel err ~0.5-0.9%) | "pallas_int8pv" (also p@v on the int8 MXU with
-        per-sub-block p requantization — rel err ~1%)
+        "pallas_i8bwd" (bf16 forward + int8-score BACKWARD: the bwd
+        kernels' s-recompute and dp on the 2x int8 MXU — training A/B
+        knob) | "pallas_int8" (int8 q@k^T inference fast path —
+        forward-only, rel err ~0.5-0.9%) | "pallas_int8pv" (also p@v on
+        the int8 MXU with per-sub-block p requantization — rel err ~1%)
       block_q/block_k: kernel tile sizes (block_q=None picks the measured
         per-impl default: 5120 for the int8 forward, 4096 otherwise —
         v5e sweeps, BENCHMARKS.md)
@@ -738,12 +979,13 @@ def attention(q, k, v, *, scale: Optional[float] = None,
     if impl == "auto":
         on_tpu = jax.devices()[0].platform == "tpu"
         impl = "pallas" if (on_tpu and bias is None) else "xla"
-    if impl not in ("xla", "pallas", "pallas_int8", "pallas_int8pv"):
+    if impl not in ("xla", "pallas", "pallas_i8bwd", "pallas_int8",
+                    "pallas_int8pv"):
         # a typo like "pallas_int8_pv" must not silently run a different
         # precision path in a benchmark or inference run
         raise ValueError(
             f"unknown attention impl {impl!r}; valid: 'auto', 'xla', "
-            "'pallas', 'pallas_int8', 'pallas_int8pv'")
+            "'pallas', 'pallas_i8bwd', 'pallas_int8', 'pallas_int8pv'")
 
     if impl == "xla":
         return xla_attention(q, k, v, scale=scale, bias=bias)
@@ -772,6 +1014,9 @@ def attention(q, k, v, *, scale: Optional[float] = None,
         out = _fwd_i8_sharded(scale, bq, bk, interpret,
                               impl == "pallas_int8pv")(
             fold(q), fold(k), fold(v))
+    elif impl == "pallas_i8bwd":
+        out = _flash_i8b(fold(q), fold(k), fold(v), scale, bq, bk,
+                         interpret)
     else:
         out = _flash(fold(q), fold(k), fold(v), scale, bq, bk, interpret)
     out = out[..., :d].reshape(b, h, nq, d)
@@ -802,7 +1047,7 @@ def attention_with_lse(q, k, v, *, scale: Optional[float] = None,
         scale = 1.0 / math.sqrt(q.shape[-1])
     if impl == "auto":
         impl = ("pallas" if jax.devices()[0].platform == "tpu" else "xla")
-    if impl in ("pallas_int8", "pallas_int8pv"):
+    if impl in ("pallas_int8", "pallas_int8pv", "pallas_i8bwd"):
         impl = "pallas"
     if impl == "xla":
         s2 = jnp.einsum("bqhd,bkhd->bhqk", q, k,

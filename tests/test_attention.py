@@ -242,3 +242,38 @@ def test_attention_with_lse_grads_through_both_outputs():
     for a, b in zip(g_pl, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5,
                                    rtol=2e-5)
+
+
+def test_i8bwd_forward_is_bf16_flash():
+    # pallas_i8bwd changes ONLY the backward: forward must equal the
+    # plain pallas forward exactly
+    q, k, v = _qkv(jax.random.PRNGKey(7), n=128)
+    a = attention(q, k, v, impl="pallas", interpret=True,
+                  block_q=64, block_k=64)
+    b = attention(q, k, v, impl="pallas_i8bwd", interpret=True,
+                  block_q=64, block_k=64)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_i8bwd_grads():
+    """int8-score backward (round-5 VERDICT #2): dq/dk/dv within the
+    int8-quantization error class of the XLA grads (~1% — per-head
+    symmetric scales on s and dp), both aligned and ragged."""
+    for n in (128, 100):
+        q, k, v = _qkv(jax.random.PRNGKey(8), n=n)
+
+        def loss(impl):
+            def f(q, k, v):
+                return jnp.sum(attention(q, k, v, impl=impl,
+                                         interpret=True, block_q=64,
+                                         block_k=64) ** 2)
+            return f
+
+        g_ref = jax.grad(loss("xla"), argnums=(0, 1, 2))(q, k, v)
+        g_i8 = jax.grad(loss("pallas_i8bwd"), argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(g_i8, g_ref, ["dq", "dk", "dv"]):
+            a, b = np.asarray(a), np.asarray(b)
+            assert np.isfinite(a).all(), (name, n)
+            scale = np.abs(b).max() + 1e-6
+            err = np.abs(a - b).max() / scale
+            assert err < 5e-2, (name, n, err)
