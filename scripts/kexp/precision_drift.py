@@ -75,6 +75,10 @@ def main():
     variants = {
         "bf16+pallas(fwd)": ("bfloat16", "pallas", "pallas"),
         "bf16+pallas_bwd": ("bfloat16", "pallas", "pallas_bwd"),
+        # int8-score attention backward at amplified lr (the workload lr
+        # is already 1e-3 = 20x the reference MIM recipe): bounds the
+        # gradient-quality impact of the 2x-MXU bwd (VERDICT #2)
+        "bf16+i8bwd-attn": ("bfloat16", "pallas_i8bwd", "pallas_bwd"),
     }
     print(f"f32/xla losses: first {ref_losses[0]:.6f} "
           f"last {ref_losses[-1]:.6f}", flush=True)
