@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from smb_vision_tpu.ops.mlp import mlp_forward
 
-LINKS = 12
+LINKS = 6
 
 
 def mk(seed, shape, dtype=jnp.bfloat16, s=0.5):
@@ -64,7 +64,8 @@ def chain(impl):
     return run
 
 
-def bench_shape(M, K, F):
+def bench_shape(M, K, F, impls=("xla", "pallas", "pallas_bwd"),
+                numerics=True):
     xs = [mk(i, (M, K)) for i in range(4)]
     w1, w2 = mk(97, (K, F)), mk(98, (F, K))
     b1 = mk(99, (F,), jnp.float32) * 0.1
@@ -72,8 +73,10 @@ def bench_shape(M, K, F):
     flops = 12 * M * K * F * LINKS
     print(f"== shape M={M} K={K} F={F}", flush=True)
     args = [(x, w1, b1, w2, b2) for x in xs]
-    for impl in ("xla", "pallas", "pallas_bwd"):
+    for impl in impls:
         timeit(f"{impl:10s} M={M} K={K} F={F}", chain(impl), args, flops)
+    if not numerics:
+        return
 
     # compiled fwd+bwd numerics: pallas_bwd vs the xla VJP
     def gr(impl):
@@ -94,9 +97,14 @@ def bench_shape(M, K, F):
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    # one impl per invocation keeps relay compiles small and results
+    # streaming: `mlpbwd.py base xla` etc.
+    impls = tuple(sys.argv[2:]) or ("xla", "pallas", "pallas_bwd")
+    numerics = "numerics" in impls or len(sys.argv) <= 2
+    impls = tuple(i for i in impls if i != "numerics")
     if which in ("all", "base"):
-        bench_shape(28672, 768, 3072)     # ViT-B visible tokens, bs 4
+        bench_shape(28672, 768, 3072, impls, numerics)  # ViT-B, bs 4
     if which in ("all", "vitl"):
-        bench_shape(18432, 1024, 4096)    # ViT-L V-JEPA 384^2x256, bs 2
+        bench_shape(18432, 1024, 4096, impls, numerics) # ViT-L V-JEPA
     if which in ("all", "dec"):
-        bench_shape(20480, 384, 1536)     # MIM decoder full-seq
+        bench_shape(20480, 384, 1536, impls, numerics)  # MIM decoder

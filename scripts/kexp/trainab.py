@@ -1,0 +1,104 @@
+"""In-model training-step A/B for the round-5 backward kernels.
+
+Runs the FULL MIM d64 (reference arch, 512^2x320, remat) and V-JEPA
+ViT-L train steps with the backward-path knobs toggled, interleaved in
+one process so relay phase drift cannot fake a win:
+
+  mlp:  "pallas" (status quo: kernel fwd, XLA-recompute VJP)
+        vs "pallas_bwd" (kernel fwd with h spill + kernel backward)
+  attn: "pallas" vs "pallas_i8bwd" (int8-score s/dp in the bwd kernels)
+
+Usage: trainab.py [mim|vjepa] [configs...] where configs are comma pairs
+like pallas,pallas  pallas_bwd,pallas  pallas_bwd,pallas_i8bwd
+(mlp_impl,attn_impl). Default: the three-step ladder.
+Protocol per BENCHMARKS.md: distinct random batches, scalar readback,
+min over timed steps.
+"""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import optax
+
+PEAK = 197e12
+
+
+def _time_steps(step, state, batches, key, n=3):
+    state, m = step(state, batches[0], key)
+    print("    compile done, loss0:", float(m["loss"]), flush=True)
+    times, losses = [], []
+    for b in batches[1:]:
+        key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
+        state, m = step(state, b, sub)
+        losses.append(round(float(m["loss"]), 4))
+        times.append(time.perf_counter() - t0)
+    return min(times), losses
+
+
+def bench_mim(mlp_impl, attn_impl):
+    from smb_vision_tpu.models.configs import VideoMAEConfig
+    from smb_vision_tpu.train.mim import make_mim_workload
+    from smb_vision_tpu.utils.profiling import mim_flops_per_sample
+
+    cfg = VideoMAEConfig(image_size=512, num_frames=320, patch_size=16,
+                         tubelet_size=16, num_channels=1,
+                         num_attention_heads=12, norm_pix_loss=True,
+                         decoder_num_attention_heads=6,
+                         dtype="bfloat16", attn_impl=attn_impl,
+                         mlp_impl=mlp_impl, gradient_checkpointing=True)
+    tx = optax.adamw(1e-4)
+    _, init_fn, step_fn, _ = make_mim_workload(
+        cfg, mask_patch_size=32, mask_ratio=0.65, tx=tx)
+    key = jax.random.PRNGKey(0)
+    state = init_fn(key)
+    step = jax.jit(step_fn, donate_argnums=(0,))
+    batches = [{"pixel_values": jax.random.normal(
+        jax.random.PRNGKey(10 + i), (1, 320, 1, 512, 512),
+        jnp.bfloat16)} for i in range(4)]
+    jax.block_until_ready(batches)
+    t, losses = _time_steps(step, state, batches, key)
+    fl = mim_flops_per_sample(cfg, 0.65)
+    print(f"MIM d64 mlp={mlp_impl} attn={attn_impl}: {t*1e3:.0f} ms/step"
+          f"  MFU {fl/t/PEAK*100:.1f}% ({fl/t/1e12:.1f} TFLOP/s) "
+          f"losses {losses}", flush=True)
+
+
+def bench_vjepa(mlp_impl, attn_impl):
+    from smb_vision_tpu.models.configs import VJEPA2Config
+    from smb_vision_tpu.train.vjepa import make_vjepa_workload
+    from smb_vision_tpu.utils.profiling import vjepa_flops_per_sample
+
+    cfg = VJEPA2Config(crop_size=384, frames_per_clip=256, patch_size=16,
+                       tubelet_size=16, in_chans=1,
+                       dtype="bfloat16", attn_impl=attn_impl,
+                       mlp_impl=mlp_impl, gradient_checkpointing=True)
+    tx = optax.adamw(1e-4)
+    _, init_fn, step_fn, _ = make_vjepa_workload(cfg, tx=tx)
+    key = jax.random.PRNGKey(0)
+    state = init_fn(key)
+    step = jax.jit(step_fn, donate_argnums=(0,))
+    batches = [{"pixel_values": jax.random.normal(
+        jax.random.PRNGKey(20 + i), (1, 256, 1, 384, 384),
+        jnp.bfloat16)} for i in range(4)]
+    jax.block_until_ready(batches)
+    t, losses = _time_steps(step, state, batches, key)
+    fl = vjepa_flops_per_sample(cfg)
+    print(f"VJEPA-L mlp={mlp_impl} attn={attn_impl}: {t*1e3:.0f} ms/step"
+          f"  MFU {fl/t/PEAK*100:.1f}% ({fl/t/1e12:.1f} TFLOP/s) "
+          f"losses {losses}", flush=True)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "mim"
+    ladder = [tuple(c.split(",")) for c in sys.argv[2:]] or [
+        ("pallas", "pallas"),
+        ("pallas_bwd", "pallas"),
+        ("pallas_bwd", "pallas_i8bwd"),
+    ]
+    fn = bench_mim if which == "mim" else bench_vjepa
+    for mlp_impl, attn_impl in ladder:
+        fn(mlp_impl, attn_impl)
