@@ -34,14 +34,16 @@ def mk(seed, shape, dtype=jnp.bfloat16, s=0.5):
             * s).astype(dtype)
 
 
-def timeit(label, fn, args_list, flops, n_pass=3):
+def timeit(label, fn, args_list, flops):
+    # every timed call dispatches a DISTINCT input tuple: the relay
+    # memoizes identical dispatches, so re-timing the same args would
+    # report cache replays (BENCHMARKS.md methodology note)
     float(fn(*args_list[0])[0])
     times = []
-    for _ in range(n_pass):
-        for args in args_list[1:]:
-            t0 = time.perf_counter()
-            float(fn(*args)[0])
-            times.append(time.perf_counter() - t0)
+    for args in args_list[1:]:
+        t0 = time.perf_counter()
+        float(fn(*args)[0])
+        times.append(time.perf_counter() - t0)
     t = min(times)
     print(f"{label:44s} {t/LINKS*1e3:8.3f} ms/link  "
           f"{flops/t/1e12:7.1f} TFLOP/s(useful)", flush=True)
@@ -66,7 +68,7 @@ def chain(impl):
 
 def bench_shape(M, K, F, impls=("xla", "pallas", "pallas_bwd"),
                 numerics=True):
-    xs = [mk(i, (M, K)) for i in range(4)]
+    xs = [mk(i, (M, K)) for i in range(10)]
     w1, w2 = mk(97, (K, F)), mk(98, (F, K))
     b1 = mk(99, (F,), jnp.float32) * 0.1
     b2 = mk(100, (K,), jnp.float32) * 0.1

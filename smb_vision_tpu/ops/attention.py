@@ -882,25 +882,27 @@ def _flash_i8b_bwd(scale, block_q, block_k, interpret, res, g):
 _flash_i8b.defvjp(_flash_i8b_fwd, _flash_i8b_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash_lse(q, k, v, scale, block_q, block_k, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_lse(q, k, v, scale, block_q, block_k, interpret, i8):
     """Flash attention returning (out, lse2). lse2 is the logsumexp of the
     scores in log2 units of the PRE-SCALED scores: softmax weights satisfy
     p = exp2(s * scale * LOG2E - lse2). Differentiable through BOTH
     outputs — the lse2 cotangent folds into the backward's delta term
-    (see _bwd) — which is what the ring-attention merge needs."""
+    (see _bwd) — which is what the ring-attention merge needs. i8=True
+    runs the backward's s-recompute/dp matmuls on the int8 MXU
+    (attn_impl "pallas_i8bwd"); the forward is bf16 either way."""
     return _fwd_sharded(scale, block_q, block_k, interpret)(q, k, v)
 
 
-def _flash_lse_fwd(q, k, v, scale, block_q, block_k, interpret):
+def _flash_lse_fwd(q, k, v, scale, block_q, block_k, interpret, i8):
     out, lse = _fwd_sharded(scale, block_q, block_k, interpret)(q, k, v)
     return (out, lse), (q, k, v, out, lse)
 
 
-def _flash_lse_bwd(scale, block_q, block_k, interpret, res, g):
+def _flash_lse_bwd(scale, block_q, block_k, interpret, i8, res, g):
     g_out, g_lse = g
-    return _bwd_sharded(scale, block_q, block_k, interpret, True)(
-        *res, g_out, g_lse)
+    return _bwd_sharded(scale, block_q, block_k, interpret, True,
+                        i8=i8)(*res, g_out, g_lse)
 
 
 _flash_lse.defvjp(_flash_lse_fwd, _flash_lse_bwd)
@@ -1040,13 +1042,17 @@ def attention_with_lse(q, k, v, *, scale: Optional[float] = None,
     Differentiable through BOTH outputs on every path: the pallas VJP
     folds the lse2 cotangent into the backward's delta term (ds = p*(dp -
     (delta - g_lse2*LOG2E))), so ring attention trains without bespoke
-    backward kernels. impl 'pallas_int8*' is coerced to 'pallas' — the
-    int8-score kernel does not expose lse.
+    backward kernels. impl 'pallas_int8'/'pallas_int8pv' (int8 FORWARD)
+    coerce to 'pallas' — the int8-score forward kernel does not expose
+    lse. 'pallas_i8bwd' keeps its meaning: the forward is the same bf16
+    flash kernel and the int8-score BACKWARD rides the lse VJP, so
+    sequence-parallel/ring training honours the knob.
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     if impl == "auto":
         impl = ("pallas" if jax.devices()[0].platform == "tpu" else "xla")
+    i8bwd = impl == "pallas_i8bwd"
     if impl in ("pallas_int8", "pallas_int8pv", "pallas_i8bwd"):
         impl = "pallas"
     if impl == "xla":
@@ -1060,7 +1066,8 @@ def attention_with_lse(q, k, v, *, scale: Optional[float] = None,
     if impl != "pallas":
         raise ValueError(
             f"unknown attention impl {impl!r}; valid here: 'auto', 'xla', "
-            "'pallas' (int8 spellings coerce to 'pallas')")
+            "'pallas' (int8-forward spellings coerce to 'pallas'; "
+            "'pallas_i8bwd' keeps its int8 backward)")
     if jax.devices()[0].platform != "tpu":
         interpret = True    # forced-pallas off-TPU: interpret mode
 
@@ -1075,6 +1082,6 @@ def attention_with_lse(q, k, v, *, scale: Optional[float] = None,
     bq = _pick_block(nq, block_q, fold_step=1024)
     bk = _pick_block(kv, block_k)
     out, lse = _flash_lse(fold(q), fold(k), fold(v), scale, bq, bk,
-                          interpret)
+                          interpret, i8bwd)
     out = out[..., :d].reshape(b, h, nq, d)
     return jnp.swapaxes(out, 1, 2), lse.reshape(b, h, nq)

@@ -319,9 +319,13 @@ def _vmem_bytes(bm: int, k: int, f: int, bf: int,
     return x_out + acc + w + bias + xn
 
 
-def _plan(m: int, k: int, f: int, block: bool = False,
-          n_w: int = 2) -> Optional[Tuple[int, int, int]]:
-    """(bm, bf, bn) or None if the shape doesn't map onto the kernel.
+def _plan_with(m: int, k: int, f: int, vmem_fn,
+               budget: int = _VMEM_BUDGET) -> Optional[Tuple[int, int, int]]:
+    """(bm, bf, bn) or None if the shape doesn't map onto a kernel whose
+    per-grid-step scoped-vmem cost is `vmem_fn(bm, k, f, bf)`. The one
+    tile-planning policy for every MLP-family kernel (fwd, half-block,
+    swiglu, train fwd, bwd) — variants differ only in their vmem
+    estimator and budget.
 
     bm=512 won the on-chip sweep (bm=1024 exceeds the 16 MB scoped-vmem
     limit and crashes the Mosaic compiler; ViT-L's K=1024 needs bf=1024
@@ -329,23 +333,31 @@ def _plan(m: int, k: int, f: int, block: bool = False,
     (bn=768 ~ 384 > 1536 on-chip, scripts/kexp/mlpk3.py)."""
     if k % 128 != 0 or f % 128 != 0:
         return None
-    # the 9-operand swiglu kernel OOM'd on-chip at an estimated 14.9M
-    # (single-chunk 20480x768x2048) — give 3-weight kernels extra slack
-    budget = _VMEM_BUDGET if n_w == 2 else 13 * 1024 * 1024
     for bm in (512, 256, 128):
         if m % bm != 0:
             continue
         bf = f
-        while _vmem_bytes(bm, k, f, bf, block, n_w) > budget \
-                and bf % 2 == 0 and bf > 128:
+        while vmem_fn(bm, k, f, bf) > budget and bf % 2 == 0 and bf > 128:
             bf //= 2
-        if f % bf != 0 or bf % 128 != 0 \
-                or _vmem_bytes(bm, k, f, bf, block, n_w) > budget:
+        if f % bf != 0 or bf % 128 != 0 or vmem_fn(bm, k, f, bf) > budget:
             continue
         bn = next((b for b in (768, 512, 1024, 256, 128) if bf % b == 0),
                   bf)
         return bm, bf, bn
     return None
+
+
+def _plan(m: int, k: int, f: int, block: bool = False,
+          n_w: int = 2) -> Optional[Tuple[int, int, int]]:
+    """Tile plan for the inference-forward kernel family (see
+    `_plan_with` for the policy)."""
+    # the 9-operand swiglu kernel OOM'd on-chip at an estimated 14.9M
+    # (single-chunk 20480x768x2048) — give 3-weight kernels extra slack
+    budget = _VMEM_BUDGET if n_w == 2 else 13 * 1024 * 1024
+    return _plan_with(
+        m, k, f,
+        lambda bm, kk, ff, bf: _vmem_bytes(bm, kk, ff, bf, block, n_w),
+        budget)
 
 
 def _padded_plan(m: int, k: int, f: int, block: bool = False,
@@ -444,6 +456,11 @@ def _spec_axis(arg_shape, dim):
     return spec[dim] if spec is not None and len(spec) > dim else None
 
 
+def _row_spec(arg):
+    spec = getattr(arg.sharding, "spec", None)
+    return spec[0] if spec is not None and len(spec) else None
+
+
 def _tp_axis(w1_shape, w2_shape, row):
     """The Megatron mesh axis A when w1 is column-split (*, A) and w2
     row-split (A, *) — parallel/sharding.py's _TP_COL/_TP_ROW pattern —
@@ -484,15 +501,11 @@ def _mlp_partitioned(act: str, interpret: bool):
 
     f = custom_partitioning(global_fn)
 
-    def _row(arg):
-        spec = getattr(arg.sharding, "spec", None)
-        return spec[0] if spec is not None and len(spec) else None
-
     def infer(mesh, arg_shapes, shape):
-        return NamedSharding(mesh, P(_row(arg_shapes[0]), None))
+        return NamedSharding(mesh, P(_row_spec(arg_shapes[0]), None))
 
     def partition(mesh, arg_shapes, result_shape):
-        row = _row(arg_shapes[0])
+        row = _row_spec(arg_shapes[0])
         row_sh = NamedSharding(mesh, P(row, None))
         repl = NamedSharding(mesh, P(None, None))
         a = _tp_axis(arg_shapes[1], arg_shapes[3], row)
@@ -576,24 +589,6 @@ def _bwd_vmem_bytes(bm: int, k: int, f: int, bf: int) -> int:
     if bf < f:
         w *= 3                              # streamed chunks (see _vmem_bytes)
     return row_k + row_f + acc + w
-
-
-def _plan_with(m: int, k: int, f: int, vmem_fn,
-               budget: int = _VMEM_BUDGET) -> Optional[Tuple[int, int, int]]:
-    if k % 128 != 0 or f % 128 != 0:
-        return None
-    for bm in (512, 256, 128):
-        if m % bm != 0:
-            continue
-        bf = f
-        while vmem_fn(bm, k, f, bf) > budget and bf % 2 == 0 and bf > 128:
-            bf //= 2
-        if f % bf != 0 or bf % 128 != 0 or vmem_fn(bm, k, f, bf) > budget:
-            continue
-        bn = next((b for b in (768, 512, 1024, 256, 128) if bf % b == 0),
-                  bf)
-        return bm, bf, bn
-    return None
 
 
 def _train_plan(m, k, f):
@@ -708,21 +703,106 @@ def _mlp_bwd_local(h, g2, w1, w2, act: str, interpret: bool):
 
 @functools.lru_cache(maxsize=None)
 def _mlp_train_partitioned(act: str, interpret: bool):
-    from smb_vision_tpu.ops.partition import dim0_partitioned
+    """SPMD entry for the train forward (y + spilled h). Rows shard as
+    in `_mlp_partitioned`, and Megatron-TP weights (fc1 column-split /
+    fc2 row-split over one mesh axis) KEEP their split: each shard
+    computes its F chunk of h — so the h spill stays (m, F/tp) per
+    device — and one psum combines the y partials. Without this the
+    pallas_bwd train path would silently undo the TP split and multiply
+    per-device MLP FLOPs and h memory by the model-axis size (the trap
+    `_mlp_partitioned`'s docstring warns about)."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    return dim0_partitioned(
-        lambda x2, w1, b1, w2, b2:
-        _mlp_train_local(x2, w1, b1, w2, b2, act, interpret))
+    def global_fn(x2, w1, b1, w2, b2):
+        return _mlp_train_local(x2, w1, b1, w2, b2, act, interpret)
+
+    f = custom_partitioning(global_fn)
+
+    def infer(mesh, arg_shapes, shape):
+        row = _row_spec(arg_shapes[0])
+        a = _tp_axis(arg_shapes[1], arg_shapes[3], row)
+        return (NamedSharding(mesh, P(row, None)),
+                NamedSharding(mesh, P(row, a)))
+
+    def partition(mesh, arg_shapes, result_shape):
+        row = _row_spec(arg_shapes[0])
+        row_sh = NamedSharding(mesh, P(row, None))
+        repl = NamedSharding(mesh, P(None, None))
+        a = _tp_axis(arg_shapes[1], arg_shapes[3], row)
+        if a is None:
+            return (mesh, global_fn, (row_sh, row_sh),
+                    (row_sh, repl, repl, repl, repl))
+
+        def lower(x2, w1, b1, w2, b2):
+            part, h = _mlp_train_local(x2, w1, b1, w2,
+                                       jnp.zeros_like(b2), act,
+                                       interpret)
+            y = (jax.lax.psum(part.astype(jnp.float32), a)
+                 + b2[0]).astype(x2.dtype)
+            return y, h
+
+        return (mesh, lower,
+                (row_sh, NamedSharding(mesh, P(row, a))),
+                (row_sh, NamedSharding(mesh, P(None, a)),
+                 NamedSharding(mesh, P(None, a)),
+                 NamedSharding(mesh, P(a, None)), repl))
+
+    f.def_partition(
+        partition, infer_sharding_from_operands=infer,
+        # f appears in the h output, so it is a propagating factor (TP
+        # split flows w1/b1/w2 <-> h), not a reduction factor
+        sharding_rule="m k, k f, u f, f j, v j -> m j, m f",
+        need_replication_factors=("k", "u", "j", "v"))
+    return f
 
 
 @functools.lru_cache(maxsize=None)
 def _mlp_bwd_partitioned(act: str, interpret: bool):
-    from smb_vision_tpu.ops.partition import dim0_partitioned
+    """SPMD entry for the backward kernel — the mirror of
+    `_mlp_train_partitioned`'s split: h/dh/a stay F-chunked per shard
+    and the dx partials psum over the model axis."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    return dim0_partitioned(
-        lambda h, g2, w1, w2: _mlp_bwd_local(h, g2, w1, w2, act,
-                                             interpret),
-        sharded_args=(0, 1))
+    def global_fn(h, g2, w1, w2):
+        return _mlp_bwd_local(h, g2, w1, w2, act, interpret)
+
+    f = custom_partitioning(global_fn)
+
+    def infer(mesh, arg_shapes, shape):
+        row = _row_spec(arg_shapes[0])
+        a = _tp_axis(arg_shapes[2], arg_shapes[3], row)
+        f_sh = NamedSharding(mesh, P(row, a))
+        return (NamedSharding(mesh, P(row, None)), f_sh, f_sh)
+
+    def partition(mesh, arg_shapes, result_shape):
+        row = _row_spec(arg_shapes[0])
+        row_sh = NamedSharding(mesh, P(row, None))
+        repl = NamedSharding(mesh, P(None, None))
+        a = _tp_axis(arg_shapes[2], arg_shapes[3], row)
+        if a is None:
+            return (mesh, global_fn, (row_sh, row_sh, row_sh),
+                    (row_sh, row_sh, repl, repl))
+
+        def lower(h, g2, w1, w2):
+            dxp, dh, aa = _mlp_bwd_local(h, g2, w1, w2, act, interpret)
+            dx = jax.lax.psum(dxp.astype(jnp.float32), a).astype(
+                dxp.dtype)
+            return dx, dh, aa
+
+        f_sh = NamedSharding(mesh, P(row, a))
+        return (mesh, lower, (row_sh, f_sh, f_sh),
+                (f_sh, row_sh, NamedSharding(mesh, P(None, a)),
+                 NamedSharding(mesh, P(a, None))))
+
+    f.def_partition(
+        partition, infer_sharding_from_operands=infer,
+        # need-replication factors must be listed in first-appearance
+        # order (Shardy: "indices of special factors must be sorted")
+        sharding_rule="m f, m j, k f, f j -> m k, m f, m f",
+        need_replication_factors=("j", "k"))
+    return f
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
@@ -752,14 +832,16 @@ def _mlp_tb_fwd_impl(x, w1, b1, w2, b2, static):
 
 def _mlp_fused_tb_fwd(x, w1, b1, w2, b2, static):
     y, (x2, h) = _mlp_tb_fwd_impl(x, w1, b1, w2, b2, static)
-    # residuals must be arrays: dx's shape is recovered from gy + w1 and
-    # its dtype from a zero-size witness
-    return y, (x2, h, w1, w2, jnp.zeros((0,), x.dtype))
+    # residuals must be arrays: dx's shape is recovered from gy + w1,
+    # and cotangent dtypes (which must match the primals', like the
+    # 'pallas'/'xla' impls' VJPs) from zero-size witnesses
+    return y, (x2, h, w1, w2, jnp.zeros((0,), x.dtype),
+               jnp.zeros((0,), b1.dtype), jnp.zeros((0,), b2.dtype))
 
 
 def _mlp_fused_tb_bwd(static, res, gy):
     act, interpret = static
-    x2, h, w1, w2, x_wit = res
+    x2, h, w1, w2, x_wit, b1_wit, b2_wit = res
     x_shape = (*gy.shape[:-1], w1.shape[0])
     x_dtype = x_wit.dtype
     m = 1
@@ -781,7 +863,8 @@ def _mlp_fused_tb_bwd(static, res, gy):
     db2 = jnp.sum(g2.astype(jnp.float32), axis=0)
     dx = dx2[:m] if m_pad != m else dx2
     dx = dx.reshape(x_shape).astype(x_dtype)
-    return dx, dw1, db1, dw2, db2
+    return (dx, dw1.astype(w1.dtype), db1.astype(b1_wit.dtype),
+            dw2.astype(w2.dtype), db2.astype(b2_wit.dtype))
 
 
 _mlp_fused_tb.defvjp(_mlp_fused_tb_fwd, _mlp_fused_tb_bwd)
@@ -975,15 +1058,11 @@ def _mlp_block_partitioned(act: str, eps: float, interpret: bool):
 
     f = custom_partitioning(global_fn)
 
-    def _row(arg):
-        spec = getattr(arg.sharding, "spec", None)
-        return spec[0] if spec is not None and len(spec) else None
-
     def infer(mesh, arg_shapes, shape):
-        return NamedSharding(mesh, P(_row(arg_shapes[0]), None))
+        return NamedSharding(mesh, P(_row_spec(arg_shapes[0]), None))
 
     def partition(mesh, arg_shapes, result_shape):
-        row = _row(arg_shapes[0])
+        row = _row_spec(arg_shapes[0])
         row_sh = NamedSharding(mesh, P(row, None))
         repl = NamedSharding(mesh, P(None, None))
         a = _tp_axis(arg_shapes[3], arg_shapes[5], row)

@@ -135,10 +135,11 @@ def _hf_compat_argv(argv: List[str], field_names: set) -> List[str]:
             value, step = inline, 1
         elif i + 1 < len(argv) and not argv[i + 1].startswith("--"):
             value, step = argv[i + 1], 2
-        elif kind in ("rename", "json_pick"):
+        elif kind in ("rename", "json_pick", "tristate"):
             # value-taking kinds must not silently absorb "true" as the
             # value (--cache_dir as the last token would otherwise set
-            # cache_data_dir to the literal path 'true')
+            # cache_data_dir to the literal path 'true'; a bare
+            # --eval_strategy would silently enable eval)
             raise SystemExit(f"--{key} expects a value")
         else:
             value, step = "true", 1          # bare boolean form

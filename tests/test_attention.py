@@ -255,6 +255,47 @@ def test_i8bwd_forward_is_bf16_flash():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_attention_with_lse_honours_i8bwd():
+    """attn_impl='pallas_i8bwd' must survive `attention_with_lse` (the
+    SP/ring path) rather than silently coercing to the bf16 backward
+    (round-5 review): the forward stays the bf16 flash kernel bitwise,
+    the grads stay in the int8-error class of XLA, and they are NOT the
+    bf16 backward's grads."""
+    from smb_vision_tpu.ops.attention import attention_with_lse
+
+    q, k, v = _qkv(jax.random.PRNGKey(9))
+
+    o_i8, l_i8 = attention_with_lse(q, k, v, impl="pallas_i8bwd",
+                                    interpret=True, block_q=64,
+                                    block_k=32)
+    o_bf, l_bf = attention_with_lse(q, k, v, impl="pallas",
+                                    interpret=True, block_q=64,
+                                    block_k=32)
+    np.testing.assert_array_equal(np.asarray(o_i8), np.asarray(o_bf))
+    np.testing.assert_array_equal(np.asarray(l_i8), np.asarray(l_bf))
+
+    def loss(impl):
+        def f(q, k, v):
+            out, lse = attention_with_lse(q, k, v, impl=impl,
+                                          interpret=impl != "xla",
+                                          block_q=64, block_k=32)
+            return (jnp.sum(out.astype(jnp.float32) ** 2)
+                    + jnp.sum(jnp.sin(lse) * lse))
+        return f
+
+    g_i8 = jax.grad(loss("pallas_i8bwd"), argnums=(0, 1, 2))(q, k, v)
+    g_bf = jax.grad(loss("pallas"), argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss("xla"), argnums=(0, 1, 2))(q, k, v)
+    coerced = all(np.array_equal(np.asarray(a), np.asarray(b))
+                  for a, b in zip(g_i8, g_bf))
+    assert not coerced, "i8bwd silently ran the bf16 backward"
+    for a, b, name in zip(g_i8, g_ref, ["dq", "dk", "dv"]):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all(), name
+        err = np.abs(a - b).max() / (np.abs(b).max() + 1e-6)
+        assert err < 5e-2, (name, err)
+
+
 def test_i8bwd_grads():
     """int8-score backward (round-5 VERDICT #2): dq/dk/dv within the
     int8-quantization error class of the XLA grads (~1% — per-head

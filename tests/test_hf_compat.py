@@ -116,6 +116,13 @@ def test_value_taking_compat_flag_requires_value():
     with pytest.raises(SystemExit, match="expects a value"):
         parse_args_into_dataclasses(
             _mim_classes(), ["--cache_dir", "--do_train", "true"])
+    # tristate takes a value too: a bare --eval_strategy must not absorb
+    # 'true' and silently enable eval (HF argparse errors here as well)
+    with pytest.raises(SystemExit, match="expects a value"):
+        parse_args_into_dataclasses(_mim_classes(), ["--eval_strategy"])
+    with pytest.raises(SystemExit, match="expects a value"):
+        parse_args_into_dataclasses(
+            _mim_classes(), ["--eval_strategy", "--do_train", "true"])
 
 
 def test_bare_bool_and_equals_forms():

@@ -138,6 +138,56 @@ def test_pallas_bwd_sharded_rows_match_replicated(rng):
         _assert_close(a, b, 1e-2, name)
 
 
+def test_pallas_bwd_keeps_megatron_tp_split(rng):
+    """Megatron-TP weights (fc1 column-split / fc2 row-split over the
+    mesh axis) must KEEP their split through the pallas_bwd TRAIN path
+    (round-5 review): each shard computes its F chunk of h/dh/a — the
+    spilled h stays (m, F/tp) per device — and the y/dx partials psum.
+    Forcing replication would silently multiply per-device MLP FLOPs
+    and h memory by the model-axis size."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from smb_vision_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(devices=jax.devices()[:8])
+    args = _args(rng, 512, k=128, f=1024)    # per-shard F chunk = 128
+    bx = [a.astype(jnp.bfloat16) if i == 0 else a
+          for i, a in enumerate(args)]
+    w1s = jax.device_put(bx[1], NamedSharding(mesh, P(None, "data")))
+    b1s = jax.device_put(bx[2], NamedSharding(mesh, P("data")))
+    w2s = jax.device_put(bx[3], NamedSharding(mesh, P("data", None)))
+
+    def loss(x, w1, b1, w2, b2):
+        y = _mlp_fused_tb(x, w1, b1, w2, b2, ("gelu", True))
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    g_ref = jax.jit(jax.grad(loss, argnums=(0, 1, 3)))(*bx)
+    with jax.set_mesh(mesh):
+        f = jax.jit(jax.grad(loss, argnums=(0, 1, 3)))
+        hlo = f.lower(bx[0], w1s, b1s, w2s, bx[4]).compile().as_text()
+        assert hlo.count("all-gather") == 0, "TP split was replicated"
+        assert hlo.count("all-reduce") >= 1, "missing partial-sum combine"
+        g_sh = jax.block_until_ready(f(bx[0], w1s, b1s, w2s, bx[4]))
+    for a, b, name in zip(g_sh, g_ref, ["dx", "dw1", "dw2"]):
+        _assert_close(a, b, 1e-2, name)
+
+
+def test_pallas_bwd_cotangent_dtypes_match_primals(rng):
+    """The VJP's cotangent dtypes must match the primals', like the
+    'pallas'/'xla' impls (round-5 review: dw1/dw2 came back f32 for
+    bf16 primal weights)."""
+    args = _args(rng, 256)
+    bx = tuple(a.astype(jnp.bfloat16) for a in args)
+
+    def loss(*a):
+        y = _mlp_fused_tb(*a, ("gelu", True))
+        return jnp.sum(y.astype(jnp.float32))
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))(*bx)
+    for gi, pi, name in zip(g, bx, ["dx", "dw1", "db1", "dw2", "db2"]):
+        assert gi.dtype == pi.dtype, (name, gi.dtype)
+
+
 def test_mlp_module_trains_with_pallas_bwd(rng):
     """One optimizer step through the flax Mlp module at
     mlp_impl='pallas_bwd' decreases the loss (interpret mode)."""
