@@ -39,15 +39,16 @@ def _time_steps(step, state, batches, key, n=3):
     return min(times), losses
 
 
-def bench_mim(mlp_impl, attn_impl):
+def bench_mim(mlp_impl, attn_impl, d128=False):
     from smb_vision_tpu.models.configs import VideoMAEConfig
     from smb_vision_tpu.train.mim import make_mim_workload
     from smb_vision_tpu.utils.profiling import mim_flops_per_sample
 
+    heads, dec_heads = (6, 3) if d128 else (12, 6)
     cfg = VideoMAEConfig(image_size=512, num_frames=320, patch_size=16,
                          tubelet_size=16, num_channels=1,
-                         num_attention_heads=12, norm_pix_loss=True,
-                         decoder_num_attention_heads=6,
+                         num_attention_heads=heads, norm_pix_loss=True,
+                         decoder_num_attention_heads=dec_heads,
                          dtype="bfloat16", attn_impl=attn_impl,
                          mlp_impl=mlp_impl, gradient_checkpointing=True)
     tx = optax.adamw(1e-4)
@@ -62,22 +63,27 @@ def bench_mim(mlp_impl, attn_impl):
     jax.block_until_ready(batches)
     t, losses = _time_steps(step, state, batches, key)
     fl = mim_flops_per_sample(cfg, 0.65)
-    print(f"MIM d64 mlp={mlp_impl} attn={attn_impl}: {t*1e3:.0f} ms/step"
+    print(f"MIM {'d128' if d128 else 'd64'} "
+          f"mlp={mlp_impl} attn={attn_impl}: {t*1e3:.0f} ms/step"
           f"  MFU {fl/t/PEAK*100:.1f}% ({fl/t/1e12:.1f} TFLOP/s) "
           f"losses {losses}", flush=True)
 
 
-def bench_vjepa(mlp_impl, attn_impl):
+def bench_vjepa(mlp_impl, attn_impl, d128=False, teacher=None):
     from smb_vision_tpu.models.configs import VJEPA2Config
     from smb_vision_tpu.train.vjepa import make_vjepa_workload
     from smb_vision_tpu.utils.profiling import vjepa_flops_per_sample
 
+    kw = dict(num_attention_heads=8, pred_num_attention_heads=3) \
+        if d128 else {}
     cfg = VJEPA2Config(crop_size=384, frames_per_clip=256, patch_size=16,
                        tubelet_size=16, in_chans=1,
                        dtype="bfloat16", attn_impl=attn_impl,
-                       mlp_impl=mlp_impl, gradient_checkpointing=True)
+                       mlp_impl=mlp_impl, gradient_checkpointing=True,
+                       **kw)
     tx = optax.adamw(1e-4)
-    _, init_fn, step_fn, _ = make_vjepa_workload(cfg, tx=tx)
+    _, init_fn, step_fn, _ = make_vjepa_workload(
+        cfg, tx=tx, teacher_attn_impl=teacher)
     key = jax.random.PRNGKey(0)
     state = init_fn(key)
     step = jax.jit(step_fn, donate_argnums=(0,))
@@ -87,7 +93,10 @@ def bench_vjepa(mlp_impl, attn_impl):
     jax.block_until_ready(batches)
     t, losses = _time_steps(step, state, batches, key)
     fl = vjepa_flops_per_sample(cfg)
-    print(f"VJEPA-L mlp={mlp_impl} attn={attn_impl}: {t*1e3:.0f} ms/step"
+    print(f"VJEPA-L{' d128' if d128 else ''} "
+          f"mlp={mlp_impl} attn={attn_impl}"
+          f"{' teacher=' + teacher if teacher else ''}: "
+          f"{t*1e3:.0f} ms/step"
           f"  MFU {fl/t/PEAK*100:.1f}% ({fl/t/1e12:.1f} TFLOP/s) "
           f"losses {losses}", flush=True)
 
@@ -99,6 +108,13 @@ if __name__ == "__main__":
         ("pallas_bwd", "pallas"),
         ("pallas_bwd", "pallas_i8bwd"),
     ]
-    fn = bench_mim if which == "mim" else bench_vjepa
-    for mlp_impl, attn_impl in ladder:
-        fn(mlp_impl, attn_impl)
+    # configs are mlp,attn[,teacher_attn] — the optional third field is
+    # the V-JEPA EMA-teacher override (fwd-only, so int8-score is the
+    # inference-grade path there)
+    if which.startswith("mim"):
+        for c in ladder:
+            bench_mim(*c[:2], d128=which.endswith("d128"))
+    else:
+        for c in ladder:
+            bench_vjepa(*c[:2], d128=which.endswith("d128"),
+                        teacher=c[2] if len(c) > 2 else None)

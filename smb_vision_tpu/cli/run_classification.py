@@ -55,6 +55,7 @@ class ModelArguments:
     intermediate_size: int = 3072
     dtype: str = "bfloat16"
     attn_impl: str = "auto"
+    mlp_impl: str = "auto"     # pallas_bwd = measured-best for training
     gradient_checkpointing: bool = False
     # LoRA (the reference's latent lora_enable path, now functional)
     lora_enable: bool = False
@@ -116,6 +117,7 @@ def main(argv=None):
         num_attention_heads=model_args.num_attention_heads,
         num_labels=num_labels,
         dtype=model_args.dtype, attn_impl=model_args.attn_impl,
+        mlp_impl=model_args.mlp_impl,
         gradient_checkpointing=model_args.gradient_checkpointing)
     feat = dict(
         additional_features_size=len(data_args.additional_feature_columns),
@@ -132,6 +134,7 @@ def main(argv=None):
             config.update({"num_labels": num_labels, **feat,
                            "dtype": model_args.dtype,
                            "attn_impl": model_args.attn_impl,
+                           "mlp_impl": model_args.mlp_impl,
                            "gradient_checkpointing":
                                model_args.gradient_checkpointing})
         else:
@@ -149,6 +152,7 @@ def main(argv=None):
                            "problem_type": feat["problem_type"],
                            "dtype": model_args.dtype,
                            "attn_impl": model_args.attn_impl,
+                           "mlp_impl": model_args.mlp_impl,
                            "gradient_checkpointing":
                                model_args.gradient_checkpointing})
         else:
@@ -171,6 +175,7 @@ def main(argv=None):
             config.update({"num_labels": num_labels, **feat,
                            "dtype": model_args.dtype,
                            "attn_impl": model_args.attn_impl,
+                           "mlp_impl": model_args.mlp_impl,
                            "gradient_checkpointing":
                                model_args.gradient_checkpointing})
         else:

@@ -75,6 +75,12 @@ class ModelArguments:
     intermediate_size: int = 3072
     dtype: str = "bfloat16"
     attn_impl: str = "auto"
+    mlp_impl: str = field(
+        default="auto",
+        metadata={"help": "MLP kernel: auto|pallas|pallas_bwd|xla. "
+                          "'pallas_bwd' (kernel backward, no recompute) "
+                          "is the measured-best training setting "
+                          "(BENCHMARKS.md in-model A/Bs)"})
     gradient_checkpointing: bool = False
     sequence_parallel: bool = False
     export_hf: bool = False
@@ -130,6 +136,7 @@ def build_config(model_args: ModelArguments):
     upd.update({
         "dtype": model_args.dtype,
         "attn_impl": model_args.attn_impl,
+        "mlp_impl": model_args.mlp_impl,
         "gradient_checkpointing": model_args.gradient_checkpointing,
         "sequence_parallel": model_args.sequence_parallel,
     })
