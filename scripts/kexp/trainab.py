@@ -101,6 +101,40 @@ def bench_vjepa(mlp_impl, attn_impl, d128=False, teacher=None):
           f"losses {losses}", flush=True)
 
 
+def bench_cls(mlp_impl, attn_impl, d128=False):
+    """Fine-tune step at the run_cls.sh geometry (224^2x160, CE, bs 8)."""
+    from smb_vision_tpu.models.configs import VideoMAEConfig
+    from smb_vision_tpu.models.videomae import (
+        VideoMAEForVideoClassification)
+    from smb_vision_tpu.train.classification import (
+        make_classification_workload)
+    from smb_vision_tpu.utils.profiling import encoder_flops_per_sample
+
+    cfg = VideoMAEConfig(image_size=224, num_frames=160, patch_size=16,
+                         tubelet_size=16, num_channels=1,
+                         num_attention_heads=6 if d128 else 12,
+                         num_labels=2, dtype="bfloat16",
+                         attn_impl=attn_impl, mlp_impl=mlp_impl,
+                         gradient_checkpointing=True)
+    model = VideoMAEForVideoClassification(cfg)
+    tx = optax.adamw(1e-4)
+    init_fn, step_fn, _ = make_classification_workload(
+        model, cfg, task_type="single_label_classification", tx=tx)
+    key = jax.random.PRNGKey(0)
+    batches = [{"pixel_values": jax.random.normal(
+        jax.random.PRNGKey(30 + i), (8, 160, 1, 224, 224), jnp.bfloat16),
+        "labels": jnp.arange(8) % 2} for i in range(4)]
+    jax.block_until_ready(batches)
+    state = jax.jit(init_fn)(key, batches[0])
+    step = jax.jit(step_fn, donate_argnums=(0,))
+    t, losses = _time_steps(step, state, batches, key)
+    fl = 3 * encoder_flops_per_sample(cfg) * 8   # fwd+bwd, bs 8
+    print(f"CLS {'d128' if d128 else 'd64'} "
+          f"mlp={mlp_impl} attn={attn_impl}: {t*1e3:.0f} ms/step"
+          f"  MFU {fl/t/PEAK*100:.1f}% ({fl/t/1e12:.1f} TFLOP/s) "
+          f"losses {losses}", flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "mim"
     ladder = [tuple(c.split(",")) for c in sys.argv[2:]] or [
@@ -114,6 +148,9 @@ if __name__ == "__main__":
     if which.startswith("mim"):
         for c in ladder:
             bench_mim(*c[:2], d128=which.endswith("d128"))
+    elif which.startswith("cls"):
+        for c in ladder:
+            bench_cls(*c[:2], d128=which.endswith("d128"))
     else:
         for c in ladder:
             bench_vjepa(*c[:2], d128=which.endswith("d128"),

@@ -382,3 +382,15 @@ class ResNet3DConfig(BaseConfig):
     def hidden_size(self) -> int:
         return self.base_width * (2 ** (len(self.stage_sizes) - 1)) \
             * self.expansion
+
+def impl_neutral(config):
+    """Copy of `config` with the kernel impls forced to 'xla'.
+
+    Parameter SHAPES do not depend on attn_impl/mlp_impl, so model.init
+    may trace under neutral kernels. A FORCED pallas impl (e.g. the TPU
+    presets' mlp_impl='pallas_bwd') would otherwise reject init-time row
+    counts — init often runs a 1-sample slice or init_batch_size() rows
+    that do not map onto the kernel even when the real train batch does
+    (run_cls.sh geometry: 1960 rows at bs 1 vs 15680 padded at bs 8)."""
+    import dataclasses
+    return dataclasses.replace(config, attn_impl="xla", mlp_impl="xla")

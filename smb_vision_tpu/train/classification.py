@@ -31,14 +31,23 @@ def init_model_params(model, config, key, example_batch):
     params ONLY, no optimizer state. The LoRA path uses this to build the
     frozen base: calling the workload init there would materialise a full
     AdamW mu/nu (2x the model in f32) just to throw it away — exactly the
-    transient that can OOM the configs LoRA exists for."""
+    transient that can OOM the configs LoRA exists for.
+
+    The init trace runs under impl-neutral kernels: parameter shapes do
+    not depend on attn_impl/mlp_impl, but a FORCED kernel impl (e.g.
+    the preset mlp_impl='pallas_bwd') would reject the 1-sample row
+    count even when the real train batch maps fine (224^2x160 = 1960
+    rows at bs 1 vs 15680 -> padded at bs 8)."""
+    from smb_vision_tpu.models.configs import impl_neutral
+
     supports_features = config.model_type == "videomae"
+    imodel = type(model)(impl_neutral(config))
 
     def init(k, b):
         kwargs = {}
         if supports_features and "additional_features" in b:
             kwargs["additional_features"] = b["additional_features"]
-        return model.init(k, b["pixel_values"], labels=None, **kwargs)
+        return imodel.init(k, b["pixel_values"], labels=None, **kwargs)
 
     return jax.jit(init)(key, jax.tree_util.tree_map(
         lambda x: jnp.asarray(x)[:1], example_batch))

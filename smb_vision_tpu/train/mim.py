@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from smb_vision_tpu.models.configs import VideoMAEConfig
+from smb_vision_tpu.models.configs import VideoMAEConfig, impl_neutral
 from smb_vision_tpu.models.videomae import VideoMAEForPreTraining
 from smb_vision_tpu.ops.masking import mim_mask, num_masked_tokens
 from smb_vision_tpu.train.trainer import accumulate_gradients, train_state
@@ -48,7 +48,8 @@ def make_mim_workload(config: VideoMAEConfig, *, mask_patch_size: int,
                         config.image_size, config.image_size),
                        jnp.float32)
         mask = gen_mask(key, b)
-        params = jax.jit(model.init, static_argnums=(3,))(
+        imodel = VideoMAEForPreTraining(impl_neutral(config))
+        params = jax.jit(imodel.init, static_argnums=(3,))(
             key, px, mask, num_masked)
         return train_state(params, tx.init(params))
 
@@ -136,7 +137,8 @@ def make_pipelined_mim_workload(config: VideoMAEConfig, *,
                         config.image_size, config.image_size),
                        jnp.float32)
         mask = gen_mask(key, b)
-        dense = jax.jit(model.init, static_argnums=(3,))(
+        imodel = VideoMAEForPreTraining(impl_neutral(config))
+        dense = jax.jit(imodel.init, static_argnums=(3,))(
             key, px, mask, num_masked)
         params = to_pipeline_pretrain_params(dense)
         return train_state(params, tx.init(params))

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from smb_vision_tpu.models.configs import VJEPA2Config
+from smb_vision_tpu.models.configs import VJEPA2Config, impl_neutral
 from smb_vision_tpu.models.vjepa import VJEPA2Model, vjepa_loss
 from smb_vision_tpu.ops.masking import vjepa_target_mask
 from smb_vision_tpu.train.optim import ema_update
@@ -57,8 +57,9 @@ def make_vjepa_workload(config: VJEPA2Config, *,
         px = jnp.zeros((b, config.frames_per_clip, config.in_chans,
                         config.crop_size, config.crop_size), jnp.float32)
         tb = gen_mask(key, b)
+        imodel = VJEPA2Model(impl_neutral(config))
         params = jax.jit(
-            lambda k, x, t: model.init(k, x, target_bool=t))(key, px, tb)
+            lambda k, x, t: imodel.init(k, x, target_bool=t))(key, px, tb)
         # teacher starts as a copy of the online encoder (deepcopy in the
         # reference, run_vjepa.py:104)
         teacher = jax.tree_util.tree_map(jnp.copy, params)
@@ -154,8 +155,9 @@ def make_pipelined_vjepa_workload(config: VJEPA2Config, *,
         px = jnp.zeros((b, config.frames_per_clip, config.in_chans,
                         config.crop_size, config.crop_size), jnp.float32)
         tb = gen_mask(key, b)
+        imodel = VJEPA2Model(impl_neutral(config))
         dense = jax.jit(
-            lambda k, x, t: model.init(k, x, target_bool=t))(key, px, tb)
+            lambda k, x, t: imodel.init(k, x, target_bool=t))(key, px, tb)
         params = to_pipeline_vjepa_params(dense)
         teacher = jax.tree_util.tree_map(jnp.copy, params)
         return train_state(params, tx.init(params), teacher=teacher)

@@ -49,3 +49,11 @@ def test_bf16_pallas_trajectory_matches_f32_xla(rng):
     assert rel < 5e-4, (rel, ref, prod)
     # and the run actually optimizes on both paths
     assert ref[-1] < ref[0] and prod[-1] < prod[0], (ref, prod)
+    # the V-JEPA TPU preset ships the int8-score attention backward:
+    # its trajectory must hold the same bound (kexp 20-step run: within
+    # 1.8e-6 absolute of the bf16 backward, BENCHMARKS.md)
+    prod_i8 = _run("bfloat16", "pallas_i8bwd", "pallas_bwd", px)
+    rel_i8 = max(abs(a - b) / max(abs(b), 1e-8)
+                 for a, b in zip(prod_i8, ref))
+    assert rel_i8 < 5e-4, (rel_i8, ref, prod_i8)
+    assert prod_i8[-1] < prod_i8[0], prod_i8

@@ -375,6 +375,37 @@ def test_accumulate_gradients_bf16_accumulator_tracks_f32(rng):
                                atol=2e-2 * np.abs(ref).max())
 
 
+def test_classification_init_with_forced_kernel_impl(rng):
+    """The TPU presets pin mlp_impl='pallas_bwd'. init traces a
+    1-sample slice whose row count may not map onto the kernel even
+    when the real train batch does (run_cls.sh geometry: 1960 rows at
+    bs 1 vs 15680 -> padded at bs 8) — init must run impl-neutral
+    (round-5 finding) and the full-batch step must train through the
+    kernel path."""
+    from smb_vision_tpu.models.configs import VideoMAEConfig
+    from smb_vision_tpu.models.videomae import VideoMAEForVideoClassification
+    from smb_vision_tpu.train.classification import make_classification_workload
+
+    # 64 rows/sample: NOT kernel-mappable at bs 1 (not a 128-multiple,
+    # < 2048 so no padding), mappable at bs 8 (512 rows)
+    cfg = VideoMAEConfig(image_size=64, num_frames=64, patch_size=16,
+                         tubelet_size=16, num_channels=1, hidden_size=128,
+                         num_hidden_layers=1, num_attention_heads=2,
+                         intermediate_size=256, num_labels=2,
+                         problem_type="single_label_classification",
+                         dtype="bfloat16", attn_impl="xla",
+                         mlp_impl="pallas_bwd")
+    model = VideoMAEForVideoClassification(cfg)
+    init_fn, step_fn, _ = make_classification_workload(
+        model, cfg, task_type="classification", tx=optax.sgd(1e-2))
+    px = jnp.asarray(rng.normal(size=(8, 64, 1, 64, 64)),
+                     jnp.bfloat16)
+    batch = {"pixel_values": px, "labels": jnp.asarray([0, 1] * 4)}
+    state = init_fn(jax.random.PRNGKey(0), batch)   # must not raise
+    state, metrics = jax.jit(step_fn)(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_classification_workload_grad_accum_steps(rng):
     """make_classification_workload(grad_accum=2) consumes a 2x batch and
     takes one optimizer step; loss matches the mean of microbatch losses
