@@ -128,6 +128,11 @@ def build_config(model_args: ModelArguments):
         "decoder_num_attention_heads": (
             "decoder_num_attention_heads",
             model_args.decoder_num_attention_heads),
+        # kernel impls get the same only-if-explicit guard: a config
+        # file pinning mlp_impl='pallas_bwd'/attn_impl='pallas_i8bwd'
+        # must not be silently reverted to 'auto' by CLI defaults
+        "attn_impl": ("attn_impl", model_args.attn_impl),
+        "mlp_impl": ("mlp_impl", model_args.mlp_impl),
     }
     upd = {k: v for k, (arg, v) in geometry.items()
            if not from_file or v != defaults[arg]}
@@ -135,8 +140,6 @@ def build_config(model_args: ModelArguments):
         upd["num_channels"] = 1
     upd.update({
         "dtype": model_args.dtype,
-        "attn_impl": model_args.attn_impl,
-        "mlp_impl": model_args.mlp_impl,
         "gradient_checkpointing": model_args.gradient_checkpointing,
         "sequence_parallel": model_args.sequence_parallel,
     })

@@ -101,6 +101,11 @@ def build_config(model_args: ModelArguments):
         "patch_size": ("patch_size", model_args.patch_size),
         "frames_per_clip": ("depth", model_args.depth),
         "tubelet_size": ("patch_size", model_args.patch_size),
+        # kernel impls get the same only-if-explicit guard: a config
+        # file pinning mlp_impl='pallas_bwd'/attn_impl='pallas_i8bwd'
+        # must not be silently reverted to 'auto' by CLI defaults
+        "attn_impl": ("attn_impl", model_args.attn_impl),
+        "mlp_impl": ("mlp_impl", model_args.mlp_impl),
     }
     upd = {k: v for k, (arg, v) in geometry.items()
            if not from_file or v != defaults[arg]}
@@ -108,8 +113,6 @@ def build_config(model_args: ModelArguments):
         upd["in_chans"] = 1
     upd.update({
         "dtype": model_args.dtype,
-        "attn_impl": model_args.attn_impl,
-        "mlp_impl": model_args.mlp_impl,
         "gradient_checkpointing": model_args.gradient_checkpointing,
         "sequence_parallel": model_args.sequence_parallel,
     })

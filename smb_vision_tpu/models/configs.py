@@ -392,5 +392,4 @@ def impl_neutral(config):
     counts — init often runs a 1-sample slice or init_batch_size() rows
     that do not map onto the kernel even when the real train batch does
     (run_cls.sh geometry: 1960 rows at bs 1 vs 15680 padded at bs 8)."""
-    import dataclasses
     return dataclasses.replace(config, attn_impl="xla", mlp_impl="xla")

@@ -807,8 +807,13 @@ def _mlp_bwd_partitioned(act: str, interpret: bool):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _mlp_fused_tb(x, w1, b1, w2, b2, static):
-    y, _ = _mlp_tb_fwd_impl(x, w1, b1, w2, b2, static)
-    return y
+    # PRIMAL — runs only when the call is NOT differentiated (EMA
+    # teacher under stop_gradient, eval, inference). Route to the
+    # no-spill forward kernel: the h spill exists solely for the VJP's
+    # fwd rule below, and XLA cannot DCE one output of a pallas
+    # custom-call — the train kernel here would write a dead (m, F)
+    # bf16 buffer to HBM per MLP layer (round-5 review).
+    return _mlp_fused(x, w1, b1, w2, b2, static)
 
 
 def _mlp_tb_fwd_impl(x, w1, b1, w2, b2, static):

@@ -10,6 +10,8 @@ with the two reference bugs fixed by design (SURVEY §2 item 5):
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -37,7 +39,6 @@ def make_vjepa_workload(config: VJEPA2Config, *,
     # "pallas_int8") — its targets shift by ~the bf16 operand noise while
     # the teacher's ~1/3 of step attention FLOPs runs on the 2x int8 MXU
     if teacher_attn_impl:
-        import dataclasses
         tmodel = VJEPA2Model(
             dataclasses.replace(config, attn_impl=teacher_attn_impl))
     else:

@@ -524,6 +524,48 @@ def test_build_config_file_geometry_is_authoritative(tmp_path):
         (384, 128, 32)
 
 
+def test_build_config_file_kernel_impls_survive_cli_defaults(tmp_path):
+    """A config file pinning the measured-best kernels (the *_tpu
+    presets: mlp_impl='pallas_bwd', attn_impl='pallas_i8bwd') must not
+    be silently reverted to 'auto' by the CLI defaults in
+    --config_name_or_path mode (round-5 review); an explicit flag
+    still overrides."""
+    from smb_vision_tpu.cli.run_mim import ModelArguments, build_config
+    from smb_vision_tpu.models.configs import VideoMAEConfig
+
+    saved = VideoMAEConfig(image_size=64, num_frames=64, patch_size=16,
+                           tubelet_size=16, num_channels=1, hidden_size=64,
+                           num_hidden_layers=1, num_attention_heads=2,
+                           intermediate_size=128, mlp_impl="pallas_bwd",
+                           attn_impl="pallas_i8bwd")
+    cfg_path = tmp_path / "config.json"
+    saved.save_json(cfg_path)
+
+    cfg = build_config(ModelArguments(config_name_or_path=str(cfg_path)))
+    assert cfg.mlp_impl == "pallas_bwd"
+    assert cfg.attn_impl == "pallas_i8bwd"
+    cfg2 = build_config(ModelArguments(config_name_or_path=str(cfg_path),
+                                       mlp_impl="xla", attn_impl="xla"))
+    assert cfg2.mlp_impl == "xla" and cfg2.attn_impl == "xla"
+
+    from smb_vision_tpu.cli.run_vjepa import (
+        ModelArguments as VModelArguments,
+        build_config as vjepa_build_config,
+    )
+    from smb_vision_tpu.models.configs import VJEPA2Config
+
+    vsaved = VJEPA2Config(crop_size=64, frames_per_clip=32, patch_size=16,
+                          tubelet_size=16, hidden_size=64,
+                          num_hidden_layers=1, num_attention_heads=2,
+                          mlp_impl="pallas_bwd", attn_impl="pallas_i8bwd")
+    vpath = tmp_path / "vjepa.json"
+    vsaved.save_json(vpath)
+    vcfg = vjepa_build_config(VModelArguments(
+        config_name_or_path=str(vpath)))
+    assert vcfg.mlp_impl == "pallas_bwd"
+    assert vcfg.attn_impl == "pallas_i8bwd"
+
+
 def test_run_mim_rejects_mismatched_checkpoint(dataset, tmp_path):
     """--model_name_or_path with a wrong-architecture safetensors must fail
     loudly at load (it used to replace the whole tree and crash later as a

@@ -172,6 +172,23 @@ def test_pallas_bwd_keeps_megatron_tp_split(rng):
         _assert_close(a, b, 1e-2, name)
 
 
+def test_pallas_bwd_primal_is_no_spill_forward(rng):
+    """A NON-differentiated pallas_bwd call (EMA teacher, eval,
+    inference) must run the plain no-spill forward kernel — XLA cannot
+    DCE one output of a pallas custom-call, so routing the primal
+    through the train kernel would write a dead (m, F) h buffer to HBM
+    per layer (round-5 review). At a shape where the fwd and train
+    tile plans coincide the outputs are bitwise equal."""
+    args = _args(rng, 256)   # K=128, F=256: both planners pick (256,256,256)
+    bx = tuple(a.astype(jnp.bfloat16) if i == 0 else a
+               for i, a in enumerate(args))
+    y_tb = jax.jit(lambda *a: mlp_forward(*a, act="gelu",
+                                          impl="pallas_bwd"))(*bx)
+    y_fwd = jax.jit(lambda *a: mlp_forward(*a, act="gelu",
+                                           impl="pallas"))(*bx)
+    assert jnp.array_equal(y_tb, y_fwd)
+
+
 def test_pallas_bwd_cotangent_dtypes_match_primals(rng):
     """The VJP's cotangent dtypes must match the primals', like the
     'pallas'/'xla' impls (round-5 review: dw1/dw2 came back f32 for
