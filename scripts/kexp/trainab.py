@@ -39,6 +39,9 @@ def _time_steps(step, state, batches, key, n=3):
     return min(times), losses
 
 
+BATCH = 1       # override with env TRAINAB_BS
+
+
 def bench_mim(mlp_impl, attn_impl, d128=False):
     from smb_vision_tpu.models.configs import VideoMAEConfig
     from smb_vision_tpu.train.mim import make_mim_workload
@@ -58,13 +61,13 @@ def bench_mim(mlp_impl, attn_impl, d128=False):
     state = init_fn(key)
     step = jax.jit(step_fn, donate_argnums=(0,))
     batches = [{"pixel_values": jax.random.normal(
-        jax.random.PRNGKey(10 + i), (1, 320, 1, 512, 512),
+        jax.random.PRNGKey(10 + i), (BATCH, 320, 1, 512, 512),
         jnp.bfloat16)} for i in range(4)]
     jax.block_until_ready(batches)
     t, losses = _time_steps(step, state, batches, key)
-    fl = mim_flops_per_sample(cfg, 0.65)
+    fl = mim_flops_per_sample(cfg, 0.65) * BATCH
     print(f"MIM {'d128' if d128 else 'd64'} "
-          f"mlp={mlp_impl} attn={attn_impl}: {t*1e3:.0f} ms/step"
+          f"mlp={mlp_impl} attn={attn_impl}: {t*1e3:.0f} ms/step (bs{BATCH})"
           f"  MFU {fl/t/PEAK*100:.1f}% ({fl/t/1e12:.1f} TFLOP/s) "
           f"losses {losses}", flush=True)
 
@@ -88,15 +91,15 @@ def bench_vjepa(mlp_impl, attn_impl, d128=False, teacher=None):
     state = init_fn(key)
     step = jax.jit(step_fn, donate_argnums=(0,))
     batches = [{"pixel_values": jax.random.normal(
-        jax.random.PRNGKey(20 + i), (1, 256, 1, 384, 384),
+        jax.random.PRNGKey(20 + i), (BATCH, 256, 1, 384, 384),
         jnp.bfloat16)} for i in range(4)]
     jax.block_until_ready(batches)
     t, losses = _time_steps(step, state, batches, key)
-    fl = vjepa_flops_per_sample(cfg)
+    fl = vjepa_flops_per_sample(cfg) * BATCH
     print(f"VJEPA-L{' d128' if d128 else ''} "
           f"mlp={mlp_impl} attn={attn_impl}"
           f"{' teacher=' + teacher if teacher else ''}: "
-          f"{t*1e3:.0f} ms/step"
+          f"{t*1e3:.0f} ms/step (bs{BATCH})"
           f"  MFU {fl/t/PEAK*100:.1f}% ({fl/t/1e12:.1f} TFLOP/s) "
           f"losses {losses}", flush=True)
 
@@ -130,12 +133,14 @@ def bench_cls(mlp_impl, attn_impl, d128=False):
     t, losses = _time_steps(step, state, batches, key)
     fl = 3 * encoder_flops_per_sample(cfg) * 8   # fwd+bwd, bs 8
     print(f"CLS {'d128' if d128 else 'd64'} "
-          f"mlp={mlp_impl} attn={attn_impl}: {t*1e3:.0f} ms/step"
+          f"mlp={mlp_impl} attn={attn_impl}: {t*1e3:.0f} ms/step (bs{BATCH})"
           f"  MFU {fl/t/PEAK*100:.1f}% ({fl/t/1e12:.1f} TFLOP/s) "
           f"losses {losses}", flush=True)
 
 
 if __name__ == "__main__":
+    import os
+    BATCH = int(os.environ.get("TRAINAB_BS", "1"))
     which = sys.argv[1] if len(sys.argv) > 1 else "mim"
     ladder = [tuple(c.split(",")) for c in sys.argv[2:]] or [
         ("pallas", "pallas"),
