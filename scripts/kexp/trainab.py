@@ -40,6 +40,8 @@ def _time_steps(step, state, batches, key, n=3):
 
 
 BATCH = 1       # override with env TRAINAB_BS
+ACCUM = 1       # override with env TRAINAB_ACCUM (V-JEPA: micro-bs BATCH
+                # x ACCUM accumulation, the one-chip multi-sample recipe)
 
 
 def bench_mim(mlp_impl, attn_impl, d128=False):
@@ -84,22 +86,29 @@ def bench_vjepa(mlp_impl, attn_impl, d128=False, teacher=None):
                        dtype="bfloat16", attn_impl=attn_impl,
                        mlp_impl=mlp_impl, gradient_checkpointing=True,
                        **kw)
-    tx = optax.adamw(1e-4)
+    if ACCUM > 1:
+        # the measured one-chip accumulation recipe pairs bf16 grad
+        # accumulation with int8 Adam moments (BENCHMARKS.md)
+        from smb_vision_tpu.train.quantized import adamw8bit
+        tx = adamw8bit(1e-4)
+    else:
+        tx = optax.adamw(1e-4)
     _, init_fn, step_fn, _ = make_vjepa_workload(
-        cfg, tx=tx, teacher_attn_impl=teacher)
+        cfg, tx=tx, teacher_attn_impl=teacher, grad_accum=ACCUM,
+        accum_dtype=jnp.bfloat16 if ACCUM > 1 else None)
     key = jax.random.PRNGKey(0)
     state = init_fn(key)
     step = jax.jit(step_fn, donate_argnums=(0,))
     batches = [{"pixel_values": jax.random.normal(
-        jax.random.PRNGKey(20 + i), (BATCH, 256, 1, 384, 384),
+        jax.random.PRNGKey(20 + i), (BATCH * ACCUM, 256, 1, 384, 384),
         jnp.bfloat16)} for i in range(4)]
     jax.block_until_ready(batches)
     t, losses = _time_steps(step, state, batches, key)
-    fl = vjepa_flops_per_sample(cfg) * BATCH
+    fl = vjepa_flops_per_sample(cfg) * BATCH * ACCUM
     print(f"VJEPA-L{' d128' if d128 else ''} "
           f"mlp={mlp_impl} attn={attn_impl}"
           f"{' teacher=' + teacher if teacher else ''}: "
-          f"{t*1e3:.0f} ms/step (bs{BATCH})"
+          f"{t*1e3:.0f} ms/step (bs{BATCH}x{ACCUM})"
           f"  MFU {fl/t/PEAK*100:.1f}% ({fl/t/1e12:.1f} TFLOP/s) "
           f"losses {losses}", flush=True)
 
@@ -141,6 +150,7 @@ def bench_cls(mlp_impl, attn_impl, d128=False):
 if __name__ == "__main__":
     import os
     BATCH = int(os.environ.get("TRAINAB_BS", "1"))
+    ACCUM = int(os.environ.get("TRAINAB_ACCUM", "1"))
     which = sys.argv[1] if len(sys.argv) > 1 else "mim"
     ladder = [tuple(c.split(",")) for c in sys.argv[2:]] or [
         ("pallas", "pallas"),
