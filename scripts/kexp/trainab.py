@@ -56,20 +56,27 @@ def bench_mim(mlp_impl, attn_impl, d128=False):
                          decoder_num_attention_heads=dec_heads,
                          dtype="bfloat16", attn_impl=attn_impl,
                          mlp_impl=mlp_impl, gradient_checkpointing=True)
-    tx = optax.adamw(1e-4)
+    if ACCUM > 1:
+        from smb_vision_tpu.train.quantized import adamw8bit
+        tx = adamw8bit(1e-4)
+    else:
+        tx = optax.adamw(1e-4)
     _, init_fn, step_fn, _ = make_mim_workload(
-        cfg, mask_patch_size=32, mask_ratio=0.65, tx=tx)
+        cfg, mask_patch_size=32, mask_ratio=0.65, tx=tx,
+        grad_accum=ACCUM,
+        accum_dtype=jnp.bfloat16 if ACCUM > 1 else None)
     key = jax.random.PRNGKey(0)
     state = init_fn(key)
     step = jax.jit(step_fn, donate_argnums=(0,))
     batches = [{"pixel_values": jax.random.normal(
-        jax.random.PRNGKey(10 + i), (BATCH, 320, 1, 512, 512),
+        jax.random.PRNGKey(10 + i), (BATCH * ACCUM, 320, 1, 512, 512),
         jnp.bfloat16)} for i in range(4)]
     jax.block_until_ready(batches)
     t, losses = _time_steps(step, state, batches, key)
-    fl = mim_flops_per_sample(cfg, 0.65) * BATCH
+    fl = mim_flops_per_sample(cfg, 0.65) * BATCH * ACCUM
     print(f"MIM {'d128' if d128 else 'd64'} "
-          f"mlp={mlp_impl} attn={attn_impl}: {t*1e3:.0f} ms/step (bs{BATCH})"
+          f"mlp={mlp_impl} attn={attn_impl}: "
+          f"{t*1e3:.0f} ms/step (bs{BATCH}x{ACCUM})"
           f"  MFU {fl/t/PEAK*100:.1f}% ({fl/t/1e12:.1f} TFLOP/s) "
           f"losses {losses}", flush=True)
 
