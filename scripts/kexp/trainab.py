@@ -121,7 +121,8 @@ def bench_vjepa(mlp_impl, attn_impl, d128=False, teacher=None):
 
 
 def bench_cls(mlp_impl, attn_impl, d128=False):
-    """Fine-tune step at the run_cls.sh geometry (224^2x160, CE, bs 8)."""
+    """Fine-tune step at the run_cls.sh geometry (224^2x160, CE).
+    Batch is FIXED at 8 (the recipe's); TRAINAB_BS does not apply."""
     from smb_vision_tpu.models.configs import VideoMAEConfig
     from smb_vision_tpu.models.videomae import (
         VideoMAEForVideoClassification)
@@ -149,7 +150,7 @@ def bench_cls(mlp_impl, attn_impl, d128=False):
     t, losses = _time_steps(step, state, batches, key)
     fl = 3 * encoder_flops_per_sample(cfg) * 8   # fwd+bwd, bs 8
     print(f"CLS {'d128' if d128 else 'd64'} "
-          f"mlp={mlp_impl} attn={attn_impl}: {t*1e3:.0f} ms/step (bs{BATCH})"
+          f"mlp={mlp_impl} attn={attn_impl}: {t*1e3:.0f} ms/step (bs8)"
           f"  MFU {fl/t/PEAK*100:.1f}% ({fl/t/1e12:.1f} TFLOP/s) "
           f"losses {losses}", flush=True)
 

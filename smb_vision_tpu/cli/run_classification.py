@@ -63,6 +63,20 @@ class ModelArguments:
     lora_alpha: float = 16.0
 
 
+
+def _explicit_impl_args(model_args) -> dict:
+    """Only-if-explicit CLI overrides for --config_name_or_path mode
+    (see run_mim.build_config): a config file pinning kernel impls,
+    dtype, or gradient_checkpointing must not be silently reverted by
+    the CLI defaults (round-5 review)."""
+    from dataclasses import fields as dc_fields
+    defaults = {f.name: f.default for f in dc_fields(ModelArguments)}
+    return {k: getattr(model_args, k)
+            for k in ("dtype", "attn_impl", "mlp_impl",
+                      "gradient_checkpointing")
+            if getattr(model_args, k) != defaults[k]}
+
+
 def main(argv=None):
     import jax
     import numpy as np
@@ -132,11 +146,7 @@ def main(argv=None):
         if cfg_file is not None:
             config = Dinov2Config.from_dict(cfg_file)
             config.update({"num_labels": num_labels, **feat,
-                           "dtype": model_args.dtype,
-                           "attn_impl": model_args.attn_impl,
-                           "mlp_impl": model_args.mlp_impl,
-                           "gradient_checkpointing":
-                               model_args.gradient_checkpointing})
+                           **_explicit_impl_args(model_args)})
         else:
             config = Dinov2Config(depth=model_args.depth, **common, **feat)
         model = Dinov2ForImageClassification(config)
@@ -150,11 +160,7 @@ def main(argv=None):
             config = VJEPA2Config.from_dict(cfg_file)
             config.update({"num_labels": num_labels,
                            "problem_type": feat["problem_type"],
-                           "dtype": model_args.dtype,
-                           "attn_impl": model_args.attn_impl,
-                           "mlp_impl": model_args.mlp_impl,
-                           "gradient_checkpointing":
-                               model_args.gradient_checkpointing})
+                           **_explicit_impl_args(model_args)})
         else:
             cm = dict(common)
             cm["crop_size"] = cm.pop("image_size")
@@ -173,11 +179,7 @@ def main(argv=None):
         if cfg_file is not None:
             config = VideoMAEConfig.from_dict(cfg_file)
             config.update({"num_labels": num_labels, **feat,
-                           "dtype": model_args.dtype,
-                           "attn_impl": model_args.attn_impl,
-                           "mlp_impl": model_args.mlp_impl,
-                           "gradient_checkpointing":
-                               model_args.gradient_checkpointing})
+                           **_explicit_impl_args(model_args)})
         else:
             config = VideoMAEConfig(
                 num_frames=model_args.depth, num_channels=1,

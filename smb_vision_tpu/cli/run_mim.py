@@ -128,21 +128,25 @@ def build_config(model_args: ModelArguments):
         "decoder_num_attention_heads": (
             "decoder_num_attention_heads",
             model_args.decoder_num_attention_heads),
-        # kernel impls get the same only-if-explicit guard: a config
-        # file pinning mlp_impl='pallas_bwd'/attn_impl='pallas_i8bwd'
-        # must not be silently reverted to 'auto' by CLI defaults
+        # kernel impls / dtype / remat get the same only-if-explicit
+        # guard: a config file pinning mlp_impl='pallas_bwd',
+        # attn_impl='pallas_i8bwd', gradient_checkpointing=true or
+        # dtype='float32' must not be silently reverted by CLI
+        # defaults. (Explicitly passing the default value, e.g.
+        # `--mlp_impl auto`, is indistinguishable from unset — use
+        # --config_overrides to force a default over a file pin.)
         "attn_impl": ("attn_impl", model_args.attn_impl),
         "mlp_impl": ("mlp_impl", model_args.mlp_impl),
+        "dtype": ("dtype", model_args.dtype),
+        "gradient_checkpointing": ("gradient_checkpointing",
+                                   model_args.gradient_checkpointing),
+        "sequence_parallel": ("sequence_parallel",
+                              model_args.sequence_parallel),
     }
     upd = {k: v for k, (arg, v) in geometry.items()
            if not from_file or v != defaults[arg]}
     if not from_file:
         upd["num_channels"] = 1
-    upd.update({
-        "dtype": model_args.dtype,
-        "gradient_checkpointing": model_args.gradient_checkpointing,
-        "sequence_parallel": model_args.sequence_parallel,
-    })
     config.update(upd)
     if model_args.config_overrides:
         for kv in model_args.config_overrides.split(","):

@@ -36,6 +36,12 @@ class DataTrainingArguments:
 class ModelArguments:
     model_name_or_path: Optional[str] = None
     config_name_or_path: Optional[str] = None
+    config_overrides: Optional[str] = field(
+        default=None,
+        metadata={"help": "comma list key=value applied to the config "
+                          "AFTER the only-if-explicit CLI merge (the "
+                          "escape hatch to force a default over a "
+                          "config-file pin)"})
     image_size: int = 384
     depth: int = 256
     patch_size: int = 16
@@ -101,22 +107,31 @@ def build_config(model_args: ModelArguments):
         "patch_size": ("patch_size", model_args.patch_size),
         "frames_per_clip": ("depth", model_args.depth),
         "tubelet_size": ("patch_size", model_args.patch_size),
-        # kernel impls get the same only-if-explicit guard: a config
-        # file pinning mlp_impl='pallas_bwd'/attn_impl='pallas_i8bwd'
-        # must not be silently reverted to 'auto' by CLI defaults
+        # kernel impls / dtype / remat get the same only-if-explicit
+        # guard (see run_mim.build_config; --config_overrides forces a
+        # default over a file pin)
         "attn_impl": ("attn_impl", model_args.attn_impl),
         "mlp_impl": ("mlp_impl", model_args.mlp_impl),
+        "dtype": ("dtype", model_args.dtype),
+        "gradient_checkpointing": ("gradient_checkpointing",
+                                   model_args.gradient_checkpointing),
+        "sequence_parallel": ("sequence_parallel",
+                              model_args.sequence_parallel),
     }
     upd = {k: v for k, (arg, v) in geometry.items()
            if not from_file or v != defaults[arg]}
     if not from_file:
         upd["in_chans"] = 1
-    upd.update({
-        "dtype": model_args.dtype,
-        "gradient_checkpointing": model_args.gradient_checkpointing,
-        "sequence_parallel": model_args.sequence_parallel,
-    })
     config.update(upd)
+    if model_args.config_overrides:
+        import json as _json
+        for kv in model_args.config_overrides.split(","):
+            k, v = kv.split("=", 1)
+            try:
+                v = _json.loads(v)
+            except _json.JSONDecodeError:
+                pass
+            config.update({k.strip(): v})
     return config
 
 

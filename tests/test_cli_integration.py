@@ -566,6 +566,72 @@ def test_build_config_file_kernel_impls_survive_cli_defaults(tmp_path):
     assert vcfg.attn_impl == "pallas_i8bwd"
 
 
+def test_build_config_file_dtype_and_remat_survive_cli_defaults(tmp_path):
+    """Same guard class for dtype / gradient_checkpointing (round-5
+    review pass 3): a float32 or remat-pinned config file must not be
+    silently rebuilt at the CLI defaults; --config_overrides remains
+    the escape hatch (now also on run_vjepa)."""
+    from smb_vision_tpu.cli.run_mim import ModelArguments, build_config
+    from smb_vision_tpu.models.configs import VideoMAEConfig
+
+    saved = VideoMAEConfig(image_size=64, num_frames=64, patch_size=16,
+                           tubelet_size=16, num_channels=1, hidden_size=64,
+                           num_hidden_layers=1, num_attention_heads=2,
+                           intermediate_size=128, dtype="float32",
+                           gradient_checkpointing=True)
+    cfg_path = tmp_path / "config.json"
+    saved.save_json(cfg_path)
+    cfg = build_config(ModelArguments(config_name_or_path=str(cfg_path)))
+    assert cfg.dtype == "float32"
+    assert cfg.gradient_checkpointing is True
+    # a non-default explicit flag still wins; forcing the DEFAULT value
+    # over a file pin needs --config_overrides (explicit-default is
+    # indistinguishable from unset — the documented guard limitation)
+    cfg2 = build_config(ModelArguments(config_name_or_path=str(cfg_path),
+                                       dtype="float16"))
+    assert cfg2.dtype == "float16"
+    cfg3 = build_config(ModelArguments(config_name_or_path=str(cfg_path),
+                                       config_overrides="dtype=bfloat16"))
+    assert cfg3.dtype == "bfloat16"
+
+    from smb_vision_tpu.cli.run_vjepa import (
+        ModelArguments as VModelArguments,
+        build_config as vjepa_build_config,
+    )
+    from smb_vision_tpu.models.configs import VJEPA2Config
+
+    vsaved = VJEPA2Config(crop_size=64, frames_per_clip=32, patch_size=16,
+                          tubelet_size=16, hidden_size=64,
+                          num_hidden_layers=1, num_attention_heads=2,
+                          mlp_impl="pallas_bwd",
+                          gradient_checkpointing=True)
+    vpath = tmp_path / "vjepa.json"
+    vsaved.save_json(vpath)
+    vcfg = vjepa_build_config(VModelArguments(
+        config_name_or_path=str(vpath)))
+    assert vcfg.gradient_checkpointing is True
+    # run_vjepa's new --config_overrides forces a default over a pin
+    vcfg2 = vjepa_build_config(VModelArguments(
+        config_name_or_path=str(vpath), config_overrides="mlp_impl=auto"))
+    assert vcfg2.mlp_impl == "auto"
+
+
+def test_classification_explicit_impl_args_guard():
+    """run_classification applies the same only-if-explicit merge in
+    --config_name_or_path mode via _explicit_impl_args (round-5 review
+    pass 3): CLI defaults produce NO overrides; changed flags do."""
+    from smb_vision_tpu.cli.run_classification import (
+        ModelArguments,
+        _explicit_impl_args,
+    )
+
+    assert _explicit_impl_args(ModelArguments()) == {}
+    out = _explicit_impl_args(ModelArguments(
+        mlp_impl="pallas_bwd", gradient_checkpointing=True))
+    assert out == {"mlp_impl": "pallas_bwd",
+                   "gradient_checkpointing": True}
+
+
 def test_run_mim_rejects_mismatched_checkpoint(dataset, tmp_path):
     """--model_name_or_path with a wrong-architecture safetensors must fail
     loudly at load (it used to replace the whole tree and crash later as a
